@@ -1,0 +1,131 @@
+"""End-to-end job runner: JobSpec → per-target relations → canonical
+``nodes`` / ``relationships`` outputs.
+
+Mirrors the reference's run loop (GcpToNeo4j.run:164-295, SURVEY.md
+§3.2): shared-source reuse when no target re-queries (:197-202), node
+targets before edge targets (D2, InputRefactoring.java:75-81), writers
+with merge/append semantics (CypherGenerator.java:28-82 → here: dedup +
+table write). Dependency barriers (D1, Wait.on/BeamBlock) collapse to
+driver-side sequencing — Spark actions are blocking.
+
+Canonical output shapes (FIXTURES.md "Expected-output conventions"):
+  nodes(label, key_name, key_value, properties map<string,string>)
+  relationships(type, src_label, src_key, tgt_label, tgt_key,
+                properties map<string,string>)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_flex_templates_spark.plans.compiler import (
+    apply_target,
+    compile_target,
+)
+from dataflow_flex_templates_spark.sources.readers import read_source
+from dataflow_flex_templates_spark.spec.model import JobSpec, Target, TargetType
+from dataflow_flex_templates_spark.spec.refactor import refactor_job_spec
+from dataflow_flex_templates_spark.spec.validator import validate_job_spec
+
+
+@dataclass
+class JobResult:
+    """Per-target relations plus the canonical graph tables."""
+
+    target_frames: dict[str, DataFrame] = dc_field(default_factory=dict)
+    nodes: DataFrame | None = None
+    relationships: DataFrame | None = None
+
+
+def _canonical_nodes(spark: SparkSession, target: Target, df: DataFrame) -> DataFrame:
+    ct = compile_target(target, df.columns)
+    label = target.labels[0] if target.labels else target.name
+    key_name = ct.key_cols[0] if ct.key_cols else ""
+    prop_entries = []
+    for c in ct.prop_cols:
+        if c in df.columns:
+            prop_entries.extend([F.lit(c), F.col(c).cast("string")])
+    props = F.create_map(*prop_entries) if prop_entries else F.create_map()
+    return df.select(
+        F.lit(label).alias("label"),
+        F.lit(key_name).alias("key_name"),
+        F.concat_ws("\x1f", *[F.col(k).cast("string") for k in ct.key_cols]).alias("key_value"),
+        props.alias("properties"),
+    )
+
+
+def _canonical_edges(spark: SparkSession, target: Target, df: DataFrame) -> DataFrame:
+    ct = compile_target(target, df.columns)
+    src_label = next((m.label for m in target.mappings
+                      if m.fragment.value == "source" and m.role.value == "key"), "")
+    tgt_label = next((m.label for m in target.mappings
+                      if m.fragment.value == "target" and m.role.value == "key"), "")
+    prop_entries = []
+    for c in ct.prop_cols:
+        if c in df.columns:
+            prop_entries.extend([F.lit(c), F.col(c).cast("string")])
+    props = F.create_map(*prop_entries) if prop_entries else F.create_map()
+    return df.select(
+        F.lit(target.edge_type).alias("type"),
+        F.lit(src_label).alias("src_label"),
+        F.concat_ws("\x1f", *[F.col(k).cast("string") for k in ct.src_key_cols]).alias("src_key"),
+        F.lit(tgt_label).alias("tgt_label"),
+        F.concat_ws("\x1f", *[F.col(k).cast("string") for k in ct.tgt_key_cols]).alias("tgt_key"),
+        props.alias("properties"),
+    )
+
+
+def run_job(
+    spark: SparkSession,
+    spec: JobSpec,
+    source_frames: dict[str, DataFrame] | None = None,
+    runtime_tokens: dict[str, str] | None = None,
+) -> JobResult:
+    """Execute a job spec in batch mode.
+
+    ``source_frames`` lets callers bind pre-built DataFrames to source
+    names (e.g. an Iceberg/parquet scan or a test fixture) instead of
+    reading from ``source.uri`` — the Spark-native analogue of the
+    template's runtime ``inputFilePattern`` override.
+    """
+    refactor_job_spec(spec, runtime_tokens)
+    validate_job_spec(spec)
+
+    result = JobResult()
+    # Shared-source reuse (the reference's one CSE optimization,
+    # GcpToNeo4j.java:197-202): one scan per source, fanned out to all
+    # of its targets. Catalyst reuses identical subplans; for multi-
+    # target fan-out over an expensive scan, callers may persist().
+    frames: dict[str, DataFrame] = {}
+    for name, src in spec.sources.items():
+        if source_frames and name in source_frames:
+            frames[name] = source_frames[name]
+        else:
+            frames[name] = read_source(spark, src)
+
+    node_frames: list[DataFrame] = []
+    edge_frames: list[DataFrame] = []
+    # D2: nodes before edges (already sorted by refactor_job_spec).
+    for target in spec.targets:
+        if not target.active:
+            continue
+        src_df = frames[target.source]
+        out = apply_target(spark, src_df, target)
+        result.target_frames[target.name] = out
+        if target.target_type == TargetType.node:
+            node_frames.append(_canonical_nodes(spark, target, out))
+        else:
+            edge_frames.append(_canonical_edges(spark, target, out))
+
+    if node_frames:
+        result.nodes = node_frames[0]
+        for f in node_frames[1:]:
+            result.nodes = result.nodes.unionByName(f)
+    if edge_frames:
+        result.relationships = edge_frames[0]
+        for f in edge_frames[1:]:
+            result.relationships = result.relationships.unionByName(f)
+    return result

@@ -1,0 +1,264 @@
+"""Target → Spark plan compiler.
+
+The reference's entire relational "planner" is one string-built SQL per
+target (utils/ModelUtils.getTargetSql:153-229):
+
+    SELECT {mapped fields}{, agg exprs} FROM PCOLLECTION
+    [WHERE w] [GROUP BY mapped fields] [ORDER BY o] [LIMIT n]
+
+We generate the same SQL against a temp view and hand it to Catalyst —
+which, unlike Beam's Calcite detour, gives partial+final hash
+aggregation, whole-stage codegen, and pushdown for free — then apply a
+typed projection per the target's mappings (rename / try_cast /
+constant-literal / mandatory-filter; semantics of
+transforms/CastExpandTargetRowFn.java:29-40 and
+utils/DataCastingUtils.java:62-128: cast failure → null, missing value
+→ mapping default).
+
+MERGE-mode dedup (Cypher ``MERGE ... SET n+=props`` last-writer-wins,
+database/CypherGenerator.java:63-71) is realized as a window rank over
+the natural key ordered by the deterministic tie-break
+(event-time/ordinal DESC) — SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataflow_flex_templates_spark.spec.model import (
+    SPARK_TYPE_FOR_PROPERTY,
+    FragmentType,
+    Mapping,
+    RoleType,
+    SaveMode,
+    Target,
+    TargetType,
+)
+
+#: Name of the hidden arrival-order column used for last-writer-wins
+#: tie-breaks. Batch: monotonically_increasing_id at ingest; streaming:
+#: (event_time, source offset). SURVEY.md §7.3 "deterministic tie-break".
+ORDINAL_COL = "__ord__"
+
+_IDENT_RE = re.compile(r"[^a-zA-Z0-9_]")
+
+
+def make_valid_identifier(name: str) -> str:
+    """Reference: ModelUtils.makeValidNeo4jIdentifier:240-251
+    (regex ``[^a-zA-Z0-9_]`` → ``_``)."""
+    return _IDENT_RE.sub("_", name)
+
+
+def _q(ident: str) -> str:
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _edge_sort_field(target: Target) -> str:
+    """Reference: ModelUtils.getRelationshipKeyField(target, TARGET) —
+    edge targets are implicitly sorted by the target-node key field
+    "to reduce locking" (ModelUtils.java:157-163,215-218)."""
+    for m in target.mappings_by(FragmentType.target, RoleType.key):
+        if m.field:
+            return m.field
+    return ""
+
+
+def generate_target_sql(
+    target: Target,
+    source_cols: list[str],
+    view: str = "PCOLLECTION",
+    generate_sort: bool = True,
+) -> str:
+    """String-parity SQL with ModelUtils.getTargetSql:153-229.
+
+    ``source_cols`` is the source schema's column list; mapped fields
+    not present there (aggregation aliases) are excluded from the
+    SELECT/GROUP BY lists exactly as the reference does (:176-187).
+    Ordering rules (reference :156-168,200-218): edge targets sort by
+    the target-end key field ASC when present, else transform.order_by;
+    the ORDER BY is emitted only when the provider supports sort
+    (``generate_sort``); LIMIT is emitted regardless.
+    """
+    tr = target.transform
+
+    order_by = ""
+    if target.target_type == TargetType.edge:
+        sort_field = _edge_sort_field(target)
+        if sort_field:
+            order_by = f"{_q(sort_field)} ASC"
+        elif tr.order_by:
+            order_by = tr.order_by
+    elif tr.order_by:
+        order_by = tr.order_by
+
+    if not (tr.group or tr.aggregations):
+        sql = f"SELECT * FROM {view}"
+        if tr.where:
+            sql += f" WHERE {tr.where}"
+        if order_by and generate_sort:
+            sql += f" ORDER BY {order_by}"
+        if tr.limit is not None and tr.limit >= 0:
+            sql += f" LIMIT {tr.limit}"
+        return sql
+
+    present = [f for f in target.mapped_fields if f in source_cols]
+    if not present:
+        raise ValueError(
+            f"could not find mapped fields for target: {target.name}"
+        )  # parity: ModelUtils.java:185-186
+    select_parts = [_q(f) for f in present]
+    for agg in tr.aggregations:
+        select_parts.append(f"{agg.expr} AS {_q(agg.field)}")
+    sql = f"SELECT {', '.join(select_parts)} FROM {view}"
+    if tr.where:
+        sql += f" WHERE {tr.where}"
+    sql += f" GROUP BY {', '.join(_q(f) for f in present)}"
+    if order_by and generate_sort:
+        sql += f" ORDER BY {order_by}"
+    if tr.limit is not None and tr.limit >= 0:
+        sql += f" LIMIT {tr.limit}"
+    return sql
+
+
+def _typed_expr(m: Mapping) -> "F.Column":
+    """One mapping → one typed output column.
+
+    Cast semantics per DataCastingUtils.sourceTextToTargetObjects
+    (:62-128): parse failure → null (``try_cast``), missing value →
+    mapping default/constant fallback (:79-89).
+    """
+    spark_t = SPARK_TYPE_FOR_PROPERTY[m.type] if m.type is not None else None
+    col = F.lit(m.constant) if m.is_constant else F.col(m.field)
+    if spark_t:
+        col = col.try_cast(spark_t)
+    if m.default is not None:
+        default = F.lit(m.default)
+        if spark_t:
+            default = default.try_cast(spark_t)
+        col = F.coalesce(col, default)
+    return col
+
+
+@dataclass
+class CompiledTarget:
+    """Output-column layout of a target (graph property names)."""
+
+    target: Target
+    #: output column name per mapping (sanitized graph property name)
+    out_cols: list[tuple[Mapping, str]]
+    key_cols: list[str]           # node natural-key output columns
+    src_key_cols: list[str]       # edge source-end key columns
+    tgt_key_cols: list[str]       # edge target-end key columns
+    prop_cols: list[str]
+
+
+def compile_target(target: Target, source_cols: list[str] | None = None) -> CompiledTarget:
+    out_cols: list[tuple[Mapping, str]] = []
+    key_cols: list[str] = []
+    src_key: list[str] = []
+    tgt_key: list[str] = []
+    prop_cols: list[str] = []
+    used: set[str] = set()
+    for m in target.mappings:
+        if m.role in (RoleType.label, RoleType.type):
+            continue
+        name = make_valid_identifier(m.name or m.field or m.constant)
+        if name in used:
+            name = f"{name}_{len(used)}"
+        used.add(name)
+        out_cols.append((m, name))
+        if m.role == RoleType.key:
+            if m.fragment == FragmentType.source:
+                src_key.append(name)
+            elif m.fragment == FragmentType.target:
+                tgt_key.append(name)
+            else:
+                key_cols.append(name)
+        else:
+            prop_cols.append(name)
+    return CompiledTarget(
+        target=target,
+        out_cols=out_cols,
+        key_cols=key_cols,
+        src_key_cols=src_key,
+        tgt_key_cols=tgt_key,
+        prop_cols=prop_cols,
+    )
+
+
+def apply_target(
+    spark: SparkSession,
+    source_df: DataFrame,
+    target: Target,
+    dedup: bool | None = None,
+) -> DataFrame:
+    """Run one target's full relational plan over a source DataFrame.
+
+    Steps (all lazily declared; Catalyst plans the physical execution):
+      1. generated SQL (projection/filter/group/agg/sort/limit);
+      2. typed projection (rename/cast/constants/mandatory);
+      3. MERGE-mode last-writer-wins dedup on the natural key.
+
+    Returns a DataFrame whose columns are the sanitized graph property
+    names — the engine's canonical per-target relation.
+    """
+    ct = compile_target(target, source_df.columns)
+
+    view = f"tgt_{make_valid_identifier(target.name)}_{id(source_df) & 0xFFFF}"
+    base = source_df
+    tr = target.transform
+
+    if tr.is_identity and tr.limit < 0:
+        shaped = base
+    else:
+        # Non-grouping SQL is SELECT * — the ordinal flows through for
+        # LWW dedup; grouping SQL projects mapped fields only (the
+        # ordinal is consumed by the aggregation, as in the reference
+        # where arrival order beyond the GROUP BY is meaningless).
+        sql = generate_target_sql(target, source_df.columns, view)
+        base.createOrReplaceTempView(view)
+        shaped = spark.sql(sql)
+
+    exprs = []
+    if ORDINAL_COL in shaped.columns:
+        exprs.append(F.col(ORDINAL_COL))
+    mandatory_checks = []
+    for m, name in ct.out_cols:
+        exprs.append(_typed_expr(m).alias(name))
+        if m.mandatory:
+            mandatory_checks.append(name)
+    projected = shaped.select(*exprs)
+    for name in mandatory_checks:
+        projected = projected.filter(F.col(name).isNotNull())
+
+    # MERGE dedup (A4): last writer wins per natural key — applied for
+    # ALL merge targets, grouped or not: Cypher MERGE collapses per key
+    # at the database even after a GROUP BY over all mapped fields
+    # (CypherGenerator.java:63-71). Arrival order is nondeterministic in
+    # the reference (parallel writers); our canonical tie-break is the
+    # ingest ordinal when available, else a deterministic descending
+    # sort over the stringified non-key columns (documented in
+    # SURVEY.md §7.3 and used identically by batch oracle and stream).
+    do_dedup = dedup if dedup is not None else target.save_mode == SaveMode.merge
+    keys = ct.key_cols if target.target_type == TargetType.node else (
+        ct.src_key_cols + ct.tgt_key_cols
+    )
+    if do_dedup and keys:
+        if ORDINAL_COL in projected.columns:
+            order = [F.col(ORDINAL_COL).desc()]
+        else:
+            non_key = [c for c in projected.columns if c not in keys]
+            order = [F.col(c).cast("string").desc_nulls_last() for c in non_key] or [F.lit(1)]
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+        projected = (
+            projected.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+    if ORDINAL_COL in projected.columns:
+        projected = projected.drop(ORDINAL_COL)
+    return projected

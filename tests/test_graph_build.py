@@ -1,0 +1,259 @@
+"""End-to-end batch job tests: the reference's flagship 3-target
+northwind job (text-northwind-jobspec.json) over a deterministic
+synthetic orders table, verified against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+REF_SPEC = Path("/root/reference/src/test/resources/testing-specs/text-northwind-jobspec.json")
+
+FIELDS = ("customer_id,contact_name,company_name,seller_id,seller_first_name,"
+          "seller_last_name,seller_title,product_id,product_name,category_name,"
+          "supplier_name,supplier_postal_code,supplier_country,order_id,order_date,"
+          "shipped_date,required_date,quantity,unit_price,discount").split(",")
+
+
+def synth_orders(n: int = 1000) -> pd.DataFrame:
+    """Deterministic northwind-shaped all-string rows (FIXTURES.md F2)."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(n):
+        cust = f"C{rng.randrange(40):03d}"
+        prod = rng.randrange(60)
+        rows.append({
+            "customer_id": cust,
+            "contact_name": f"contact {cust}",
+            "company_name": f"company {cust}",
+            "seller_id": str(rng.randrange(10)),
+            "seller_first_name": "fn", "seller_last_name": "ln",
+            "seller_title": "rep",
+            "product_id": str(prod),
+            "product_name": f"product {prod:03d}",
+            "category_name": f"cat{prod % 7}",
+            "supplier_name": f"sup{prod % 11}",
+            "supplier_postal_code": "00000", "supplier_country": "US",
+            "order_id": str(10000 + i),
+            "order_date": f"2024-01-{(i % 28) + 1:02d}",
+            "shipped_date": f"2024-02-{(i % 28) + 1:02d}",
+            "required_date": f"2024-03-{(i % 28) + 1:02d}",
+            "quantity": str(rng.randrange(1, 20)),
+            "unit_price": f"{rng.randrange(100, 10000) / 100:.2f}",
+            "discount": "0.0",
+        })
+    return pd.DataFrame(rows, columns=FIELDS)
+
+
+@pytest.fixture(scope="module")
+def job(spark):
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    pdf = synth_orders()
+    sdf = spark.createDataFrame(pdf)
+    spec = parse_job_spec(REF_SPEC)
+    result = run_job(spark, spec, source_frames={"1k orders": sdf})
+    return pdf, result
+
+
+def test_customer_nodes_group_dedup(job):
+    pdf, result = job
+    cust = result.target_frames["Customer"].toPandas()
+    oracle = duckdb.sql(
+        "SELECT customer_id, contact_name, company_name FROM pdf "
+        "GROUP BY 1,2,3"
+    ).df()
+    assert len(cust) == len(oracle) == pdf["customer_id"].nunique()
+    got = set(map(tuple, cust[["Customer_Id", "Contact_Name", "Company_Name"]].values))
+    want = set(map(tuple, oracle.values))
+    assert got == want
+
+
+def test_product_nodes_aggregations(job):
+    """The reference's Products target GROUPs BY *all* mapped fields
+    (product_id + contact_name + company_name + product_name) then
+    MERGE collapses per key. Check: one node per product, and its
+    aggregate values come from one of the grouped-oracle rows."""
+    pdf, result = job
+    prod = result.target_frames["Products"].toPandas()
+    assert len(prod) == pdf["product_id"].nunique()
+    oracle = duckdb.sql(
+        "SELECT product_id, contact_name, company_name, "
+        "SUM(CAST(unit_price AS DOUBLE)*CAST(quantity AS DOUBLE)) AS amt, "
+        "SUM(CAST(quantity AS BIGINT)) AS qty "
+        "FROM pdf GROUP BY 1,2,3"
+    ).df()
+    want = {(r["product_id"], r["contact_name"], round(r["amt"], 6), int(r["qty"]))
+            for _, r in oracle.iterrows()}
+    got = {(r["product_id"], r["contact_name"],
+            round(r["Total_product_order_amount"], 6),
+            int(r["Total_product_quantity"]))
+           for _, r in prod.iterrows()}
+    assert got <= want
+
+
+def test_single_key_aggregation_exact(spark):
+    """Exact aggregate parity when the group key IS the natural key
+    (no MERGE ambiguity): SUM expressions per product."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    pdf = synth_orders(500)
+    sdf = spark.createDataFrame(pdf)
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "text", "name": "s", "uri": "unused",
+                     "ordered_field_names": ",".join(FIELDS)}],
+        "targets": [{"node": {"source": "s", "name": "P", "mode": "merge",
+                              "transform": {"group": True, "aggregations": [
+                                  {"expr": "SUM(unit_price*quantity)", "field": "amt"},
+                                  {"expr": "SUM(quantity)", "field": "qty"}]},
+                              "mappings": {"labels": ["\"Product\""],
+                                           "keys": ["product_id"],
+                                           "properties": {
+                                               "doubles": ["amt"],
+                                               "longs": ["qty"]}}}}],
+    }))
+    out = run_job(spark, spec, source_frames={"s": sdf}).target_frames["P"].toPandas()
+    oracle = duckdb.sql(
+        "SELECT product_id, "
+        "SUM(CAST(unit_price AS DOUBLE)*CAST(quantity AS DOUBLE)) AS amt, "
+        "SUM(CAST(quantity AS BIGINT)) AS qty FROM pdf GROUP BY 1").df()
+    got = {r["product_id"]: (round(r["amt"], 6), int(r["qty"]))
+           for _, r in out.iterrows()}
+    want = {r["product_id"]: (round(r["amt"], 6), int(r["qty"]))
+            for _, r in oracle.iterrows()}
+    assert got == want
+
+
+def test_purchase_edges(job):
+    pdf, result = job
+    edges = result.target_frames["Purchase Edges"].toPandas()
+    oracle = duckdb.sql(
+        "SELECT customer_id, product_id, "
+        "SUM(CAST(unit_price AS DOUBLE)*CAST(quantity AS DOUBLE)) AS amt, "
+        "SUM(CAST(quantity AS BIGINT)) AS qty "
+        "FROM pdf GROUP BY 1,2"
+    ).df()
+    assert len(edges) == len(oracle)
+    rel = result.relationships.toPandas()
+    assert (rel["type"] == "Purchases").all()
+    assert set(rel["src_label"]) == {"Customer"}
+    assert set(rel["tgt_label"]) == {"Product"}
+
+
+def test_canonical_nodes_shape(job):
+    _, result = job
+    nodes = result.nodes.toPandas()
+    assert set(nodes.columns) == {"label", "key_name", "key_value", "properties"}
+    assert set(nodes["label"]) == {"Customer", "Product"}
+
+
+def test_merge_dedup_last_writer_wins(spark):
+    """MERGE on key without grouping: last arrival wins per key
+    (Cypher MERGE..SET semantics, CypherGenerator.java:63-71)."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.sources.readers import all_string_schema
+    from dataflow_flex_templates_spark.plans.compiler import ORDINAL_COL
+    import pyspark.sql.functions as F
+
+    rows = [("k1", "v1"), ("k1", "v2"), ("k2", "a"), ("k1", "v3"), ("k2", "b")]
+    sdf = (spark.createDataFrame(rows, schema=all_string_schema(["k", "v"]))
+           .coalesce(1)
+           .withColumn(ORDINAL_COL, F.monotonically_increasing_id()))
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "text", "name": "s", "uri": "unused",
+                     "ordered_field_names": "k,v"}],
+        "targets": [{"node": {"source": "s", "name": "N", "mode": "merge",
+                              "mappings": {"labels": ["\"T\""], "keys": ["k"],
+                                           "properties": {"strings": ["v"]}}}}],
+    }))
+    out = run_job(spark, spec, source_frames={"s": sdf}).target_frames["N"].toPandas()
+    got = dict(zip(out["k"], out["v"]))
+    assert got == {"k1": "v3", "k2": "b"}
+
+
+def test_where_order_limit(spark):
+    """P4 filter + O1 sort + O3 limit through the generated SQL."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    pdf = synth_orders(200)
+    sdf = spark.createDataFrame(pdf)
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "text", "name": "s", "uri": "unused",
+                     "ordered_field_names": ",".join(FIELDS)}],
+        "targets": [{"node": {"source": "s", "name": "Top", "mode": "append",
+                              "transform": {"group": True,
+                                            "where": "CAST(quantity AS INT) > 10",
+                                            "order_by": "product_id DESC",
+                                            "limit": 5},
+                              "mappings": {"labels": ["\"P\""], "keys": ["product_id"]}}}],
+    }))
+    out = run_job(spark, spec, source_frames={"s": sdf}).target_frames["Top"].toPandas()
+    assert len(out) == 5
+    oracle = duckdb.sql(
+        "SELECT product_id FROM pdf WHERE CAST(quantity AS INT) > 10 "
+        "GROUP BY 1 ORDER BY product_id DESC LIMIT 5").df()
+    assert list(out["product_id"]) == list(oracle["product_id"])
+
+
+def test_mandatory_and_defaults(spark):
+    """Mandatory → null-filter; default → constant fallback
+    (DataCastingUtils.java:79-89)."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.sources.readers import all_string_schema
+
+    rows = [("a", "1"), ("b", None), (None, "3")]
+    sdf = spark.createDataFrame(rows, schema=all_string_schema(["k", "v"]))
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "text", "name": "s", "uri": "unused",
+                     "ordered_field_names": "k,v"}],
+        "targets": [{
+            "name": "N", "type": "node", "source": "s", "mode": "append",
+            "mappings": [
+                {"constant": "T", "name": "T", "role": "label"},
+                {"field": "k", "name": "k", "role": "key", "mandatory": True},
+                {"field": "v", "name": "v", "role": "property",
+                 "type": "Long", "default": "0"},
+            ],
+        }],
+    }))
+    out = run_job(spark, spec, source_frames={"s": sdf}).target_frames["N"].toPandas()
+    assert len(out) == 2  # null key filtered by mandatory
+    got = dict(zip(out["k"], out["v"]))
+    assert got == {"a": 1, "b": 0}
+
+
+def test_try_cast_failure_is_null(spark):
+    """Cast failure → null (DataCastingUtils.java:121-124)."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.sources.readers import all_string_schema
+
+    rows = [("a", "12"), ("b", "not_a_number"), ("c", "2024-01-05")]
+    sdf = spark.createDataFrame(rows, schema=all_string_schema(["k", "v"]))
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "text", "name": "s", "uri": "unused",
+                     "ordered_field_names": "k,v"}],
+        "targets": [{
+            "name": "N", "type": "node", "source": "s", "mode": "append",
+            "mappings": [
+                {"constant": "T", "name": "T", "role": "label"},
+                {"field": "k", "name": "k", "role": "key"},
+                {"field": "v", "name": "num", "role": "property", "type": "Long"},
+            ],
+        }],
+    }))
+    out = run_job(spark, spec, source_frames={"s": sdf}).target_frames["N"].toPandas()
+    got = {r["k"]: r["num"] for _, r in out.iterrows()}
+    assert got["a"] == 12
+    assert pd.isna(got["b"]) and pd.isna(got["c"])
