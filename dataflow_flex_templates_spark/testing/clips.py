@@ -1,0 +1,149 @@
+"""Deterministic synthetic clip table (FIXTURES.md F1).
+
+Schema (BASELINE.json ``input_hint``):
+  clip_id:string, bytes:binary, sr_hz:int, dur_ms:int, codec:string,
+  transcript:string, event_time:timestamp
+
+Every clip's waveform is a sine/chirp mixture seeded by a stable hash
+of clip_id — so any process (generator, engine test, oracle) can
+re-derive the exact reference waveform from the clip_id alone and check
+decoded-PCM SNR ≥ 30 dB without shipping ground truth around.
+
+Skew is built in deliberately (70% sr=16000, 80% codec=pcm_s16le) to
+exercise hot-partition salting; ~1% duplicate clip_ids (later
+event_time, different transcript revision) exercise MERGE
+last-writer-wins; a late-data tail beyond the watermark exercises
+drop/count paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+
+from dataflow_flex_templates_spark.functions.audio import encode_pcm_np
+
+SR_CHOICES = [16000, 8000, 22050, 44100]
+SR_WEIGHTS = [0.70, 0.14, 0.10, 0.06]
+CODEC_CHOICES = ["pcm_s16le", "pcm_f32le", "ulaw"]
+CODEC_WEIGHTS = [0.80, 0.12, 0.08]
+
+_WORDS = ("the quick brown fox jumps over lazy dog alpha beta gamma delta "
+          "spark stream window merge node edge clip audio signal test data "
+          "graph key value batch state join dedup shard salt skew").split()
+
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+
+def _seed(clip_id: str) -> int:
+    return int.from_bytes(hashlib.sha256(clip_id.encode()).digest()[:8], "big")
+
+
+def reference_waveform(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic float32 waveform in [-1,1] for a clip — the ground
+    truth for decoded-PCM allclose/SNR checks."""
+    rng = np.random.default_rng(_seed(clip_id))
+    n = int(round(sr_hz * dur_ms / 1000.0))
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    f0 = 100.0 + float(rng.uniform(0, 300))
+    f1 = 500.0 + float(rng.uniform(0, 2000))
+    # sine + linear chirp + second harmonic; peak ~0.9
+    w = (0.5 * np.sin(2 * math.pi * f0 * t)
+         + 0.3 * np.sin(2 * math.pi * (f0 + (f1 - f0) * t / max(t[-1], 1e-9) / 2) * t)
+         + 0.1 * np.sin(2 * math.pi * 2 * f0 * t))
+    return (w * 0.9 / max(1e-9, np.max(np.abs(w)))).astype(np.float32)
+
+
+def reference_transcript(clip_id: str) -> str:
+    """Seeded word sequence with mixed case/whitespace/punctuation so
+    normalization is observable (FIXTURES.md F1)."""
+    rng = random.Random(_seed(clip_id) ^ 0x5EED)
+    if rng.random() < 0.02:
+        return ""
+    k = rng.randrange(3, 14)
+    words = [rng.choice(_WORDS) for _ in range(k)]
+    out = []
+    for w in words:
+        if rng.random() < 0.2:
+            w = w.upper()
+        elif rng.random() < 0.2:
+            w = w.capitalize()
+        if rng.random() < 0.15:
+            w += rng.choice([",", ".", "!", "?", ";"])
+        out.append(w)
+    sep = "  " if rng.random() < 0.1 else " "
+    return sep.join(out) + ("  " if rng.random() < 0.1 else "")
+
+
+def make_clips_pdf(
+    n: int,
+    seed: int = 42,
+    dup_rate: float = 0.01,
+    late_rate: float = 0.02,
+    watermark_s: int = 60,
+    max_dur_ms: int = 2000,
+) -> pd.DataFrame:
+    """Generate n clips (+ duplicates) as a pandas DataFrame.
+
+    event_time is monotone-ish with bounded disorder (≤ watermark) plus
+    a late tail (≫ watermark) for drop/count tests.
+    """
+    rng = random.Random(seed)
+    rows = []
+    t = EPOCH
+    for i in range(n):
+        clip_id = f"clip_{i:012d}"
+        sr = rng.choices(SR_CHOICES, SR_WEIGHTS)[0]
+        codec = rng.choices(CODEC_CHOICES, CODEC_WEIGHTS)[0]
+        dur = rng.randrange(200, max_dur_ms)
+        w = reference_waveform(clip_id, sr, dur)
+        payload = encode_pcm_np(w, codec)
+        t = t + timedelta(milliseconds=rng.randrange(0, 50))
+        jitter = timedelta(seconds=rng.uniform(0, watermark_s * 0.5))
+        ts = t - jitter
+        if rng.random() < late_rate:
+            ts = t - timedelta(seconds=watermark_s * 10)  # very late
+        rows.append((clip_id, payload, sr, dur, codec,
+                     reference_transcript(clip_id), ts))
+        if rng.random() < dup_rate:
+            # duplicate key, later event_time, revised transcript → the
+            # revision must win under MERGE LWW
+            rows.append((clip_id, payload, sr, dur, codec,
+                         reference_transcript(clip_id) + " rev2",
+                         ts + timedelta(seconds=1)))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "event_time"],
+    )
+
+
+def clips_spark_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+
+
+def make_clips_df(spark, n: int, seed: int = 42, **kw):
+    pdf = make_clips_pdf(n, seed=seed, **kw)
+    return spark.createDataFrame(pdf, schema=clips_spark_schema())
+
+
+def write_clips_parquet(spark, path: str, n: int, seed: int = 42,
+                        partitions: int = 8, **kw) -> str:
+    df = make_clips_df(spark, n, seed=seed, **kw)
+    df.repartition(partitions).write.mode("overwrite").parquet(path)
+    return path
