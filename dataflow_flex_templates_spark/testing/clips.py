@@ -87,6 +87,7 @@ def make_clips_pdf(
     late_rate: float = 0.02,
     watermark_s: int = 60,
     max_dur_ms: int = 2000,
+    max_step_ms: int = 50,
 ) -> pd.DataFrame:
     """Generate n clips (+ duplicates) as a pandas DataFrame.
 
@@ -103,7 +104,7 @@ def make_clips_pdf(
         dur = rng.randrange(200, max_dur_ms)
         w = reference_waveform(clip_id, sr, dur)
         payload = encode_pcm_np(w, codec)
-        t = t + timedelta(milliseconds=rng.randrange(0, 50))
+        t = t + timedelta(milliseconds=rng.randrange(0, max_step_ms))
         jitter = timedelta(seconds=rng.uniform(0, watermark_s * 0.5))
         ts = t - jitter
         if rng.random() < late_rate:
