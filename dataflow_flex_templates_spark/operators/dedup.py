@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the 100 TB story):
+- exact_dedup is a single hash-aggregate on the fingerprint — one
+  shuffle, map-side partial agg, no skew risk (md5 is uniform).
+- ngram_jaccard_pairs is exact pairwise similarity via an inverted
+  shingle index (explode → self-join on shingle → count) — the join is
+  on the shingle hash, never a cross join; candidate pruning by
+  shared-shingle count bounds the pair set.
+- minhash_lsh_pairs is the sub-quadratic path: per-doc k minhashes →
+  band buckets → join within buckets only. Hashing is xxhash64 with
+  per-permutation seeds, all JVM-side.
+- simhash_pairs: 64-bit simhash from token hashes; near-dup = equal
+  bucket on bit-prefix + Hamming ≤ r verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_flex_templates_spark.operators.text import fingerprint, norm_text
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: keeper = min id, plus the
+    duplicate count. Hash-groupBy — the canonical exact dedup."""
+    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+              .groupBy("fp")
+              .agg(F.min(id_col).alias("keeper_id"),
+                   F.count("*").alias("n_dupes"))
+           )
+
+
+# ------------------------------------------------------- shingles / jaccard
+
+def _shingles(col, n: int = 3):
+    """Distinct character n-gram shingles of the normalized text —
+    pure higher-order functions (codegen'd, no UDF)."""
+    t = norm_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over character n-gram shingle sets, computed via an
+    inverted index (explode + equi-join on shingle), never a cross join.
+
+    Returns (id_a, id_b, jaccard) for id_a < id_b with jaccard ≥ threshold.
+    """
+    sets_ = shingle_sets(df, text_col, id_col, n)
+    inv = sets_.select("id", "sh_size", F.explode("sh").alias("s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                  F.col("a.sh_size").alias("sz_a"), F.col("b.sh_size").alias("sz_b"))
+         .agg(F.count("*").alias("inter"))
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+    )
+    return (jac.filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------------------------ minhash + LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """k minhash values per doc: min over shingles of xxhash64(shingle,
+    seeded per permutation). One explode + one hash-agg; everything
+    stays in whole-stage codegen."""
+    sets_ = shingle_sets(df, text_col, id_col, n)
+    inv = sets_.select("id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return inv.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    rows/band = num_hashes/bands; two docs become candidates iff some
+    band of their signatures is identical (join on (band_idx, band
+    hash) — sub-quadratic); candidates are then verified with exact
+    shingle Jaccard so output precision is 1.0.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    buckets = (sig.select("id", F.explode(band_cols).alias("bk"))
+                  .select("id", F.col("bk.band").alias("band"),
+                          F.col("bk.bh").alias("bh")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .distinct()
+    )
+    # verify candidates with exact jaccard (inverted-index join restricted
+    # to candidate ids — small by construction)
+    cand_ids = (cands.select(F.col("id_a").alias("id"))
+                .union(cands.select("id_b")).distinct())
+    verified = ngram_jaccard_pairs(
+        df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "leftsemi"),
+        threshold=threshold, text_col=text_col, id_col=id_col, n=n)
+    return cands.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------- simhash
+
+def _bit_mask(i: int) -> "F.Column":
+    # bit 63 is the sign bit of a Java long: 1<<63 would overflow
+    return F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
+    of ±1 contributions from each token's xxhash64 bit. Computed with
+    explode + bitwise expressions — JVM-side, no UDF."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("id").agg(*[
+        F.sum(F.when(F.col("h").bitwiseAND(_bit_mask(i)) != 0,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ])
+    sim = bit_sums.select(
+        "id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, _bit_mask(i))
+              .otherwise(F.lit(0).cast("long")))
+            for i in range(64)
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` of
+    the simhash (LSH-style candidate cut), verify Hamming ≤ max_hamming
+    via bit_count(xor)."""
+    sim = simhash(df, text_col, id_col)
+    sim = sim.withColumn(
+        "bucket", F.shiftright("simhash", 64 - prefix_bits))
+    a, b = sim.alias("a"), sim.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+         .withColumn("hamming", F.bit_count(
+             F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+         .filter(F.col("hamming") <= max_hamming)
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine-similarity near-duplicate pairs over an array<float>
+    column, via higher-order functions (zip_with dot product — JVM
+    vectorizable, no Python). Pair generation is a self-join gated by
+    id< to halve work; for the sub-quadratic scale path see
+    operators.similarity.lsh_ann_topk."""
+    dvec = F.col(vec_col).cast("array<double>")   # double-precision math
+    v = df.select(
+        F.col(id_col).alias("id"),
+        dvec.alias("v"),
+        F.sqrt(F.aggregate(dvec, F.lit(0.0),
+                           lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+         .withColumn("cosine", F.round(
+             dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+         .filter(F.col("cosine") >= threshold)
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 "cosine")
+    )

@@ -1,0 +1,232 @@
+"""Training-data pipeline operators over the driver's documents /
+embeddings tables, each verified against an independent oracle
+(DuckDB SQL or numpy)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_text_profile_vs_duckdb(docs, sf_dir):
+    from dataflow_flex_templates_spark.operators.text import text_profile
+
+    got = text_profile(docs).select(
+        "doc_id", "n_tokens", "fp", "punct_ratio", "quality", "lang_pred"
+    ).toPandas().set_index("doc_id").sort_index()
+    oracle = duckdb.sql(f"""
+        WITH t AS (
+          SELECT doc_id, trim(text) AS tt,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+          FROM '{sf_dir}/documents.parquet')
+        SELECT doc_id,
+               CASE WHEN length(tt)=0 THEN 0
+                    ELSE len(regexp_split_to_array(tt, '\\s+')) END AS n_tokens,
+               md5(nt) AS fp,
+               round((length(tt) - length(regexp_replace(tt, '[.!?,;:]', '', 'g')))
+                     / greatest(length(tt), 1), 6) AS punct_ratio
+        FROM t
+    """).df().set_index("doc_id").sort_index()
+    assert (got["n_tokens"] == oracle["n_tokens"]).all()
+    assert (got["fp"] == oracle["fp"]).all()
+    np.testing.assert_allclose(got["punct_ratio"], oracle["punct_ratio"], atol=1e-6)
+    assert set(got["lang_pred"].unique()) <= {"en", "unk"}
+    assert got["quality"].between(-0.25, 1.0).all()
+
+
+def test_exact_dedup(spark, docs, sf_dir):
+    from dataflow_flex_templates_spark.operators.dedup import exact_dedup
+
+    got = exact_dedup(docs).toPandas()
+    oracle = duckdb.sql(f"""
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) fp,
+               min(doc_id) keeper_id, count(*) n_dupes
+        FROM '{sf_dir}/documents.parquet' GROUP BY 1
+    """).df()
+    assert len(got) == len(oracle)
+    g = got.sort_values("fp").reset_index(drop=True)
+    o = oracle.sort_values("fp").reset_index(drop=True)
+    assert (g["keeper_id"].values == o["keeper_id"].values).all()
+    assert (g["n_dupes"].values == o["n_dupes"].values).all()
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """Synthetic corpus WITH near-duplicates (the driver docs have none):
+    clusters of slightly-perturbed copies."""
+    import random
+    rng = random.Random(13)
+    words = [f"word{i:03d}" for i in range(200)]
+    rows = []
+    did = 0
+    for c in range(30):
+        base = " ".join(rng.choice(words) for _ in range(40))
+        for v in range(rng.choice([1, 1, 2, 3])):
+            text = base
+            if v:  # perturb a couple of words
+                toks = text.split()
+                for _ in range(2):
+                    toks[rng.randrange(len(toks))] = rng.choice(words)
+                text = " ".join(toks)
+            rows.append((did, text, c))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "cluster"])
+    return pdf
+
+
+def test_ngram_jaccard_pairs(spark, neardup_docs):
+    from dataflow_flex_templates_spark.operators.dedup import ngram_jaccard_pairs
+
+    pdf = neardup_docs
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    got = ngram_jaccard_pairs(df, threshold=0.6).toPandas()
+    # numpy oracle: exact jaccard over 3-gram shingle sets
+    def sh(t):
+        t = " ".join(t.lower().split())
+        return {t[i:i + 3] for i in range(max(len(t) - 2, 1))}
+    want = []
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                want.append((a, b, round(j, 6)))
+    got_set = {(r["id_a"], r["id_b"]) for _, r in got.iterrows()}
+    want_set = {(a, b) for a, b, _ in want}
+    assert got_set == want_set
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for _, r in got.iterrows()}
+    for a, b, j in want:
+        assert abs(jac[(a, b)] - j) < 1e-4
+    # near-dups exist in the fixture (sanity)
+    assert len(want) > 5
+
+
+def test_minhash_lsh_recall(spark, neardup_docs):
+    """LSH candidates + exact verify: precision 1.0 by construction;
+    recall ≥ 0.9 vs exact jaccard at the same threshold."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(neardup_docs[["doc_id", "text"]])
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(df, threshold=0.6).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_pairs(df, num_hashes=32, bands=8,
+                                         threshold=0.6).collect()}
+    assert approx <= exact          # precision 1.0 (verified pairs)
+    recall = len(approx & exact) / max(len(exact), 1)
+    assert recall >= 0.9, (recall, len(exact))
+
+
+def test_simhash_pairs(spark, neardup_docs):
+    from dataflow_flex_templates_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(neardup_docs[["doc_id", "text"]])
+    got = simhash_pairs(df, max_hamming=10, prefix_bits=4).toPandas()
+    # same-cluster perturbed copies should dominate the pairs found
+    cl = dict(zip(neardup_docs["doc_id"], neardup_docs["cluster"]))
+    if len(got):
+        same = sum(1 for _, r in got.iterrows()
+                   if cl[r["id_a"]] == cl[r["id_b"]])
+        assert same / len(got) >= 0.8
+    # hamming of identical docs is 0
+    dup = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["same words here"] * 2}))
+    p = simhash_pairs(dup, max_hamming=0, prefix_bits=4).toPandas()
+    assert len(p) == 1 and p.iloc[0]["hamming"] == 0
+
+
+def test_embedding_neardup_and_topk_vs_duckdb(spark, emb, sf_dir):
+    from dataflow_flex_templates_spark.operators.dedup import embedding_neardup_pairs
+    from dataflow_flex_templates_spark.operators.similarity import cosine_topk
+
+    sample = emb.filter("vec_id < 100")
+    got = embedding_neardup_pairs(sample, threshold=0.8).toPandas()
+    oracle = duckdb.sql(f"""
+        SELECT a.vec_id id_a, b.vec_id id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6) cosine
+        FROM '{sf_dir}/embeddings.parquet' a, '{sf_dir}/embeddings.parquet' b
+        WHERE a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    """).df()
+    gs = {(r["id_a"], r["id_b"]) for _, r in got.iterrows()}
+    os_ = {(r["id_a"], r["id_b"]) for _, r in oracle.iterrows()}
+    assert gs == os_
+
+    # top-k: query first 10 vectors against first 100
+    q = emb.filter("vec_id < 10")
+    topk = cosine_topk(sample, q, k=3).toPandas()
+    ok = duckdb.sql(f"""
+        WITH s AS (SELECT * FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < 100),
+             q AS (SELECT * FROM s WHERE vec_id < 10),
+             sc AS (SELECT q.vec_id query_id, s.vec_id neighbor_id,
+                    round(list_cosine_similarity(q.embedding, s.embedding),6) cosine,
+                    row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, s.embedding) DESC,
+                                s.vec_id ASC) rank
+                    FROM q, s WHERE q.vec_id != s.vec_id)
+        SELECT * FROM sc WHERE rank <= 3
+    """).df()
+    g = topk.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    o = ok.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (g["neighbor_id"].values == o["neighbor_id"].values).all()
+    np.testing.assert_allclose(g["cosine"], o["cosine"], atol=1e-5)
+
+
+def test_lsh_ann_recall(spark, emb):
+    from dataflow_flex_templates_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    vectors = emb.filter("vec_id < 200")
+    q = emb.filter("vec_id < 20")
+    exact = cosine_topk(vectors, q, k=5).toPandas()
+    # random embeddings have weakly-similar top-k (cos≈0.3) → hyperplane
+    # agreement p≈0.6; recall ≈ 1-(1-p^planes)^tables: 3×16 ⇒ ~0.97
+    approx = lsh_ann_topk(vectors, q, k=5, dim=64,
+                          n_planes=3, n_tables=16).toPandas()
+    e = {(r["query_id"], r["neighbor_id"]) for _, r in exact.iterrows()}
+    a = {(r["query_id"], r["neighbor_id"]) for _, r in approx.iterrows()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall   # ANN: tunable recall, sanity bound
+
+
+def test_multimodal_stub_plumbing(spark):
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [("m1", b"\x01\x02\x03\x04" * 10, "jpeg", 4, 4),
+            ("m2", b"", "png", 2, 2),          # poison row → null feat
+            ("m3", b"\xff" * 64, "jpeg", 8, 8)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, "
+                                     "format string, width int, height int")
+    out = extract_media_features(df).toPandas().set_index("media_id")
+    assert out.loc["m1", "feat"] is not None and len(out.loc["m1", "feat"]) == 8
+    assert out.loc["m2", "feat"] is None       # bad row skipped, not fatal
+    assert out.loc["m3", "n_bytes"] == 64
+
+    vid = spark.createDataFrame([("v1", 3500), ("v2", 400)],
+                                "media_id string, dur_ms int")
+    plan = frame_sample_plan(vid, every_ms=1000).toPandas().set_index("media_id")
+    assert plan.loc["v1", "n_frames"] == 3
+    assert plan.loc["v2", "n_frames"] == 1
