@@ -356,6 +356,182 @@ def _q_streaming_clip_graph(spark, sf_dir):
                     "transcript_norm"))
 
 
+def _q_text_source_csv(spark, sf_dir):
+    """S3 text scan + S6 dialect + all-string ingest
+    (utils/BeamUtils.java:125-135) + per-target typed casting."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    _load(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"graft_csv_{abs(hash(sf_dir)) & 0xFFFFFF:x}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (spark.table("nation")
+         .select("n_nationkey", "n_name", "n_regionkey")
+         .coalesce(1).write.mode("overwrite").csv(path))
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "text", "name": "s", "uri": path,
+                     "format": "DEFAULT",
+                     "ordered_field_names": "n_nationkey,n_name,n_regionkey"}],
+        "targets": [{
+            "name": "Nation", "type": "node", "source": "s", "mode": "merge",
+            "mappings": [
+                {"constant": "Nation", "role": "label"},
+                {"field": "n_nationkey", "name": "nationkey", "role": "key",
+                 "type": "Long"},
+                {"field": "n_name", "name": "name", "role": "property",
+                 "type": "String"},
+                {"field": "n_regionkey", "name": "regionkey",
+                 "role": "property", "type": "Long"},
+            ],
+        }],
+    }))
+    return run_job(spark, spec).target_frames["Nation"].select(
+        "nationkey", "name", "regionkey")
+
+
+MUSICIANS_ROWS = [["Brian", 12, "guitar", "red"],
+                  ["Carol", 8, "drums", "blue"],
+                  ["Dana", 15, "bass", "green"],
+                  ["Evan", 3, "keys", "black"]]
+
+
+def _q_inline_source(spark, sf_dir):
+    """S4 inline data scan (ListOfStringToRowFn semantics): rows embedded
+    in the spec JSON, all-string, typed per mappings."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "text", "name": "s",
+                     "ordered_field_names":
+                         "name,experience,instrument,instrument_color",
+                     "data": MUSICIANS_ROWS}],
+        "targets": [{
+            "name": "Musician", "type": "node", "source": "s",
+            "mode": "merge",
+            "mappings": [
+                {"constant": "Musician", "role": "label"},
+                {"field": "name", "name": "name", "role": "key",
+                 "type": "String"},
+                {"field": "experience", "name": "experience",
+                 "role": "property", "type": "Long"},
+                {"field": "instrument", "name": "instrument",
+                 "role": "property", "type": "String"},
+            ],
+        }],
+    }))
+    return run_job(spark, spec).target_frames["Musician"].select(
+        "name", "experience", "instrument")
+
+
+def _q_token_substitution(spark, sf_dir):
+    """P7 $var substitution into source SQL
+    (ModelUtils.replaceVariableTokens:358-378)."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    _load(spark, sf_dir)
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT o_orderkey, o_totalprice FROM orders "
+                              "WHERE o_orderstatus = '$status'"}],
+        "targets": [{"node": {
+            "source": "s", "name": "O", "mode": "append",
+            "mappings": {"labels": ["\"O\""], "keys": [{"o_orderkey": "orderkey"}],
+                         "properties": {"doubles": [{"o_totalprice": "price"}]}},
+        }}],
+    }))
+    out = run_job(spark, spec, runtime_tokens={"status": "P"})
+    return out.target_frames["O"].select(
+        "orderkey", F.round("price", 4).alias("price"))
+
+
+def _q_actions_pipeline(spark, sf_dir):
+    """X1/X2 SQL actions with D1 ordering: a preload action creates the
+    view the source reads; a post-load action audits it."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    _load(spark, sf_dir)
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT * FROM act_top_parts"}],
+        "targets": [{"node": {
+            "source": "s", "name": "TopPart", "mode": "merge",
+            "mappings": {"labels": ["\"TopPart\""],
+                         "keys": [{"l_partkey": "partkey"}],
+                         "properties": {"doubles": [{"qty": "qty"}]}},
+        }}],
+        "actions": [
+            {"name": "mkview", "type": "cypher", "execute_after": "start",
+             "options": [{"cypher":
+                          "CREATE OR REPLACE TEMP VIEW act_top_parts AS "
+                          "SELECT l_partkey, SUM(l_quantity) AS qty "
+                          "FROM lineitem GROUP BY l_partkey "
+                          "HAVING SUM(l_quantity) > 150"}]},
+            {"name": "audit", "type": "bigquery", "execute_after": "loads",
+             "options": [{"sql": "SELECT count(*) FROM act_top_parts"}]},
+        ],
+    }))
+    out = run_job(spark, spec)
+    assert [r["name"] for r in out.action_results] == ["mkview", "audit"]
+    return out.target_frames["TopPart"].select(
+        "partkey", F.round("qty", 4).alias("qty"))
+
+
+def _q_drop_empty_rows(spark, sf_dir):
+    """P6 drop-all-null rows (transforms/DeleteEmptyRowsFn.java:12-29)."""
+    from dataflow_flex_templates_spark.graph.build import drop_empty_rows
+
+    _load(spark, sf_dir)
+    sparse = spark.sql("""
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey END
+                 AS orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END
+                 AS status
+        FROM orders""")
+    return drop_empty_rows(sparse)
+
+
+def _q_frame_sample_plan(spark, sf_dir):
+    """Multimodal frame-sampling pre-pass: frame indices from metadata
+    only (operators/multimodal.py) — bounds decode work before the
+    expensive kernel."""
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    _load(spark, sf_dir)
+    media = spark.sql("""
+        SELECT CAST(o_orderkey AS STRING) AS media_id,
+               CAST(o_orderkey % 9000 + 500 AS INT) AS dur_ms
+        FROM orders""")
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", "n_frames")
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal binary decode plumbing (stub kernel, real Arrow
+    batch shape) — rows-only driver check."""
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    _load(spark, sf_dir)
+    media = spark.sql("""
+        SELECT CAST(doc_id AS STRING) AS media_id,
+               encode(text, 'utf-8') AS bytes,
+               'raw' AS format,
+               CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height
+        FROM documents WHERE doc_id < 100""")
+    return extract_media_features(media).select(
+        "media_id", "format", "n_bytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jobspec_customer_nodes": _q_jobspec_customer_nodes,
@@ -377,6 +553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "audio_decode_stats": _q_audio_decode_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
+        "text_source_csv": _q_text_source_csv,
+        "inline_source": _q_inline_source,
+        "token_substitution": _q_token_substitution,
+        "actions_pipeline": _q_actions_pipeline,
+        "drop_empty_rows": _q_drop_empty_rows,
+        "frame_sample_plan": _q_frame_sample_plan,
+        "media_features": _q_media_features,
     }
 
 
@@ -545,6 +728,41 @@ def oracle_sql() -> dict[str, str]:
                        v.vec_id ASC) AS rank
               FROM q, v WHERE q.vec_id != v.vec_id)
             SELECT query_id, neighbor_id, cosine, rank FROM sc WHERE rank <= 5
+        """,
+        "text_source_csv": """
+            SELECT n_nationkey AS nationkey, n_name AS name,
+                   n_regionkey AS regionkey
+            FROM nation
+        """,
+        "inline_source": """
+            SELECT * FROM (VALUES
+              ('Brian', CAST(12 AS BIGINT), 'guitar'),
+              ('Carol', 8, 'drums'),
+              ('Dana', 15, 'bass'),
+              ('Evan', 3, 'keys')) AS t(name, experience, instrument)
+        """,
+        "token_substitution": """
+            SELECT o_orderkey AS orderkey, round(o_totalprice, 4) AS price
+            FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "actions_pipeline": """
+            SELECT l_partkey AS partkey, round(SUM(l_quantity), 4) AS qty
+            FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+        """,
+        "drop_empty_rows": """
+            SELECT o_orderkey AS orderkey, o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 5 <> 0
+        """,
+        "frame_sample_plan": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS media_id,
+                   CAST(greatest(floor((o_orderkey % 9000 + 500) / 1000.0), 1)
+                        AS INT) AS n_frames
+            FROM orders
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id, 'raw' AS format,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE doc_id < 100
         """,
         # minhash_lsh / simhash / lsh_ann_topk / audio_decode_stats /
         # streaming_clip_graph: intentionally no SQL oracle (hash-based

@@ -38,6 +38,7 @@ class JobResult:
     target_frames: dict[str, DataFrame] = dc_field(default_factory=dict)
     nodes: DataFrame | None = None
     relationships: DataFrame | None = None
+    action_results: list[dict] = dc_field(default_factory=list)
 
 
 def _canonical_nodes(spark: SparkSession, target: Target, df: DataFrame) -> DataFrame:
@@ -78,11 +79,18 @@ def _canonical_edges(spark: SparkSession, target: Target, df: DataFrame) -> Data
     )
 
 
+def drop_empty_rows(df: DataFrame) -> DataFrame:
+    """P6: remove rows whose values are ALL null
+    (transforms/DeleteEmptyRowsFn.java:12-29)."""
+    return df.na.drop(how="all")
+
+
 def run_job(
     spark: SparkSession,
     spec: JobSpec,
     source_frames: dict[str, DataFrame] | None = None,
     runtime_tokens: dict[str, str] | None = None,
+    http_fn=None,
 ) -> JobResult:
     """Execute a job spec in batch mode.
 
@@ -91,10 +99,15 @@ def run_job(
     reading from ``source.uri`` — the Spark-native analogue of the
     template's runtime ``inputFilePattern`` override.
     """
+    from dataflow_flex_templates_spark.graph.actions import run_actions
+
     refactor_job_spec(spec, runtime_tokens)
     validate_job_spec(spec)
 
     result = JobResult()
+    # Preload actions (execute_after=start) run before anything else
+    # (JobSpec.getPreloadActions:81-89, GcpToNeo4j.run:173).
+    result.action_results += run_actions(spark, spec.actions, "start", http_fn)
     # Shared-source reuse (the reference's one CSE optimization,
     # GcpToNeo4j.java:197-202): one scan per source, fanned out to all
     # of its targets. Catalyst reuses identical subplans; for multi-
@@ -106,12 +119,20 @@ def run_job(
         else:
             frames[name] = read_source(spark, src)
 
+    result.action_results += run_actions(spark, spec.actions, "sources", http_fn)
+
     node_frames: list[DataFrame] = []
     edge_frames: list[DataFrame] = []
     # D2: nodes before edges (already sorted by refactor_job_spec).
+    nodes_done = False
     for target in spec.targets:
         if not target.active:
             continue
+        if target.target_type == TargetType.edge and not nodes_done:
+            # Phase boundary: every node target declared → node actions.
+            result.action_results += run_actions(
+                spark, spec.actions, "nodes", http_fn)
+            nodes_done = True
         src_df = frames[target.source]
         out = apply_target(spark, src_df, target)
         result.target_frames[target.name] = out
@@ -119,6 +140,9 @@ def run_job(
             node_frames.append(_canonical_nodes(spark, target, out))
         else:
             edge_frames.append(_canonical_edges(spark, target, out))
+    if not nodes_done:
+        result.action_results += run_actions(spark, spec.actions, "nodes", http_fn)
+    result.action_results += run_actions(spark, spec.actions, "edges", http_fn)
 
     if node_frames:
         result.nodes = node_frames[0]

@@ -143,6 +143,29 @@ def _typed_expr(m: Mapping) -> "F.Column":
     return col
 
 
+def lww_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Last-writer-wins per key via aggregation.
+
+    ``max(struct(order, cols...))`` beats the row_number()-window
+    formulation at scale because it has MAP-SIDE PARTIAL COMBINE:
+    duplicate keys collapse to one row per key BEFORE the shuffle, so
+    shuffle volume is bounded by distinct keys, whereas the window must
+    shuffle every input row and then sort each partition. (Spark plans
+    this as SortAggregate — struct buffers aren't hash-mutable — but
+    the sort is on the grouping key over already-combined data.)
+    Requires a non-null ``order_col``; ties break deterministically on
+    the remaining struct fields.
+    """
+    others = [c for c in df.columns if c not in keys and c != order_col]
+    packed = F.max(F.struct(F.col(order_col),
+                            *[F.col(c) for c in others])).alias("__w__")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(packed)
+    return out.select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"__w__.{c}").alias(c) for c in others],
+    )
+
+
 @dataclass
 class CompiledTarget:
     """Output-column layout of a target (graph property names)."""
@@ -247,18 +270,22 @@ def apply_target(
     keys = ct.key_cols if target.target_type == TargetType.node else (
         ct.src_key_cols + ct.tgt_key_cols
     )
+    out_order = [c for c in projected.columns if c != ORDINAL_COL]
     if do_dedup and keys:
         if ORDINAL_COL in projected.columns:
-            order = [F.col(ORDINAL_COL).desc()]
+            # Hash-agg LWW: partial combine + no sort (see lww_latest).
+            projected = lww_latest(projected, keys, ORDINAL_COL)
         else:
+            # No arrival ordinal → deterministic fallback: stringified
+            # non-key columns descending (documented tie-break).
             non_key = [c for c in projected.columns if c not in keys]
             order = [F.col(c).cast("string").desc_nulls_last() for c in non_key] or [F.lit(1)]
-        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
-        projected = (
-            projected.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
-            .drop("__rn__")
-        )
+            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+            projected = (
+                projected.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
     if ORDINAL_COL in projected.columns:
         projected = projected.drop(ORDINAL_COL)
-    return projected
+    return projected.select(*out_order)

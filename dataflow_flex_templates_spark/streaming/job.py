@@ -72,8 +72,11 @@ class ClipGraphJob:
 
     # -- per-micro-batch transform (pure DataFrame; unit-testable) --------
 
-    def transform_batch(self, batch_df: DataFrame) -> dict[str, DataFrame]:
-        """Decode + normalize + build the three graph relations."""
+    def prepare_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Salt + decode + normalize — the expensive one-pass prefix
+        shared by every target (the reference's shared-source reuse,
+        GcpToNeo4j.java:197-202). Callers persist() the result before
+        fanning out so the pandas-UDF decode runs exactly once."""
         df = batch_df
         if self.salt_buckets > 1:
             # Salted repartition: hot codec keys spread across buckets.
@@ -91,8 +94,15 @@ class ClipGraphJob:
                     .withColumn("zcr", F.lit(None).cast("double")))
         df = df.withColumn("transcript_norm",
                            normalize_transcript(F.col("transcript")))
-        df = df.withColumn(SEQ_COL, F.unix_micros(F.col("event_time")))
+        # The raw payload is consumed by the decode — nothing downstream
+        # needs it. Dropping it here keeps the persisted frame (and any
+        # shuffle of it) ~25x smaller: features are a few doubles vs
+        # tens-of-KB PCM per row.
+        df = df.drop("bytes")
+        return df.withColumn(SEQ_COL, F.unix_micros(F.col("event_time")))
 
+    def build_relations(self, df: DataFrame) -> dict[str, DataFrame]:
+        """Prepared frame → the three graph relations (cheap plans)."""
         clip_nodes = df.select(
             "clip_id", "sr_hz", "dur_ms", "codec",
             "n_samples", "rms", "peak", "zcr",
@@ -109,6 +119,11 @@ class ClipGraphJob:
         return {"clip_nodes": clip_nodes, "codec_nodes": codec_nodes,
                 "edges": edges}
 
+    def transform_batch(self, batch_df: DataFrame) -> dict[str, DataFrame]:
+        """Decode + normalize + build the three graph relations
+        (un-persisted convenience for tests; the sink path persists)."""
+        return self.build_relations(self.prepare_batch(batch_df))
+
     # -- sink --------------------------------------------------------------
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -116,17 +131,18 @@ class ClipGraphJob:
                 and self.codec_nodes_table.is_committed(batch_id)
                 and self.edges_table.is_committed(batch_id)):
             return  # replay after restart — exactly-once skip
-        rels = self.transform_batch(batch_df)
-        # One pass over the (decoded) batch feeds all three targets —
-        # the reference's shared-source reuse (GcpToNeo4j.java:197-202).
-        rels["clip_nodes"] = rels["clip_nodes"].persist()
+        # One decode pass feeds all three targets and their lineage
+        # counts — persist the prepared frame so the pandas-UDF decode
+        # runs exactly once per micro-batch.
+        prepared = self.prepare_batch(batch_df).persist()
         try:
+            rels = self.build_relations(prepared)
             # D2: nodes before edges, inside the same micro-batch.
             self.nodes_table.write_batch(rels["clip_nodes"], batch_id)
             self.codec_nodes_table.write_batch(rels["codec_nodes"], batch_id)
             self.edges_table.write_batch(rels["edges"], batch_id)
         finally:
-            rels["clip_nodes"].unpersist()
+            prepared.unpersist()
 
     # -- query lifecycle ----------------------------------------------------
 

@@ -148,3 +148,62 @@ def write_clips_parquet(spark, path: str, n: int, seed: int = 42,
     df = make_clips_df(spark, n, seed=seed, **kw)
     df.repartition(partitions).write.mode("overwrite").parquet(path)
     return path
+
+
+# ------------------------------------------------------------------
+# Distributed generator — the scale path. make_clips_pdf is a driver
+# loop (fine at 1e3); benchmarks and any 1e5+ generation must fan the
+# synthesis out to executors. All per-clip randomness is derived from
+# (seed, clip index) alone, so generation is embarrassingly parallel
+# and any worker reproduces any clip independently (same property the
+# waveform already has via hash(clip_id)).
+# ------------------------------------------------------------------
+
+def generate_clips_distributed(
+    spark,
+    n: int,
+    seed: int = 42,
+    dup_rate: float = 0.01,
+    late_rate: float = 0.02,
+    watermark_s: int = 60,
+    max_dur_ms: int = 2000,
+    step_ms: int = 25,
+    num_partitions: int | None = None,
+):
+    """Synthesize n clips as a distributed DataFrame via mapInPandas.
+
+    event_time is ``EPOCH + i*step_ms - jitter`` (jitter ≤ watermark/2,
+    late tail ≫ watermark) — index-derivable, unlike make_clips_pdf's
+    sequential walk, so partitions generate independently.
+    """
+    schema = clips_spark_schema()
+    num_partitions = num_partitions or max(
+        8, spark.sparkContext.defaultParallelism * 2)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random((seed << 32) ^ i)
+                clip_id = f"clip_{i:012d}"
+                sr = rng.choices(SR_CHOICES, SR_WEIGHTS)[0]
+                codec = rng.choices(CODEC_CHOICES, CODEC_WEIGHTS)[0]
+                dur = rng.randrange(200, max_dur_ms)
+                payload = encode_pcm_np(
+                    reference_waveform(clip_id, sr, dur), codec)
+                t = EPOCH + timedelta(milliseconds=i * step_ms)
+                ts = t - timedelta(seconds=rng.uniform(0, watermark_s * 0.5))
+                if rng.random() < late_rate:
+                    ts = t - timedelta(seconds=watermark_s * 10)
+                tr = reference_transcript(clip_id)
+                rows.append((clip_id, payload, sr, dur, codec, tr, ts))
+                if rng.random() < dup_rate:
+                    rows.append((clip_id, payload, sr, dur, codec,
+                                 tr + " rev2", ts + timedelta(seconds=1)))
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms",
+                               "codec", "transcript", "event_time"])
+
+    return (spark.range(0, n, numPartitions=num_partitions)
+            .mapInPandas(gen, schema=schema))
