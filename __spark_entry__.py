@@ -356,6 +356,66 @@ def _q_streaming_clip_graph(spark, sf_dir):
                     "transcript_norm"))
 
 
+def _q_spec_stream_graph(spark, sf_dir):
+    """North-star flagship: the SAME JSON job spec the batch engine
+    runs, executed as a continuous Structured Streaming pipeline
+    (SpecStreamJob) — vectorized decode, event-time-deterministic LWW
+    MERGE, exactly-once commits. Rows-only driver check; batch/stream
+    row-identity is pytest-verified (tests/test_spec_stream.py)."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        normalize_transcript,
+        with_audio_features,
+    )
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.streaming.spec_stream import SpecStreamJob
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        make_clips_df,
+    )
+
+    spec = parse_job_spec(_json.dumps({
+        "sources": [{"type": "bigquery", "name": "clips",
+                     "query": "SELECT 1"}],
+        "targets": [{
+            "name": "Clip", "type": "node", "source": "clips",
+            "mode": "merge",
+            "mappings": [
+                {"constant": "Clip", "role": "label"},
+                {"field": "clip_id", "name": "clip_id", "role": "key",
+                 "type": "String"},
+                {"field": "codec", "name": "codec", "role": "property",
+                 "type": "String"},
+                {"field": "n_samples", "name": "n_samples",
+                 "role": "property", "type": "Long"},
+                {"field": "transcript_norm", "name": "transcript_norm",
+                 "role": "property", "type": "String"},
+            ],
+        }],
+    }))
+
+    def prepare(df):
+        return (with_audio_features(df)
+                .withColumn("transcript_norm",
+                            normalize_transcript(_F.col("transcript")))
+                .drop("bytes"))
+
+    root = tempfile.mkdtemp(prefix="entry_spec_stream_")
+    make_clips_df(spark, 200, seed=42).repartition(4).write.mode(
+        "overwrite").parquet(f"{root}/in")
+    job = SpecStreamJob(
+        spec, input_dir=f"{root}/in", input_schema=clips_spark_schema(),
+        output_dir=f"{root}/out", checkpoint_dir=f"{root}/ckpt",
+        max_files_per_trigger=2, prepare_fn=prepare)
+    job.run_to_completion(spark)
+    return job.read_merged(spark, "Clip").select(
+        "clip_id", "codec", "n_samples", "transcript_norm")
+
+
 def _q_text_source_csv(spark, sf_dir):
     """S3 text scan + S6 dialect + all-string ingest
     (utils/BeamUtils.java:125-135) + per-target typed casting."""
@@ -553,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "audio_decode_stats": _q_audio_decode_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
+        "spec_stream_graph": _q_spec_stream_graph,
         "text_source_csv": _q_text_source_csv,
         "inline_source": _q_inline_source,
         "token_substitution": _q_token_substitution,

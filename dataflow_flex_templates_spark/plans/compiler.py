@@ -72,6 +72,7 @@ def generate_target_sql(
     source_cols: list[str],
     view: str = "PCOLLECTION",
     generate_sort: bool = True,
+    carry_ordinal: bool = False,
 ) -> str:
     """String-parity SQL with ModelUtils.getTargetSql:153-229.
 
@@ -113,6 +114,10 @@ def generate_target_sql(
     select_parts = [_q(f) for f in present]
     for agg in tr.aggregations:
         select_parts.append(f"{agg.expr} AS {_q(agg.field)}")
+    if carry_ordinal and ORDINAL_COL in source_cols:
+        # Streaming sinks need a cross-batch LWW order even for grouped
+        # targets: carry the group's max arrival/event ordinal through.
+        select_parts.append(f"MAX({_q(ORDINAL_COL)}) AS {_q(ORDINAL_COL)}")
     sql = f"SELECT {', '.join(select_parts)} FROM {view}"
     if tr.where:
         sql += f" WHERE {tr.where}"
@@ -143,7 +148,8 @@ def _typed_expr(m: Mapping) -> "F.Column":
     return col
 
 
-def lww_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+def lww_latest(df: DataFrame, keys: list[str], order_col: str,
+               keep_order: bool = False) -> DataFrame:
     """Last-writer-wins per key via aggregation.
 
     ``max(struct(order, cols...))`` beats the row_number()-window
@@ -160,9 +166,11 @@ def lww_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     packed = F.max(F.struct(F.col(order_col),
                             *[F.col(c) for c in others])).alias("__w__")
     out = df.groupBy(*[F.col(k) for k in keys]).agg(packed)
+    tail = [F.col(f"__w__.{order_col}").alias(order_col)] if keep_order else []
     return out.select(
         *[F.col(k) for k in keys],
         *[F.col(f"__w__.{c}").alias(c) for c in others],
+        *tail,
     )
 
 
@@ -218,6 +226,7 @@ def apply_target(
     source_df: DataFrame,
     target: Target,
     dedup: bool | None = None,
+    keep_ordinal: bool = False,
 ) -> DataFrame:
     """Run one target's full relational plan over a source DataFrame.
 
@@ -242,7 +251,8 @@ def apply_target(
         # LWW dedup; grouping SQL projects mapped fields only (the
         # ordinal is consumed by the aggregation, as in the reference
         # where arrival order beyond the GROUP BY is meaningless).
-        sql = generate_target_sql(target, source_df.columns, view)
+        sql = generate_target_sql(target, source_df.columns, view,
+                                  carry_ordinal=keep_ordinal)
         base.createOrReplaceTempView(view)
         shaped = spark.sql(sql)
 
@@ -271,10 +281,13 @@ def apply_target(
         ct.src_key_cols + ct.tgt_key_cols
     )
     out_order = [c for c in projected.columns if c != ORDINAL_COL]
+    if keep_ordinal and ORDINAL_COL in projected.columns:
+        out_order.append(ORDINAL_COL)
     if do_dedup and keys:
         if ORDINAL_COL in projected.columns:
             # Hash-agg LWW: partial combine + no sort (see lww_latest).
-            projected = lww_latest(projected, keys, ORDINAL_COL)
+            projected = lww_latest(projected, keys, ORDINAL_COL,
+                                   keep_order=keep_ordinal)
         else:
             # No arrival ordinal → deterministic fallback: stringified
             # non-key columns descending (documented tie-break).
@@ -286,6 +299,6 @@ def apply_target(
                 .filter(F.col("__rn__") == 1)
                 .drop("__rn__")
             )
-    if ORDINAL_COL in projected.columns:
+    if not keep_ordinal and ORDINAL_COL in projected.columns:
         projected = projected.drop(ORDINAL_COL)
     return projected.select(*out_order)

@@ -117,6 +117,19 @@ class Aggregation:
 
 
 @dataclass
+class WindowSpec:
+    """Event-time window declaration — a streaming extension to the
+    reference's spec language (north_rule: tumbling/sliding/session
+    windows with watermarks; SURVEY §2.10). Absent in the reference,
+    which is batch-only (GcpToNeo4j.java:292-293)."""
+
+    kind: str = "tumbling"          # tumbling | sliding | session
+    duration: str = ""              # tumbling/sliding window length
+    slide: str = ""                 # sliding only
+    gap: str = ""                   # session only
+
+
+@dataclass
 class Transform:
     """Per-target relational transform (the whole "planner" surface of
     the reference — utils/ModelUtils.getTargetSql:153-229)."""
@@ -126,6 +139,7 @@ class Transform:
     where: str = ""
     order_by: str = ""
     limit: int = -1
+    window: "WindowSpec | None" = None   # streaming extension
 
     @property
     def is_identity(self) -> bool:

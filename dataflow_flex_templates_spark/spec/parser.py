@@ -35,6 +35,7 @@ from dataflow_flex_templates_spark.spec.model import (
     Target,
     TargetType,
     Transform,
+    WindowSpec,
 )
 
 # Named CSV dialects → Spark csv-reader options.
@@ -231,12 +232,22 @@ def _parse_transform(t: dict | None) -> Transform:
     t = t or {}
     aggs = [Aggregation(expr=a["expr"], field=a["field"])
             for a in t.get("aggregations", []) or []]
+    w = t.get("window")
+    window = None
+    if w:
+        window = WindowSpec(
+            kind=w.get("type", w.get("kind", "tumbling")),
+            duration=w.get("duration", "") or "",
+            slide=w.get("slide", "") or "",
+            gap=w.get("gap", "") or "",
+        )
     return Transform(
         group=bool(t.get("group", False)),
         aggregations=aggs,
         where=t.get("where", "") or "",
         order_by=t.get("order_by", "") or "",
         limit=int(t.get("limit", -1) if t.get("limit") is not None else -1),
+        window=window,
     )
 
 

@@ -1,0 +1,339 @@
+"""Spec-driven continuous pipeline: a JobSpec executed as ONE
+Structured Streaming query.
+
+This is the streaming twin of ``graph.build.run_job`` and the direct
+realization of the north_star: the reference's JSON-job-spec-driven
+row→graph-entity construction (GcpToNeo4j.run:164-295) re-expressed as
+a continuous pipeline. Each micro-batch runs the SAME target compiler
+(`plans.compiler.apply_target`) the batch engine uses — so batch and
+stream are semantically identical by construction — and commits every
+target through a batchId-idempotent exactly-once sink, node targets
+before edge targets (D2, InputRefactoring.java:75-81) within the
+micro-batch.
+
+MERGE last-writer-wins ordering is event-time-dominant and fully
+deterministic: the ordinal is
+
+    unix_millis(event_time) * 2^20  +  pmod(xxhash64(all columns), 2^20)
+
+so replays, restarts, and different parallelism levels commit
+row-identical merged tables (the north_rule exactly-once contract).
+``event_time_ordinal`` exposes the same expression for batch oracles.
+
+Skew: hot codec/sr_hz keys are spread by salted repartition before the
+(expensive) prepare stage, same strategy as ClipGraphJob (SURVEY
+§2.10); AQE handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflow_flex_templates_spark.plans.compiler import (
+    ORDINAL_COL,
+    _typed_expr,
+    apply_target,
+    compile_target,
+)
+from dataflow_flex_templates_spark.spec.model import JobSpec, Target, TargetType
+from dataflow_flex_templates_spark.spec.refactor import refactor_job_spec
+from dataflow_flex_templates_spark.spec.validator import validate_job_spec
+from dataflow_flex_templates_spark.streaming.sink import ExactlyOnceTable
+
+#: Tie-break width: 2^20 hash buckets within one event-time millisecond.
+_TIE_BITS = 20
+
+
+def event_time_ordinal(df: DataFrame, time_col: str) -> DataFrame:
+    """Attach the deterministic event-time-dominant LWW ordinal.
+
+    Used identically by the streaming job and by batch oracles so both
+    produce the same winners (SURVEY §7.3 deterministic tie-break).
+    Millisecond resolution keeps the product within int64; ties inside
+    one millisecond break on a content hash — deterministic under
+    replay and any parallelism.
+    """
+    data_cols = [c for c in df.columns if c != ORDINAL_COL]
+    return df.withColumn(
+        ORDINAL_COL,
+        F.unix_millis(F.col(time_col).cast("timestamp"))
+        * F.lit(1 << _TIE_BITS).cast("long")
+        + F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]),
+                 F.lit(1 << _TIE_BITS)).cast("long"),
+    )
+
+
+def windowed_target_stream(
+    df: DataFrame, target: Target, time_col: str
+) -> tuple[DataFrame, list[str]]:
+    """Compile a grouped+windowed target into a STATEFUL streaming
+    aggregation plan (Catalyst streaming hash-agg, update mode).
+
+    This is how the reference's only aggregation form — WHERE + GROUP
+    BY all-mapped-fields + agg list (ModelUtils.getTargetSql:153-229) —
+    becomes unbounded per the north_rule: the event-time window joins
+    the natural key, state is evicted by the upstream watermark, and
+    each trigger emits the UPDATED cumulative value for changed
+    (window, key) groups. Merged with arrival-order LWW at the sink,
+    the final table equals the batch GROUP BY per closed window.
+
+    Returns (plan, merge_key_columns).
+    """
+    tr = target.transform
+    w = tr.window
+    if w is None:
+        raise ValueError(
+            f"grouped target {target.name!r} needs transform.window in "
+            "streaming mode (batch GROUP BY over an unbounded stream is "
+            "undefined; SURVEY §2.10)")
+    if tr.where:
+        df = df.filter(tr.where)
+    if w.kind == "tumbling":
+        wcol, wname = F.window(F.col(time_col), w.duration), "window"
+    elif w.kind == "sliding":
+        wcol = F.window(F.col(time_col), w.duration, w.slide)
+        wname = "window"
+    elif w.kind == "session":
+        wcol = F.session_window(F.col(time_col), w.gap)
+        wname = "session_window"
+    else:
+        raise ValueError(f"unknown window kind: {w.kind}")
+
+    present = [f for f in target.mapped_fields if f in df.columns]
+    g = df.groupBy(wcol, *[F.col(f) for f in present]).agg(
+        *[F.expr(a.expr).alias(a.field) for a in tr.aggregations])
+    g = g.select(
+        F.col(f"{wname}.start").alias("window_start"),
+        F.col(f"{wname}.end").alias("window_end"),
+        *present, *[a.field for a in tr.aggregations],
+    )
+    ct = compile_target(target)
+    exprs = [F.col("window_start"), F.col("window_end")]
+    for m, name in ct.out_cols:
+        exprs.append(_typed_expr(m).alias(name))
+    keys = ["window_start"] + (
+        ct.key_cols if target.target_type == TargetType.node
+        else ct.src_key_cols + ct.tgt_key_cols)
+    return g.select(*exprs), keys
+
+
+class MultiQuery:
+    """Handle over the job's streaming queries (row path + one per
+    windowed target)."""
+
+    def __init__(self, queries: list):
+        self.queries = queries
+
+    @property
+    def isActive(self) -> bool:  # noqa: N802 — mirrors StreamingQuery
+        return any(q.isActive for q in self.queries)
+
+    def awaitTermination(self, timeout_s: int | None = None):  # noqa: N802
+        import time
+
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
+        for q in self.queries:
+            remaining = (None if deadline is None
+                         else max(0.1, deadline - time.monotonic()))
+            q.awaitTermination(remaining)
+
+    def stop(self) -> None:
+        for q in self.queries:
+            if q.isActive:
+                q.stop()
+
+
+class SpecStreamJob:
+    """Run a JobSpec continuously over a streaming source.
+
+    Parameters
+    ----------
+    spec:
+        Parsed (unrefactored is fine) JobSpec. Exactly the same spec
+        language the batch engine runs; every active target gets its
+        own exactly-once output table under ``output_dir``.
+    input_dir / input_schema:
+        Streaming file source (parquet dir standing in for the Iceberg
+        table; on a cluster this is ``readStream.format("iceberg")``).
+    prepare_fn:
+        Optional shared prefix applied once per micro-batch before the
+        per-target plans (e.g. vectorized PCM decode + transcript
+        normalization). The reference's shared-source reuse
+        (GcpToNeo4j.java:197-202).
+    event_time_col:
+        When present, LWW ordering is event-time-dominant (see
+        ``event_time_ordinal``); otherwise arrival order per batch.
+    """
+
+    def __init__(
+        self,
+        spec: JobSpec,
+        input_dir: str,
+        input_schema: T.StructType,
+        output_dir: str,
+        checkpoint_dir: str,
+        source_name: str | None = None,
+        event_time_col: str | None = "event_time",
+        watermark: str = "60 seconds",
+        max_files_per_trigger: int = 4,
+        salt_buckets: int = 0,
+        salt_cols: tuple[str, ...] = (),
+        prepare_fn: Callable[[DataFrame], DataFrame] | None = None,
+        audit_dir: str | None = None,
+        runtime_tokens: dict[str, str] | None = None,
+    ):
+        refactor_job_spec(spec, runtime_tokens)
+        validate_job_spec(spec)
+        self.spec = spec
+        self.input_dir = input_dir
+        self.input_schema = input_schema
+        self.output_dir = output_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.source_name = source_name or next(iter(spec.sources))
+        self.event_time_col = event_time_col
+        self.watermark = watermark
+        self.max_files_per_trigger = max_files_per_trigger
+        self.salt_buckets = salt_buckets
+        self.salt_cols = salt_cols
+        self.prepare_fn = prepare_fn
+        self.audit_dir = audit_dir
+
+        self.tables: dict[str, ExactlyOnceTable] = {}
+        active = [t for t in spec.targets if t.active]
+        #: row-level targets — foreachBatch MERGE path
+        self._targets: list[Target] = []
+        #: grouped+windowed targets — stateful streaming agg queries
+        self._win_targets: list[Target] = []
+        for t in active:
+            tr = t.transform
+            if tr.window is not None:
+                self._win_targets.append(t)
+                ct = compile_target(t)
+                keys = ["window_start"] + (
+                    ct.key_cols if t.target_type == TargetType.node
+                    else ct.src_key_cols + ct.tgt_key_cols)
+                # Arrival-order LWW: the LAST cumulative update per
+                # (window, key) is the final windowed aggregate.
+                self.tables[t.name] = ExactlyOnceTable(
+                    os.path.join(output_dir, f"win_{t.name.lower()}"),
+                    key_cols=keys)
+                continue
+            if tr.group or tr.aggregations:
+                raise ValueError(
+                    f"grouped target {t.name!r} needs transform.window "
+                    "in streaming mode (SURVEY §2.10)")
+            self._targets.append(t)
+            ct = compile_target(t)
+            keys = (ct.key_cols if t.target_type == TargetType.node
+                    else ct.src_key_cols + ct.tgt_key_cols)
+            kind = "nodes" if t.target_type == TargetType.node else "edges"
+            self.tables[t.name] = ExactlyOnceTable(
+                os.path.join(output_dir, f"{kind}_{t.name.lower()}"),
+                key_cols=keys, order_col=ORDINAL_COL)
+
+    # -- per-micro-batch ---------------------------------------------------
+
+    def prepare_batch(self, batch_df: DataFrame) -> DataFrame:
+        df = batch_df
+        if self.salt_buckets > 1:
+            salts = [F.col(c) for c in self.salt_cols]
+            df = df.repartition(
+                self.salt_buckets, *salts,
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                       F.lit(self.salt_buckets)))
+        if self.event_time_col and self.event_time_col in df.columns:
+            df = event_time_ordinal(df, self.event_time_col)
+        if self.prepare_fn is not None:
+            df = self.prepare_fn(df)
+        return df
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if all(t.is_committed(batch_id) for t in self.tables.values()):
+            return  # restart replay — exactly-once skip
+        prepared = self.prepare_batch(batch_df).persist()
+        try:
+            if self.audit_dir:  # W7 audit tee (GcsLogTransform.java:38-67)
+                (prepared.write.mode("overwrite")
+                 .parquet(os.path.join(self.audit_dir, f"batch={batch_id}")))
+            # D2: spec.targets is nodes-first after refactor.
+            for t in self._targets:
+                out = apply_target(spark, prepared, t, keep_ordinal=True)
+                self.tables[t.name].write_batch(out, batch_id)
+        finally:
+            prepared.unpersist()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        df = (spark.readStream
+              .schema(self.input_schema)
+              .option("maxFilesPerTrigger", self.max_files_per_trigger)
+              .parquet(self.input_dir))
+        if self.event_time_col and self.event_time_col in df.columns:
+            df = df.withWatermark(self.event_time_col, self.watermark)
+        return df
+
+    def start(self, spark: SparkSession, available_now: bool = True
+              ) -> "MultiQuery":
+        queries = []
+        if self._targets:
+            writer = (self.read_stream(spark).writeStream
+                      .foreachBatch(self._write_batch)
+                      .option("checkpointLocation",
+                              os.path.join(self.checkpoint_dir, "rows"))
+                      .queryName(f"spec_stream_{self.source_name}"))
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            queries.append(writer.start())
+        for t in self._win_targets:
+            stream = self.read_stream(spark)
+            if self.prepare_fn is not None:
+                stream = self.prepare_fn(stream)
+            plan, _keys = windowed_target_stream(
+                stream, t, self.event_time_col)
+            table = self.tables[t.name]
+
+            def sink(df, bid, table=table):
+                table.write_batch(df, bid)
+
+            writer = (plan.writeStream
+                      .outputMode("update")
+                      .foreachBatch(sink)
+                      .option("checkpointLocation",
+                              os.path.join(self.checkpoint_dir,
+                                           f"win_{t.name.lower()}"))
+                      .queryName(f"spec_stream_win_{t.name}"))
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            queries.append(writer.start())
+        return MultiQuery(queries)
+
+    def run_to_completion(self, spark: SparkSession, timeout_s: int = 600):
+        q = self.start(spark, available_now=True)
+        q.awaitTermination(timeout_s)
+        q.stop()
+        return q
+
+    def read_merged(self, spark: SparkSession, target_name: str) -> DataFrame:
+        return self.tables[target_name].read_merged(spark)
+
+    # -- W8 reset (Neo4jConnection.resetDatabase:149-164) ------------------
+
+    def reset(self) -> None:
+        """Drop all committed output and the checkpoint — the analogue
+        of the reference's ``CREATE OR REPLACE DATABASE`` reset_db."""
+        import shutil
+
+        for tbl in self.tables.values():
+            shutil.rmtree(tbl.path, ignore_errors=True)
+        shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
+        if self.audit_dir:
+            shutil.rmtree(self.audit_dir, ignore_errors=True)
+        for tbl in self.tables.values():
+            tbl.__init__(tbl.path, tbl.key_cols, tbl.order_col)

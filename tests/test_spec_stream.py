@@ -1,0 +1,307 @@
+"""Spec-driven continuous pipeline (streaming.spec_stream): the SAME
+JobSpec produces row-identical graph tables in batch (run_job) and as a
+Structured Streaming job (SpecStreamJob) — the north_rule's
+exactly-once / determinism contract — plus windowed grouped targets,
+checkpoint resume, W7 audit tee, and W8 reset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from dataflow_flex_templates_spark.testing.clips import (
+    clips_spark_schema,
+    make_clips_pdf,
+)
+
+N_CLIPS = 300
+
+
+def _prepare(df):
+    """Shared decode/normalize prefix (vectorized pandas UDFs)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        normalize_transcript,
+        with_audio_features,
+    )
+
+    return (with_audio_features(df)
+            .withColumn("transcript_norm",
+                        normalize_transcript(F.col("transcript")))
+            .drop("bytes"))
+
+
+def _spec():
+    return {
+        "sources": [{"type": "bigquery", "name": "clips",
+                     "query": "SELECT 1"}],
+        "targets": [
+            {"name": "Clip", "type": "node", "source": "clips",
+             "mode": "merge",
+             "mappings": [
+                 {"constant": "Clip", "role": "label"},
+                 {"field": "clip_id", "name": "clip_id", "role": "key",
+                  "type": "String"},
+                 {"field": "sr_hz", "name": "sr_hz", "role": "property",
+                  "type": "Long"},
+                 {"field": "dur_ms", "name": "dur_ms", "role": "property",
+                  "type": "Long"},
+                 {"field": "codec", "name": "codec", "role": "property",
+                  "type": "String"},
+                 {"field": "n_samples", "name": "n_samples",
+                  "role": "property", "type": "Long"},
+                 {"field": "transcript_norm", "name": "transcript_norm",
+                  "role": "property", "type": "String"},
+             ]},
+            {"name": "ENCODED_AS", "type": "edge", "source": "clips",
+             "mode": "merge",
+             "mappings": [
+                 {"constant": "ENCODED_AS", "role": "type",
+                  "fragment": "rel"},
+                 {"field": "clip_id", "name": "clip_id", "role": "key",
+                  "fragment": "source", "label": "Clip", "type": "String"},
+                 {"field": "codec", "name": "codec", "role": "key",
+                  "fragment": "target", "label": "Codec", "type": "String"},
+                 {"field": "dur_ms", "name": "dur_ms", "role": "property",
+                  "type": "Long"},
+             ]},
+            {"name": "CodecWindow", "type": "node", "source": "clips",
+             "mode": "merge",
+             "transform": {
+                 "group": True,
+                 "window": {"type": "tumbling", "duration": "10 seconds"},
+                 "aggregations": [
+                     {"expr": "count(*)", "field": "n_clips"},
+                     {"expr": "sum(dur_ms)", "field": "total_ms"},
+                 ],
+             },
+             "mappings": [
+                 {"constant": "CodecWindow", "role": "label"},
+                 {"field": "codec", "name": "codec", "role": "key",
+                  "type": "String"},
+                 {"field": "n_clips", "name": "n_clips", "role": "property",
+                  "type": "Long"},
+                 {"field": "total_ms", "name": "total_ms",
+                  "role": "property", "type": "Long"},
+             ]},
+        ],
+    }
+
+
+def _parse(spec_dict):
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    return parse_job_spec(json.dumps(spec_dict))
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark):
+    """Chronologically-chunked clip input (stream arrival ≈ event order,
+    disorder bounded by the watermark) + one completed SpecStreamJob."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root = tempfile.mkdtemp(prefix="spec_stream_")
+    inp = os.path.join(root, "input")
+    pdf = make_clips_pdf(N_CLIPS, seed=11, dup_rate=0.05, late_rate=0.0,
+                         max_dur_ms=500)
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk],
+                              schema=clips_spark_schema()) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    job = SpecStreamJob(
+        _parse(_spec()),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        watermark="60 seconds",
+        max_files_per_trigger=2,
+        salt_buckets=8,
+        salt_cols=("codec",),
+        prepare_fn=_prepare,
+        audit_dir=os.path.join(root, "audit"),
+    )
+    job.run_to_completion(spark, timeout_s=900)
+    yield root, inp, pdf, job
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _batch_oracle(spark, inp):
+    """The SAME spec through the batch engine with the SAME
+    deterministic event-time ordinal."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        event_time_ordinal,
+    )
+
+    raw = spark.read.schema(clips_spark_schema()).parquet(inp)
+    prepared = _prepare(event_time_ordinal(raw, "event_time"))
+    spec = _parse(_spec())
+    # windowed target runs in the streaming path only
+    spec.targets = [t for t in spec.targets if t.transform.window is None]
+    return run_job(spark, spec, source_frames={"clips": prepared})
+
+
+def test_row_targets_match_batch(spark, stream_env):
+    root, inp, pdf, job = stream_env
+    batch = _batch_oracle(spark, inp)
+
+    got_nodes = (job.read_merged(spark, "Clip").toPandas()
+                 .sort_values("clip_id").reset_index(drop=True))
+    want_nodes = (batch.target_frames["Clip"].toPandas()
+                  .sort_values("clip_id").reset_index(drop=True))
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "n_samples",
+            "transcript_norm"]
+    assert got_nodes[cols].equals(want_nodes[cols])
+    assert len(got_nodes) == pdf["clip_id"].nunique()
+
+    got_edges = (job.read_merged(spark, "ENCODED_AS").toPandas()
+                 .sort_values(["clip_id", "codec"]).reset_index(drop=True))
+    want_edges = (batch.target_frames["ENCODED_AS"].toPandas()
+                  .sort_values(["clip_id", "codec"]).reset_index(drop=True))
+    ecols = ["clip_id", "codec", "dur_ms"]
+    assert got_edges[ecols].equals(want_edges[ecols])
+
+
+def test_windowed_target_matches_batch_group(spark, stream_env):
+    """Final merged windowed aggregate == global batch GROUP BY per
+    (window, codec): cumulative update-mode emission + arrival LWW."""
+    import duckdb
+
+    root, inp, pdf, job = stream_env
+    got = job.read_merged(spark, "CodecWindow").toPandas()
+    if got["window_start"].dt.tz is None:
+        got["window_start"] = got["window_start"].dt.tz_localize("UTC")
+    oracle = duckdb.sql(
+        "SELECT time_bucket(INTERVAL 10 SECONDS, event_time) ws, codec, "
+        "count(*) n_clips, sum(dur_ms) total_ms FROM pdf GROUP BY 1, 2"
+    ).df()
+    om = {(r["ws"], r["codec"]): (r["n_clips"], r["total_ms"])
+          for _, r in oracle.iterrows()}
+    assert len(got) == len(om)
+    for _, r in got.iterrows():
+        want = om[(r["window_start"], r["codec"])]
+        assert (r["n_clips"], r["total_ms"]) == want, (
+            r["window_start"], r["codec"], (r["n_clips"], r["total_ms"]),
+            want)
+
+
+def test_audit_tee_w7(spark, stream_env):
+    """W7 audit sink (GcsLogTransform analogue): every micro-batch's
+    prepared rows teed as parquet; total == input rows."""
+    root, inp, pdf, job = stream_env
+    audit = os.path.join(root, "audit")
+    batches = [d for d in os.listdir(audit) if d.startswith("batch=")]
+    assert batches
+    total = spark.read.parquet(
+        *[os.path.join(audit, b) for b in batches]).count()
+    assert total == len(pdf)
+
+
+def test_exactly_once_counts(spark, stream_env):
+    root, inp, pdf, job = stream_env
+    # in-batch LWW collapses duplicate keys before the sink, so commits
+    # are bounded by [distinct keys, input rows] — no loss, no dupes
+    committed = job.tables["Clip"].total_committed_rows()
+    assert pdf["clip_id"].nunique() <= committed <= len(pdf)
+    info = job.tables["Clip"].commit_info(
+        job.tables["Clip"].committed_batches()[0])
+    assert info["rows"] > 0 and info["partitions"]
+
+
+def test_kill_and_resume(spark, stream_env):
+    """Kill after first committed batch → resume completes exactly-once
+    with tables identical to the uninterrupted run."""
+    import time
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+
+    def mk(tag_dirs_same=True):
+        return SpecStreamJob(
+            _parse(_spec()),
+            input_dir=inp,
+            input_schema=clips_spark_schema(),
+            output_dir=os.path.join(root, "out_resume"),
+            checkpoint_dir=os.path.join(root, "ckpt_resume"),
+            watermark="60 seconds",
+            max_files_per_trigger=1,
+            prepare_fn=_prepare,
+        )
+
+    j1 = mk()
+    q = j1.start(spark, available_now=True)
+    deadline = time.time() + 300
+    while (not j1.tables["Clip"].committed_batches()
+           and time.time() < deadline):
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert j1.tables["Clip"].committed_batches(), "no commit before kill"
+
+    j2 = mk()
+    j2.run_to_completion(spark, timeout_s=900)
+    nodes = j2.read_merged(spark, "Clip").toPandas()
+    assert len(nodes) == pdf["clip_id"].nunique()
+    assert (pdf["clip_id"].nunique()
+            <= j2.tables["Clip"].total_committed_rows() <= len(pdf))
+    # resumed run == uninterrupted run, row for row
+    a = (job.read_merged(spark, "Clip").toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    b = nodes.sort_values("clip_id").reset_index(drop=True)
+    cols = ["clip_id", "n_samples", "transcript_norm"]
+    assert a[cols].equals(b[cols])
+
+
+def test_reset_w8(spark, stream_env):
+    """W8 reset (Neo4jConnection.resetDatabase analogue): output and
+    checkpoint dropped; a fresh run repopulates."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    j = SpecStreamJob(
+        _parse(_spec()),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_reset"),
+        checkpoint_dir=os.path.join(root, "ckpt_reset"),
+        max_files_per_trigger=3,
+        prepare_fn=_prepare,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    assert j.tables["Clip"].committed_batches()
+    j.reset()
+    assert not j.tables["Clip"].committed_batches()
+    assert not os.path.exists(os.path.join(root, "ckpt_reset"))
+    j.run_to_completion(spark, timeout_s=900)
+    assert (j.read_merged(spark, "Clip").count()
+            == pdf["clip_id"].nunique())
+
+
+def test_grouped_target_without_window_rejected(spark):
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    spec = _spec()
+    spec["targets"][2]["transform"].pop("window")
+    with pytest.raises(ValueError, match="window"):
+        SpecStreamJob(
+            _parse(spec), input_dir="/nonexistent",
+            input_schema=clips_spark_schema(),
+            output_dir=tempfile.mkdtemp(), checkpoint_dir=tempfile.mkdtemp())
