@@ -294,15 +294,18 @@ def _parse_source(raw: dict) -> Source:
     if data is not None:
         stype_raw = "inline"
         if isinstance(data, str):
-            # delimited blob with a row separator
-            # (reference: Source.java:39-74, inline-tilda spec)
+            # delimited blob with a row separator, each line CSV-parsed
+            # with full quote semantics (reference: Source.java:39-74 +
+            # TextParserUtils.parseDelimitedLine — Commons CSV)
+            import csv as _csv
+            import io as _io
+
             rowsep = raw.get("separator") or "\n"
-            delim = raw.get("delimiter", ",")
-            inline_rows = [
-                [c.strip() for c in line.split(delim)]
-                for line in data.split(rowsep)
-                if line.strip()
-            ]
+            delim = raw.get("delimiter") or ","
+            lines = [ln for ln in data.split(rowsep) if ln.strip()]
+            inline_rows = list(
+                _csv.reader(_io.StringIO("\n".join(lines)),
+                            delimiter=delim, quotechar='"'))
         else:
             inline_rows = [list(r) for r in data]
     fields_raw = raw.get("ordered_field_names", "")
