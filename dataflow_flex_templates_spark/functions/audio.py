@@ -36,17 +36,35 @@ _LN1P_MU = math.log(1.0 + _MU)
 
 # ---------------------------------------------------------------- numpy core
 
+def _build_ulaw_lut() -> np.ndarray:
+    """All 256 byte values through the analytic expansion curve once —
+    decode becomes a single table gather with zero per-sample math."""
+    y = np.arange(256, dtype=np.float32) / 255.0 * 2.0 - 1.0
+    return (np.sign(y) * np.expm1(np.abs(y) * _LN1P_MU) / _MU).astype(np.float32)
+
+
+_ULAW_LUT = _build_ulaw_lut()
+_S16_SCALE = np.float32(1.0 / 32767.0)
+
+
 def decode_pcm_np(buf: bytes | bytearray | memoryview, codec: str) -> np.ndarray:
-    """Decode one clip payload to float32 waveform in [-1, 1]."""
+    """Decode one clip payload to float32 waveform in [-1, 1].
+
+    Decode is the engine's hottest loop (every clip, every micro-batch)
+    and on a 32-core node it is DRAM-bandwidth-bound, so each branch is
+    written for minimum memory traffic: one output allocation, no
+    float64 intermediates, in-place scaling, LUT gather for μ-law.
+    """
     if buf is None:
         return np.zeros(0, dtype=np.float32)
     if codec == "pcm_s16le":
-        return (np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32767.0)
+        w = np.frombuffer(buf, dtype="<i2").astype(np.float32)
+        w *= _S16_SCALE
+        return w
     if codec == "pcm_f32le":
         return np.frombuffer(buf, dtype="<f4").astype(np.float32)
     if codec == "ulaw":
-        y = np.frombuffer(buf, dtype=np.uint8).astype(np.float32) / 255.0 * 2.0 - 1.0
-        return (np.sign(y) * (np.expm1(np.abs(y) * _LN1P_MU)) / _MU).astype(np.float32)
+        return _ULAW_LUT[np.frombuffer(buf, dtype=np.uint8)]
     raise ValueError(f"unknown codec: {codec}")
 
 
@@ -106,9 +124,13 @@ def audio_features(bytes_col: pd.Series, codec: pd.Series) -> pd.DataFrame:
         n = len(w)
         n_s.append(n)
         if n:
-            rms.append(float(np.sqrt(np.mean(w.astype(np.float64) ** 2))))
-            peak.append(float(np.max(np.abs(w))))
-            zcr.append(float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1]))))
+            # copy-free reductions: BLAS sdot for power, paired min/max
+            # for peak, byte-wide signbit compare for crossings — the
+            # float64-squared formulation costs 3x the memory traffic.
+            rms.append(math.sqrt(float(np.dot(w, w)) / n))
+            peak.append(float(max(w.max(), -w.min())))
+            sb = np.signbit(w)
+            zcr.append(float(np.count_nonzero(sb[1:] != sb[:-1])) / max(n - 1, 1))
         else:
             rms.append(0.0); peak.append(0.0); zcr.append(0.0)
     return pd.DataFrame({"n_samples": n_s, "rms": rms, "peak": peak, "zcr": zcr})

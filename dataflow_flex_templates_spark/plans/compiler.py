@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflow_flex_templates_spark.spec.model import (
@@ -247,11 +247,21 @@ def apply_target(
     if tr.is_identity and tr.limit < 0:
         shaped = base
     else:
+        # The implicit edge sort-by-target-key (O2, ModelUtils:215-218)
+        # exists only to reduce Neo4j write-lock contention; for an
+        # Iceberg/parquet sink it would add a full range-partition
+        # shuffle + global sort for nothing, so suppress it in the
+        # physical plan (generate_target_sql keeps the capability for
+        # string parity; explicit transform.order_by is honored).
+        implicit_edge_sort_only = (
+            target.target_type == TargetType.edge and not tr.order_by
+            and tr.limit < 0)
         # Non-grouping SQL is SELECT * — the ordinal flows through for
         # LWW dedup; grouping SQL projects mapped fields only (the
         # ordinal is consumed by the aggregation, as in the reference
         # where arrival order beyond the GROUP BY is meaningless).
         sql = generate_target_sql(target, source_df.columns, view,
+                                  generate_sort=not implicit_edge_sort_only,
                                   carry_ordinal=keep_ordinal)
         base.createOrReplaceTempView(view)
         shaped = spark.sql(sql)
@@ -280,6 +290,19 @@ def apply_target(
     keys = ct.key_cols if target.target_type == TargetType.node else (
         ct.src_key_cols + ct.tgt_key_cols
     )
+    if do_dedup and keys and (tr.group or tr.aggregations):
+        # GROUP BY already makes rows unique per its grouping columns.
+        # When every field-derived non-key output column is absent from
+        # the source (i.e. it's an aggregation alias or a constant),
+        # the grouping columns ARE the key columns — the MERGE dedup
+        # would be a no-op, so skip the extra shuffle+agg entirely.
+        extra_group_cols = [
+            name for m, name in ct.out_cols
+            if name not in keys and not m.is_constant
+            and m.field and m.field in source_df.columns
+        ]
+        if not extra_group_cols:
+            do_dedup = False
     out_order = [c for c in projected.columns if c != ORDINAL_COL]
     if keep_ordinal and ORDINAL_COL in projected.columns:
         out_order.append(ORDINAL_COL)
@@ -289,16 +312,28 @@ def apply_target(
             projected = lww_latest(projected, keys, ORDINAL_COL,
                                    keep_order=keep_ordinal)
         else:
-            # No arrival ordinal → deterministic fallback: stringified
-            # non-key columns descending (documented tie-break).
+            # No arrival ordinal → deterministic fallback: greatest
+            # stringified non-key tuple wins (documented tie-break).
+            # Expressed as max(struct(sort keys, values)) rather than a
+            # row_number window: the aggregate gets map-side partial
+            # combine (shuffle bounded by distinct keys) and needs no
+            # per-partition sort — the plan that survives 100x scale.
             non_key = [c for c in projected.columns if c not in keys]
-            order = [F.col(c).cast("string").desc_nulls_last() for c in non_key] or [F.lit(1)]
-            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
-            projected = (
-                projected.withColumn("__rn__", F.row_number().over(w))
-                .filter(F.col("__rn__") == 1)
-                .drop("__rn__")
-            )
+            if not non_key:
+                projected = projected.dropDuplicates(keys)
+            else:
+                packed = F.max(F.struct(
+                    *[F.col(c).cast("string").alias(f"__s{i}__")
+                      for i, c in enumerate(non_key)],
+                    F.struct(*[F.col(c) for c in non_key]).alias("__v__"),
+                )).alias("__w__")
+                projected = (
+                    projected.groupBy(*[F.col(k) for k in keys])
+                    .agg(packed)
+                    .select(*[F.col(k) for k in keys],
+                            *[F.col(f"__w__.__v__.{c}").alias(c)
+                              for c in non_key])
+                )
     if not keep_ordinal and ORDINAL_COL in projected.columns:
         projected = projected.drop(ORDINAL_COL)
     return projected.select(*out_order)

