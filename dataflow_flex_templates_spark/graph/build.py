@@ -39,6 +39,8 @@ class JobResult:
     nodes: DataFrame | None = None
     relationships: DataFrame | None = None
     action_results: list[dict] = dc_field(default_factory=list)
+    #: W6 index/constraint intents (schema_manifest)
+    manifest: list[dict] = dc_field(default_factory=list)
 
 
 def _canonical_nodes(spark: SparkSession, target: Target, df: DataFrame) -> DataFrame:
@@ -85,12 +87,51 @@ def drop_empty_rows(df: DataFrame) -> DataFrame:
     return df.na.drop(how="all")
 
 
+def schema_manifest(spec: JobSpec) -> list[dict]:
+    """W6 index/constraint DDL analogue.
+
+    The reference emits ``CREATE INDEX/CONSTRAINT IF NOT EXISTS`` per
+    indexed/unique/mandatory/node-key property before loading
+    (database/CypherGenerator.java:131-158, executed by
+    Neo4jRowWriterTransform.java:41-54). Parquet/Iceberg has no
+    secondary indexes, so the same intents are recorded as a manifest
+    (one entry per would-be DDL statement) for the lineage/metadata
+    layer; ``mandatory`` additionally becomes a runtime null-filter +
+    metric in the compiler (plans/compiler.py).
+    """
+    from dataflow_flex_templates_spark.plans.compiler import compile_target
+    from dataflow_flex_templates_spark.spec.model import RoleType
+
+    out: list[dict] = []
+    for t in spec.targets:
+        if not t.active:
+            continue
+        labels = t.labels or [t.name]
+        ct = compile_target(t)
+        for m, name in ct.out_cols:
+            if m.role == RoleType.key:
+                out.append({"kind": "node_key", "labels": labels,
+                            "property": name, "target": t.name})
+            if m.unique:
+                out.append({"kind": "unique", "labels": labels,
+                            "property": name, "target": t.name})
+            if m.indexed and m.role != RoleType.key:
+                out.append({"kind": "index", "labels": labels,
+                            "property": name, "target": t.name})
+            if m.mandatory:
+                out.append({"kind": "not_null", "labels": labels,
+                            "property": name, "target": t.name})
+    return out
+
+
 def run_job(
     spark: SparkSession,
     spec: JobSpec,
     source_frames: dict[str, DataFrame] | None = None,
     runtime_tokens: dict[str, str] | None = None,
     http_fn=None,
+    read_query: str = "",
+    input_file_pattern: str = "",
 ) -> JobResult:
     """Execute a job spec in batch mode.
 
@@ -101,10 +142,13 @@ def run_job(
     """
     from dataflow_flex_templates_spark.graph.actions import run_actions
 
-    refactor_job_spec(spec, runtime_tokens)
+    refactor_job_spec(spec, runtime_tokens,
+                      read_query=read_query,
+                      input_file_pattern=input_file_pattern)
     validate_job_spec(spec)
 
     result = JobResult()
+    result.manifest = schema_manifest(spec)
     # Preload actions (execute_after=start) run before anything else
     # (JobSpec.getPreloadActions:81-89, GcpToNeo4j.run:173).
     result.action_results += run_actions(spark, spec.actions, "start", http_fn)

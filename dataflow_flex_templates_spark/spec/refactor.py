@@ -29,8 +29,19 @@ def replace_variable_tokens(text: str, tokens: dict[str, str]) -> str:
     return _TOKEN_RE.sub(sub, text)
 
 
-def refactor_job_spec(spec: JobSpec, runtime_tokens: dict[str, str] | None = None) -> JobSpec:
-    """Apply token substitution, sequence numbering, nodes-first sort.
+def refactor_job_spec(
+    spec: JobSpec,
+    runtime_tokens: dict[str, str] | None = None,
+    read_query: str = "",
+    input_file_pattern: str = "",
+) -> JobSpec:
+    """Apply runtime overrides, token substitution, sequence numbering,
+    nodes-first sort.
+
+    ``read_query`` / ``input_file_pattern`` are the template's runtime
+    source overrides (InputRefactoring.rewriteSource:83-100 via
+    OptionsParamsMapper:20-23): when set they replace every source's
+    SQL / URI before token substitution.
 
     Mutates and returns `spec` (matching the reference's in-place
     InputRefactoring.refactorJobSpec).
@@ -40,8 +51,10 @@ def refactor_job_spec(spec: JobSpec, runtime_tokens: dict[str, str] | None = Non
     str_tokens = {k: str(v) for k, v in tokens.items()}
 
     for src in spec.sources.values():
-        src.uri = replace_variable_tokens(src.uri, str_tokens)
-        src.query = replace_variable_tokens(src.query, str_tokens)
+        uri = input_file_pattern or src.uri
+        sql = read_query or src.query
+        src.uri = replace_variable_tokens(uri, str_tokens)
+        src.query = replace_variable_tokens(sql, str_tokens)
 
     for a in spec.actions:
         a.options = {

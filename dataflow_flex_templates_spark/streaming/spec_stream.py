@@ -186,6 +186,8 @@ class SpecStreamJob:
         prepare_fn: Callable[[DataFrame], DataFrame] | None = None,
         audit_dir: str | None = None,
         runtime_tokens: dict[str, str] | None = None,
+        state_dedup_key: str | None = None,
+        http_fn: Callable | None = None,
     ):
         refactor_job_spec(spec, runtime_tokens)
         validate_job_spec(spec)
@@ -202,6 +204,18 @@ class SpecStreamJob:
         self.salt_cols = salt_cols
         self.prepare_fn = prepare_fn
         self.audit_dir = audit_dir
+        #: When set, compose the watermark-evicted keyed LWW state op
+        #: (dedup_state.lww_dedup_stream, north_rule's "dedup state is a
+        #: watermark-evicted keyed hash map") upstream of the row-target
+        #: path: only keys whose winner changed reach the sink. Final
+        #: merged tables are identical with or without it (the sink's
+        #: MERGE applies the same (event_time, tie-break) order); the
+        #: state op just cuts sink traffic on duplicate-heavy streams.
+        #: Windowed agg targets keep the raw stream — winner re-emission
+        #: would double-count inside aggregations.
+        self.state_dedup_key = state_dedup_key
+        self.http_fn = http_fn
+        self.action_results: list[dict] = []
 
         self.tables: dict[str, ExactlyOnceTable] = {}
         active = [t for t in spec.targets if t.active]
@@ -281,9 +295,29 @@ class SpecStreamJob:
 
     def start(self, spark: SparkSession, available_now: bool = True
               ) -> "MultiQuery":
+        from dataflow_flex_templates_spark.graph.actions import run_actions
+
+        # D1 preload phases before any query launches
+        # (GcpToNeo4j.run:173; JobSpec.getPreloadActions:81-89).
+        self.action_results += run_actions(
+            spark, self.spec.actions, "start", self.http_fn)
+        self.action_results += run_actions(
+            spark, self.spec.actions, "sources", self.http_fn)
+
         queries = []
         if self._targets:
-            writer = (self.read_stream(spark).writeStream
+            row_stream = self.read_stream(spark)
+            if self.state_dedup_key:
+                from dataflow_flex_templates_spark.streaming.dedup_state import (
+                    lww_dedup_stream,
+                )
+
+                row_stream = lww_dedup_stream(
+                    row_stream, self.state_dedup_key,
+                    event_time_col=self.event_time_col)
+            writer = (row_stream.writeStream
+                      .outputMode("update" if self.state_dedup_key
+                                  else "append")
                       .foreachBatch(self._write_batch)
                       .option("checkpointLocation",
                               os.path.join(self.checkpoint_dir, "rows"))
@@ -315,9 +349,16 @@ class SpecStreamJob:
         return MultiQuery(queries)
 
     def run_to_completion(self, spark: SparkSession, timeout_s: int = 600):
+        from dataflow_flex_templates_spark.graph.actions import run_actions
+
         q = self.start(spark, available_now=True)
         q.awaitTermination(timeout_s)
         q.stop()
+        # post-load phases after all queries drained (D1: nodes/edges/
+        # loads barriers collapse to completion of the run).
+        for phase in ("nodes", "edges"):
+            self.action_results += run_actions(
+                spark, self.spec.actions, phase, self.http_fn)
         return q
 
     def read_merged(self, spark: SparkSession, target_name: str) -> DataFrame:

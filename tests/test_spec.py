@@ -178,3 +178,83 @@ def test_config_keys_wired_correctly():
     assert spec.config.node_parallelism == 3
     assert spec.config.edge_batch_size == 900
     assert spec.config.edge_parallelism == 2
+
+
+def test_schema_manifest_w6():
+    """W6 DDL analogue: index/constraint intents per target
+    (CypherGenerator.java:131-158)."""
+    import json as _json
+
+    from dataflow_flex_templates_spark.graph.build import schema_manifest
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    spec = parse_job_spec(_json.dumps({
+        "sources": [{"type": "bigquery", "name": "s", "query": "SELECT 1"}],
+        "targets": [{
+            "name": "C", "type": "node", "source": "s", "mode": "merge",
+            "mappings": [
+                {"constant": "Customer", "role": "label"},
+                {"field": "cid", "name": "cid", "role": "key",
+                 "type": "Long"},
+                {"field": "em", "name": "email", "role": "property",
+                 "type": "String", "unique": True},
+                {"field": "nm", "name": "name", "role": "property",
+                 "type": "String", "indexed": True, "mandatory": True},
+            ],
+        }],
+    }))
+    man = schema_manifest(spec)
+    kinds = {(e["kind"], e["property"]) for e in man}
+    assert ("node_key", "cid") in kinds
+    assert ("unique", "email") in kinds
+    assert ("index", "name") in kinds
+    assert ("not_null", "name") in kinds
+
+
+def test_runtime_read_query_override(tmp_path):
+    """OptionsParamsMapper:20-23 + InputRefactoring.rewriteSource:83-100:
+    readQuery / inputFilePattern replace source SQL/URI at runtime."""
+    import json as _json
+
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.spec.refactor import refactor_job_spec
+
+    spec = parse_job_spec(_json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT * FROM spec_default"}],
+        "targets": [{"node": {
+            "source": "s", "name": "N",
+            "mappings": {"labels": ["\"N\""], "keys": [{"a": "a"}]},
+        }}],
+    }))
+    refactor_job_spec(spec, {"tbl": "runtime_t"},
+                      read_query="SELECT * FROM $tbl")
+    assert spec.sources["s"].query == "SELECT * FROM runtime_t"
+
+
+def test_probe_schema_and_metadata_only(spark):
+    """S2 zero-cost schema probe + S5 metadata-only scan
+    (BigQueryImpl.java:77-92; TextSourceFileMetadataToRow.java:27-31)."""
+    import json as _json
+
+    from dataflow_flex_templates_spark.sources.readers import (
+        metadata_only,
+        probe_schema,
+    )
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    spark.createDataFrame([(1, "x")], "a int, b string") \
+        .createOrReplaceTempView("probe_src")
+    spec = parse_job_spec(_json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT a, b FROM probe_src"}],
+        "targets": [{"node": {
+            "source": "s", "name": "N",
+            "mappings": {"labels": ["\"N\""], "keys": [{"a": "a"}]},
+        }}],
+    }))
+    src = spec.sources["s"]
+    schema = probe_schema(spark, src)
+    assert [f.name for f in schema.fields] == ["a", "b"]
+    empty = metadata_only(spark, src)
+    assert empty.count() == 0 and empty.schema == schema

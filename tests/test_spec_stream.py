@@ -305,3 +305,63 @@ def test_grouped_target_without_window_rejected(spark):
             _parse(spec), input_dir="/nonexistent",
             input_schema=clips_spark_schema(),
             output_dir=tempfile.mkdtemp(), checkpoint_dir=tempfile.mkdtemp())
+
+
+def test_state_dedup_same_final_table(spark, stream_env):
+    """Composing the watermark-evicted keyed LWW state op upstream cuts
+    sink traffic but leaves the final merged tables row-identical."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    j = SpecStreamJob(
+        _parse(_spec()),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_sd"),
+        checkpoint_dir=os.path.join(root, "ckpt_sd"),
+        watermark="60 seconds",
+        max_files_per_trigger=2,
+        prepare_fn=_prepare,
+        state_dedup_key="clip_id",
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    a = (job.read_merged(spark, "Clip").toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    b = (j.read_merged(spark, "Clip").toPandas()
+         .sort_values("clip_id").reset_index(drop=True))
+    cols = ["clip_id", "n_samples", "transcript_norm"]
+    assert a[cols].equals(b[cols])
+    # the state op may only reduce (never increase) committed rows
+    assert (j.tables["Clip"].total_committed_rows()
+            <= job.tables["Clip"].total_committed_rows())
+
+
+def test_actions_phases_in_stream(spark, stream_env):
+    """D1 action ordering around the continuous pipeline: preload
+    creates state before the stream starts; postload observes it."""
+    root, inp, pdf, job = stream_env
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    spec = _spec()
+    spec["actions"] = [
+        {"name": "pre", "type": "cypher", "execute_after": "start",
+         "options": [{"cypher": "CREATE OR REPLACE TEMP VIEW pre_marker "
+                                "AS SELECT 1 AS ok"}]},
+        {"name": "post", "type": "bigquery", "execute_after": "loads",
+         "options": [{"sql": "SELECT * FROM pre_marker"}]},
+    ]
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_act"),
+        checkpoint_dir=os.path.join(root, "ckpt_act"),
+        max_files_per_trigger=3,
+        prepare_fn=_prepare,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    assert [r["name"] for r in j.action_results] == ["pre", "post"]
