@@ -286,3 +286,19 @@ def test_lww_dedup_state(spark, tmp_path):
     assert len(final) == pdf["clip_id"].nunique()
     merged = final.merge(oracle, on="clip_id", suffixes=("_got", "_want"))
     assert (merged["transcript_got"] == merged["transcript_want"]).all()
+
+
+def test_iceberg_merge_sql_generation():
+    """Cluster-path Iceberg sink: the MERGE INTO statement realizes W2/W3
+    (CypherGenerator MERGE semantics) with the LWW order guard."""
+    from dataflow_flex_templates_spark.streaming.iceberg import merge_into_sql
+
+    sql = merge_into_sql("cat.db.nodes", "src_v", ["clip_id"],
+                         ["codec", "rms"], order_col="__seq__")
+    assert "MERGE INTO cat.db.nodes t USING src_v s" in sql
+    assert "t.`clip_id` = s.`clip_id`" in sql
+    assert "WHEN MATCHED AND s.`__seq__` >= t.`__seq__` THEN UPDATE" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (`clip_id`, `codec`, `rms`)" in sql
+
+    plain = merge_into_sql("t1", "v", ["a", "b"], ["c"])
+    assert "WHEN MATCHED THEN UPDATE SET t.`c` = s.`c`" in plain
