@@ -156,6 +156,36 @@ def stream_run(input_dir: str, cores: int) -> dict:
     committed = job.nodes_table.total_committed_rows()
     p99 = batch_secs[min(len(batch_secs) - 1,
                          int(0.99 * len(batch_secs)))] if batch_secs else None
+
+    # Window-agg emission latency (BASELINE metric): a stateful tumbling
+    # per-codec aggregation with watermark over the same stream, update
+    # mode; per-trigger latency = window-state update + emission.
+    from dataflow_flex_templates_spark.streaming.windows import tumbling_agg
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+    )
+
+    win_stream = (spark.readStream.schema(clips_spark_schema())
+                  .option("maxFilesPerTrigger",
+                          int(os.environ.get("SPARK_GRAFT_MFPT", "32")))
+                  .parquet(input_dir))
+    agg = tumbling_agg(win_stream, "event_time", "10 seconds", ["codec"],
+                       {"n": "count(*)", "total_ms": "sum(dur_ms)"},
+                       watermark="60 seconds")
+    wq = (agg.writeStream.outputMode("update")
+          .foreachBatch(lambda df, bid: _noop_write(df))
+          .option("checkpointLocation", os.path.join(root, "win_ckpt"))
+          .trigger(availableNow=True).start())
+    wq.awaitTermination(1800)
+    win_secs = sorted(
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in (json.loads(getattr(j, "json", None) or j)
+                  for j in wq.recentProgress)
+        if p.get("durationMs", {}).get("triggerExecution") is not None
+        and p.get("numInputRows", 0) > 0
+    )
+    win_p99 = (win_secs[min(len(win_secs) - 1, int(0.99 * len(win_secs)))]
+               if win_secs else None)
     spark.stop()
     return {
         "cores": cores,
@@ -165,6 +195,8 @@ def stream_run(input_dir: str, cores: int) -> dict:
         "clips_per_sec": round(n_input / wall, 1),
         "n_batches": len(batch_secs),
         "p99_batch_sec": round(p99, 3) if p99 is not None else None,
+        "window_agg_p99_sec": (round(win_p99, 3)
+                               if win_p99 is not None else None),
     }
 
 
@@ -192,6 +224,7 @@ def main() -> None:
         "n_clips": hi["input_rows"],
         "clips_per_sec": hi["clips_per_sec"],
         "p99_batch_sec": hi["p99_batch_sec"],
+        "window_agg_p99_sec": hi.get("window_agg_p99_sec"),
     }
     if DO_SCALING:
         lo = _stream_subprocess(clips_path, SCALE_N)
