@@ -385,10 +385,19 @@ def parse_job_spec(spec: dict | str | Path) -> JobSpec:
     targets = [_parse_target(t, i) for i, t in enumerate(spec.get("targets", []) or [])]
     actions = [_parse_action(a) for a in spec.get("actions", []) or []]
 
+    # Options arrive either as one dict or as a list of single-key
+    # dicts (the Spark-connector-style syntax in the reference's
+    # json-musicians-jobspec-options-syntax.json fixture).
+    opts_raw = spec.get("options") or {}
+    if isinstance(opts_raw, list):
+        opts = {k: v for d in opts_raw for k, v in d.items()}
+    else:
+        opts = dict(opts_raw)
+
     return JobSpec(
         sources=sources,
         targets=targets,
         config=_parse_config(spec.get("config")),
-        options=spec.get("options", {}) or {},
+        options=opts,
         actions=actions,
     )

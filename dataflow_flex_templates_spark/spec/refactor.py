@@ -12,7 +12,100 @@ from __future__ import annotations
 
 import re
 
-from dataflow_flex_templates_spark.spec.model import JobSpec, TargetType
+from dataflow_flex_templates_spark.spec.model import (
+    FragmentType,
+    JobSpec,
+    Mapping,
+    RoleType,
+    SaveMode,
+    Target,
+    TargetType,
+)
+
+#: The reference's whitelist of Spark-connector-style job options
+#: (InputValidator.java:35-44). The reference VALIDATES these but never
+#: builds anything from them ("this options array was created to allow
+#: mimicing Spark syntax" — JobSpecMapper.java:75); we go one step
+#: further and synthesize runnable targets (below).
+CONNECTOR_OPTION_KEYS = frozenset({
+    "relationship",
+    "relationship.save.strategy",
+    "relationship.source.labels",
+    "relationship.source.save.mode",
+    "relationship.source.node.keys",
+    "relationship.target.labels",
+    "relationship.target.node.keys",
+    "relationship.target.node.properties",
+    "relationship.target.save.mode",
+})
+
+
+def _parse_labels(s: str) -> list[str]:
+    return [x for x in s.split(":") if x.strip()]
+
+
+def _parse_field_map(s: str) -> list[tuple[str, str]]:
+    """``"field:prop,field2:prop2"`` → [(field, prop), ...]."""
+    out = []
+    for part in s.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        f, _, p = part.partition(":")
+        out.append((f.strip(), (p or f).strip()))
+    return out
+
+
+def synthesize_connector_targets(spec: JobSpec) -> None:
+    """Build node/edge targets from Spark-Neo4j-connector-style options
+    (json-musicians-jobspec-options-syntax.json fixture).
+
+    Connector ``overwrite``/``match``/``merge`` save modes and the
+    ``keys`` save strategy all resolve nodes by key — our keyed MERGE
+    upsert (LWW) is the faithful analogue for every mode.
+    """
+    opts = spec.options
+    if spec.targets or "relationship" not in opts:
+        return
+    rel_type = str(opts["relationship"])
+    source_name = next(iter(spec.sources), "")
+    src_labels = _parse_labels(opts.get("relationship.source.labels", ""))
+    tgt_labels = _parse_labels(opts.get("relationship.target.labels", ""))
+    src_keys = _parse_field_map(opts.get("relationship.source.node.keys", ""))
+    tgt_keys = _parse_field_map(opts.get("relationship.target.node.keys", ""))
+    tgt_props = _parse_field_map(
+        opts.get("relationship.target.node.properties", ""))
+
+    def node_target(label: str, keys, props) -> Target:
+        maps = [Mapping(role=RoleType.label, constant=label)]
+        maps += [Mapping(role=RoleType.key, field=f, name=p,
+                         unique=True, indexed=True) for f, p in keys]
+        maps += [Mapping(role=RoleType.property, field=f, name=p)
+                 for f, p in props]
+        return Target(name=label, source=source_name,
+                      target_type=TargetType.node,
+                      save_mode=SaveMode.merge, mappings=maps)
+
+    edge_maps = [Mapping(role=RoleType.type, fragment=FragmentType.rel,
+                         constant=rel_type)]
+    edge_maps += [Mapping(role=RoleType.key, fragment=FragmentType.source,
+                          field=f, name=p,
+                          label=src_labels[0] if src_labels else "")
+                  for f, p in src_keys]
+    edge_maps += [Mapping(role=RoleType.key, fragment=FragmentType.target,
+                          field=f, name=p,
+                          label=tgt_labels[0] if tgt_labels else "")
+                  for f, p in tgt_keys]
+
+    spec.targets.extend([
+        node_target(src_labels[0] if src_labels else "Source",
+                    src_keys, []),
+        node_target(tgt_labels[0] if tgt_labels else "Target",
+                    tgt_keys, tgt_props),
+        Target(name=rel_type, source=source_name,
+               target_type=TargetType.edge, save_mode=SaveMode.merge,
+               mappings=edge_maps),
+    ])
 
 # Reference token pattern: ModelUtils.java:41 — `$alphanumeric_` tokens.
 _TOKEN_RE = re.compile(r"\$([a-zA-Z0-9_]+)")
@@ -46,6 +139,8 @@ def refactor_job_spec(
     Mutates and returns `spec` (matching the reference's in-place
     InputRefactoring.refactorJobSpec).
     """
+    synthesize_connector_targets(spec)
+
     tokens = dict(spec.options)
     tokens.update(runtime_tokens or {})
     str_tokens = {k: str(v) for k, v in tokens.items()}

@@ -79,6 +79,22 @@ def validate_job_spec(spec: JobSpec, strict_order_by: bool = False) -> list[str]
             errors.append(f"{where}: aggregation aliases shadow grouped fields: {sorted(bad)}")
         del overlap
 
+    # Connector-style option whitelist (InputValidator.java:35-44,
+    # 175-184). The reference hard-errors on ANY unknown option; we keep
+    # that for relationship.* keys (clear typos) and warn on others,
+    # since plain options also serve as $token values in this engine.
+    from dataflow_flex_templates_spark.spec.refactor import (
+        CONNECTOR_OPTION_KEYS,
+    )
+
+    for key in spec.options:
+        if key in CONNECTOR_OPTION_KEYS:
+            continue
+        if key.startswith("relationship"):
+            errors.append(f"invalid option specified: {key}")
+        else:
+            warnings.append(f"option '{key}' used only for $token substitution")
+
     for a in spec.actions:
         if a.action_type in ("http_get", "http_post") and "url" not in a.options:
             errors.append(f"action '{a.name}': http action needs a url option")

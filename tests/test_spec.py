@@ -258,3 +258,31 @@ def test_probe_schema_and_metadata_only(spark):
     assert [f.name for f in schema.fields] == ["a", "b"]
     empty = metadata_only(spark, src)
     assert empty.count() == 0 and empty.schema == schema
+
+
+def test_reference_fixture_sweep():
+    """Every job-spec fixture shipped in the reference's test resources
+    parses, refactors, and validates through our spec layer verbatim
+    (both grammars, inline blobs with '~'/newline separators, JSON
+    inline arrays, Spark-connector-style options lists)."""
+    import glob
+    import os
+
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.spec.refactor import refactor_job_spec
+    from dataflow_flex_templates_spark.spec.validator import validate_job_spec
+
+    base = "/root/reference/src/test/resources/testing-specs"
+    if not os.path.isdir(base):
+        import pytest
+        pytest.skip("reference fixtures not present")
+    paths = sorted(glob.glob(base + "/*.json")
+                   + glob.glob(base + "/verbose-syntax/*.json"))
+    paths = [p for p in paths if "connection" not in p]
+    assert len(paths) == 10
+    for p in paths:
+        with open(p) as f:
+            spec = parse_job_spec(f.read())
+        refactor_job_spec(spec)
+        validate_job_spec(spec)
+        assert spec.sources and spec.targets, p
