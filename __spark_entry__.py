@@ -319,6 +319,32 @@ def _q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(vecs, qs, k=5, dim=64, n_planes=3, n_tables=16)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS) per document —
+    Arrow-batched numpy kernel; rows-only driver check (the hash
+    algebra is pytest-verified against a pure-numpy oracle)."""
+    from dataflow_flex_templates_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    _load(spark, sf_dir)
+    return (winnow_fingerprints(spark.table("documents").filter("doc_id < 200"))
+            .select("doc_id", F.size("fingerprints").alias("n_fp"),
+                    F.col("fingerprints")))
+
+
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF-FLAT ANN (hash-seeded centroids + Lloyd refinement, nprobe
+    cell search → exact re-rank). Approximation → rows-only driver
+    check; recall vs exact is pytest-verified."""
+    from dataflow_flex_templates_spark.operators.similarity import ivf_topk
+
+    _load(spark, sf_dir)
+    vecs = spark.table("embeddings").filter("vec_id < 300")
+    qs = spark.table("embeddings").filter("vec_id < 12")
+    return ivf_topk(vecs, qs, k=5, n_centroids=12, nprobe=4)
+
+
 def _q_audio_decode_stats(spark, sf_dir):
     """Vectorized PCM decode (pandas UDF) over the synthetic clip table
     — per-codec amplitude stats. No SQL oracle (binary decode);
@@ -611,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "audio_decode_stats": _q_audio_decode_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,

@@ -77,6 +77,104 @@ def _hyperplane(dim: int, plane_idx: int, table_idx: int) -> list[float]:
     return [v / nrm for v in vals]
 
 
+def _sqdist(a, b) -> "F.Column":
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _argmin_centroids(vec_col, centroids: list[tuple[int, list[float]]],
+                      n: int = 1) -> "F.Column":
+    """Row-local nearest-centroid id(s): the centroid table is tiny, so
+    it is inlined as a literal array and scanned per row inside one
+    JVM expression — no crossJoin, no shuffle, whole-stage codegen.
+    Returns an array of the ``n`` nearest centroid ids."""
+    cent_arr = F.array(*[
+        F.struct(F.lit(int(cid)).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in cv]).alias("cv"))
+        for cid, cv in centroids
+    ])
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(_sqdist(vec_col, c["cv"]).alias("d"),
+                           c["cid"].alias("cid")))
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]),
+                   1, n)
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse quantizer: deterministic hash-ordered sample as the
+    seed centroids, refined by ``lloyd_iters`` distributed k-means
+    steps (assignment is row-local against broadcast-literal centroids;
+    the mean is a posexplode + per-(cid,pos) avg — one narrow shuffle
+    bounded by n_centroids x dim rows)."""
+    dvec = F.col(vec_col).cast("array<double>")
+    seed_rows = (vectors.select(dvec.alias("v"),
+                                F.xxhash64(F.col(id_col)).alias("h"))
+                 .orderBy("h").limit(n_centroids).collect())
+    cents = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
+    for _ in range(lloyd_iters):
+        assigned = vectors.select(
+            dvec.alias("v"),
+            _argmin_centroids(dvec, cents, 1)[0].alias("cid"))
+        means = (assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "m"))).alias("pm"))
+                 .select("cid", F.transform("pm", lambda s: s["m"]).alias("v"))
+                 .collect())
+        cents = [(int(r["cid"]), list(r["v"])) for r in means]
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-FLAT approximate top-k — the second scale path next to LSH.
+
+    Index: every vector is assigned to its nearest coarse centroid
+    (row-local argmin — zero shuffle). Search: each query probes its
+    ``nprobe`` nearest cells; candidates are the vectors in those
+    cells (a partitioned equi-join on cid — shuffle bounded by cell
+    sizes; AQE splits a skewed hot cell); exact cosine re-rank on the
+    candidate set only. Recall is tunable via nprobe/n_centroids."""
+    cents = ivf_centroids(vectors, n_centroids, lloyd_iters,
+                          vec_col, id_col)
+    dvec = F.col(vec_col).cast("array<double>")
+    assigned = vectors.select(
+        F.col(id_col).alias("nid"), dvec.alias("nv"),
+        _argmin_centroids(dvec, cents, 1)[0].alias("cid"))
+    probes = queries.select(
+        F.col(id_col).alias("qid"), dvec.alias("qv"),
+        F.explode(_argmin_centroids(dvec, cents, nprobe)).alias("cid"))
+    cands = (probes.join(assigned, "cid")
+             .filter(F.col("qid") != F.col("nid"))
+             .select("qid", "qv", "nid", "nv"))
+    scored = cands.withColumn(
+        "cosine", F.round(_dot(F.col("qv"), F.col("nv"))
+                          / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(F.col("qid").alias("query_id"),
+                          F.col("nid").alias("neighbor_id"),
+                          "cosine", "rank"))
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -8,8 +8,11 @@ comparison (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # Tiny English stopword list used by the language-ID heuristic and the
 # quality score. Keep SORTED and in sync with the oracle SQL.
@@ -85,3 +88,68 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         lang_id(c).alias("lang_pred"),
     )
+
+
+# ---------------------------------------------------------------- winnowing
+
+WINNOW_BASE = 1_000_003          # polynomial rolling-hash base
+WINNOW_MASK = (1 << 61) - 1      # Mersenne-prime modulus (2^61-1)
+
+
+def winnow_fingerprints_np(text: str, k: int = 5, window: int = 4
+                           ) -> list[int]:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) of one
+    normalized document: k-gram POLYNOMIAL ROLLING hashes, then the
+    minimum hash of every sliding window of ``window`` consecutive
+    k-grams, deduplicated by position. Pure numpy — vectorized per doc,
+    used inside the Arrow-batched pandas UDF below and as the test
+    oracle."""
+    import numpy as np
+
+    n = len(text)
+    if n < k:
+        return []
+    codes = np.array([ord(c) & 0xFFFF for c in text], dtype=np.uint64)
+    m = len(codes) - k + 1
+    base = np.uint64(WINNOW_BASE)
+    mask = np.uint64(WINNOW_MASK)
+    # prefix polynomial hashes mod 2^64 (intentional uint64 wraparound),
+    # windowed via H[i..i+k) = P[i+k] - P[i]*base^k (all mod 2^64)
+    with np.errstate(over="ignore"):
+        powers = np.empty(len(codes) + 1, dtype=np.uint64)
+        powers[0] = 1
+        np.multiply.accumulate(
+            np.full(len(codes), base, dtype=np.uint64), out=powers[1:])
+        prefix = np.zeros(len(codes) + 1, dtype=np.uint64)
+        acc = np.uint64(0)
+        for i, c in enumerate(codes):      # scalar loop is per-char but
+            acc = acc * base + c           # C-speed uint64 ops; docs are
+            prefix[i + 1] = acc            # small relative to decode cost
+        grams = prefix[k:] - prefix[:-k] * powers[k]
+        grams &= mask                      # fold into 61-bit space
+    if m < window:
+        pos = int(np.argmin(grams))
+        return [int(grams[pos])]
+    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+    mins = sw.min(axis=1)
+    argmins = sw.argmin(axis=1) + np.arange(len(mins))
+    keep = np.ones(len(mins), dtype=bool)
+    keep[1:] = argmins[1:] != argmins[:-1]   # robust winnowing dedup
+    return [int(x) for x in mins[keep]]
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprinting as a training-data op:
+    per-doc winnowing fingerprint set (array<long>), Arrow-batched.
+    Shared fingerprints between documents witness copied substrings ≥
+    k + window - 1 chars — the near-dup primitive exact hashing misses."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = " ".join((t or "").lower().split())
+            out.append(winnow_fingerprints_np(norm, k, window))
+        return pd.Series(out)
+
+    return df.withColumn("fingerprints", _fp(F.col(text_col)))

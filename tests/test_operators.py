@@ -230,3 +230,52 @@ def test_multimodal_stub_plumbing(spark):
     plan = frame_sample_plan(vid, every_ms=1000).toPandas().set_index("media_id")
     assert plan.loc["v1", "n_frames"] == 3
     assert plan.loc["v2", "n_frames"] == 1
+
+
+def test_ivf_ann_recall(spark, emb):
+    """IVF-FLAT ANN: recall@5 vs exact brute-force above threshold;
+    deterministic across runs (hash-seeded centroids + Lloyd step)."""
+    from dataflow_flex_templates_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    vecs = emb.filter("vec_id < 300")
+    qs = emb.filter("vec_id < 12")
+    exact = cosine_topk(vecs, qs, k=5).toPandas()
+    approx = ivf_topk(vecs, qs, k=5, n_centroids=12, nprobe=4).toPandas()
+    approx2 = ivf_topk(vecs, qs, k=5, n_centroids=12, nprobe=4).toPandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .equals(approx2.sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+
+def test_winnow_fingerprints(spark, docs):
+    """Winnowing rolling-hash fingerprints: Spark UDF == pure-numpy
+    oracle per doc; near-identical docs share fingerprints, unrelated
+    docs don't."""
+    from dataflow_flex_templates_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_np,
+    )
+
+    sub = docs.filter("doc_id < 40")
+    got = {r["doc_id"]: list(r["fingerprints"])
+           for r in winnow_fingerprints(sub).select(
+               "doc_id", "fingerprints").collect()}
+    for r in sub.select("doc_id", "text").collect():
+        norm = " ".join((r["text"] or "").lower().split())
+        assert got[r["doc_id"]] == winnow_fingerprints_np(norm), r["doc_id"]
+
+    a = set(winnow_fingerprints_np(
+        "the quick brown fox jumps over the lazy dog near the river"))
+    b = set(winnow_fingerprints_np(
+        "the quick brown fox leaps over the lazy dog near the river"))
+    c = set(winnow_fingerprints_np(
+        "entirely unrelated text with no overlap whatsoever present"))
+    assert a & b and not (a & c)
