@@ -336,8 +336,15 @@ class SpecStreamJob:
             def sink(df, bid, table=table):
                 table.write_batch(df, bid)
 
+            # Tumbling/sliding aggs emit cumulative UPDATEs (final LWW
+            # merge = batch GROUP BY); session windows only support
+            # APPEND — each session emits once when the watermark
+            # closes it (sessions still open at end-of-stream stay in
+            # state, the documented streaming semantics).
+            mode = ("append" if t.transform.window.kind == "session"
+                    else "update")
             writer = (plan.writeStream
-                      .outputMode("update")
+                      .outputMode(mode)
                       .foreachBatch(sink)
                       .option("checkpointLocation",
                               os.path.join(self.checkpoint_dir,

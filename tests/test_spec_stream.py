@@ -365,3 +365,82 @@ def test_actions_phases_in_stream(spark, stream_env):
     )
     j.run_to_completion(spark, timeout_s=900)
     assert [r["name"] for r in j.action_results] == ["pre", "post"]
+
+
+def test_session_window_spec_target(spark, stream_env):
+    """Session-window spec target runs in APPEND mode (Spark forbids
+    update for session aggs): every emitted (watermark-closed) session
+    matches the batch session oracle exactly."""
+    import duckdb
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    # dedicated input spanning ~10 min (the shared fixture spans ~15 s,
+    # so no 5 s-gap session would ever close under a 30 s watermark)
+    pdf = make_clips_pdf(300, seed=21, dup_rate=0.0, late_rate=0.0,
+                         watermark_s=30, max_step_ms=4000, max_dur_ms=400)
+    inp = os.path.join(root, "input_sess")
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk],
+                              schema=clips_spark_schema()) \
+            .coalesce(1).write.mode("append").parquet(inp)
+    spec = _spec()
+    spec["targets"] = [{
+        "name": "UserSession", "type": "node", "source": "clips",
+        "mode": "merge",
+        "transform": {
+            "group": True,
+            "window": {"type": "session", "gap": "5 seconds"},
+            "aggregations": [
+                {"expr": "count(*)", "field": "n"},
+                {"expr": "sum(dur_ms)", "field": "total_ms"},
+            ],
+        },
+        "mappings": [
+            {"constant": "UserSession", "role": "label"},
+            {"field": "codec", "name": "codec", "role": "key",
+             "type": "String"},
+            {"field": "n", "name": "n", "role": "property", "type": "Long"},
+            {"field": "total_ms", "name": "total_ms", "role": "property",
+             "type": "Long"},
+        ],
+    }]
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_sess"),
+        checkpoint_dir=os.path.join(root, "ckpt_sess"),
+        watermark="30 seconds",
+        max_files_per_trigger=2,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    got = j.read_merged(spark, "UserSession").toPandas()
+    if len(got) and got["window_start"].dt.tz is None:
+        got["window_start"] = got["window_start"].dt.tz_localize("UTC")
+    oracle = duckdb.sql("""
+        WITH o AS (
+          SELECT codec, event_time, dur_ms,
+                 CASE WHEN event_time - lag(event_time) OVER
+                        (PARTITION BY codec ORDER BY event_time)
+                      > INTERVAL 5 SECONDS
+                      OR lag(event_time) OVER
+                        (PARTITION BY codec ORDER BY event_time) IS NULL
+                 THEN 1 ELSE 0 END AS new_s
+          FROM pdf),
+        s AS (SELECT *, SUM(new_s) OVER (PARTITION BY codec
+              ORDER BY event_time ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        SELECT codec, MIN(event_time) AS ws, COUNT(*) AS n,
+               SUM(dur_ms) AS total_ms
+        FROM s GROUP BY codec, sid""").df()
+    om = {(r["codec"], r["ws"]): (r["n"], r["total_ms"])
+          for _, r in oracle.iterrows()}
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        key = (r["codec"], r["window_start"])
+        assert key in om, key
+        assert (r["n"], r["total_ms"]) == om[key], (key, r["n"], om[key])
