@@ -442,6 +442,67 @@ def _q_spec_stream_graph(spark, sf_dir):
         "clip_id", "codec", "n_samples", "transcript_norm")
 
 
+def _q_cep_sequence_detect(spark, sf_dir):
+    """CEP sequence detection (view→cart→buy within 2 min per user)
+    over an out-of-order event stream: watermark-gated buffered
+    matching via applyInPandasWithState. Non-SQL-expressible stateful
+    op → rows-only; equality with the sorted batch automaton oracle is
+    pytest-verified (tests/test_cep.py)."""
+    import os
+    import random
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.streaming.cep import detect_sequence
+
+    rng = random.Random(13)
+    t = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for _ in range(600):
+        t = t + timedelta(milliseconds=rng.randrange(200, 1500))
+        rows.append((f"u{rng.randrange(8)}",
+                     rng.choices(["view", "cart", "buy", "noise"],
+                                 [0.4, 0.25, 0.15, 0.2])[0],
+                     t - timedelta(seconds=rng.uniform(0, 5))))
+    pdf = pd.DataFrame(rows, columns=["user", "event", "event_time"])
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="entry_cep_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 8 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+    far = pdf["event_time"].max() + timedelta(hours=1)
+    spark.createDataFrame(
+        pd.DataFrame([(u, "noise", far) for u in sorted(pdf["user"].unique())],
+                     columns=pdf.columns), schema=schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(inp)
+              .withWatermark("event_time", "30 seconds"))
+    matches = detect_sequence(stream, "user", "event",
+                              ["view", "cart", "buy"], within="2 minutes")
+    out = os.path.join(root, "out")
+    q = (matches.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.read.parquet(out)
+            .select("user",
+                    F.unix_micros("match_start").alias("match_start"),
+                    F.unix_micros("match_end").alias("match_end"),
+                    "n_events"))
+
+
 def _q_text_source_csv(spark, sf_dir):
     """S3 text scan + S6 dialect + all-string ingest
     (utils/BeamUtils.java:125-135) + per-target typed casting."""
@@ -642,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": _q_audio_decode_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
+        "cep_sequence_detect": _q_cep_sequence_detect,
         "text_source_csv": _q_text_source_csv,
         "inline_source": _q_inline_source,
         "token_substitution": _q_token_substitution,

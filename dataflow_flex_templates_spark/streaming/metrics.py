@@ -67,9 +67,17 @@ class ProgressRecorder(StreamingQueryListener):
     def summary(self) -> dict:
         lat = self.batch_latencies_ms()
         rows = sum(p.get("numInputRows", 0) for p in self.progress)
+        # late rows dropped by the watermark (north_rule: "late rows
+        # dropped + counted") — reported per stateful operator
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in self.progress
+            for op in (p.get("stateOperators") or [])
+        )
         return {
             "batches": len(self.progress),
             "input_rows": int(rows),
+            "rows_dropped_by_watermark": int(dropped),
             "latency_ms_p50": percentile(lat, 0.50),
             "latency_ms_p99": percentile(lat, 0.99),
             "latency_ms_max": max(lat) if lat else float("nan"),
