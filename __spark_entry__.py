@@ -361,6 +361,24 @@ def _q_audio_decode_stats(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_audio_resample_stats(spark, sf_dir):
+    """Decode → linear-resample to 16 kHz → summarize, one Arrow pass
+    per clip (the audio analogue of image resize). Rows-only; SNR of
+    the resampling kernel is pytest-verified."""
+    from dataflow_flex_templates_spark.functions.audio import resample_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    rs = resample_stats(16000)
+    return (clips.withColumn("__rs__", rs(F.col("bytes"), F.col("codec"),
+                                          F.col("sr_hz")))
+            .groupBy("sr_hz")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__rs__.n_samples_out").alias("total_out_samples"),
+                 F.round(F.avg("__rs__.rms_out"), 4).alias("avg_rms"))
+            .orderBy("sr_hz"))
+
+
 def _q_streaming_clip_graph(spark, sf_dir):
     """End-to-end streaming job (exactly-once sink, LWW merge) run to
     completion on a synthetic clip stream; returns the merged node
@@ -701,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "audio_decode_stats": _q_audio_decode_stats,
+        "audio_resample_stats": _q_audio_resample_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
         "cep_sequence_detect": _q_cep_sequence_detect,

@@ -92,3 +92,44 @@ def test_duplicate_clips_marked_for_lww():
     for cid, grp in dups.groupby("clip_id"):
         grp = grp.sort_values("event_time")
         assert grp.iloc[-1]["transcript"].endswith("rev2")
+
+
+def test_resample_linear_snr():
+    """Linear resampling preserves a low-frequency sine to SNR >= 25 dB
+    both down (44.1k->16k) and up (8k->16k); output length scales by
+    the rate ratio."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        resample_linear_np,
+        snr_db,
+    )
+
+    for sr_in, sr_out in [(44100, 16000), (8000, 16000), (22050, 22050)]:
+        t = np.arange(int(sr_in * 0.5)) / sr_in
+        wave = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+        out = resample_linear_np(wave, sr_in, sr_out)
+        expect_n = int(round(len(wave) * sr_out / sr_in))
+        assert abs(len(out) - expect_n) <= 1
+        t_out = np.arange(len(out)) / sr_out
+        ref = (0.5 * np.sin(2 * np.pi * 220.0 * t_out)).astype(np.float32)
+        assert snr_db(ref, out) >= 25.0, (sr_in, sr_out)
+
+
+def test_resample_stats_udf(spark):
+    """Arrow-batched decode→resample→summarize: every clip lands at the
+    target rate with the dur_ms-implied sample count."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import resample_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 60, seed=4)
+    rs = resample_stats(16000)
+    out = (clips.withColumn("__rs__", rs(F.col("bytes"), F.col("codec"),
+                                         F.col("sr_hz")))
+           .select("clip_id", "dur_ms", "sr_hz",
+                   F.col("__rs__.n_samples_out").alias("n_out"),
+                   F.col("__rs__.rms_out").alias("rms_out"))
+           .toPandas())
+    expect = (out["dur_ms"] / 1000.0 * 16000).round()
+    assert (abs(out["n_out"] - expect) <= out["sr_hz"].map(lambda s: 16000 // s + 2)).all()
+    assert (out["rms_out"] > 0).all()

@@ -321,3 +321,73 @@ def test_musicians_connector_options_spec(spark):
     # target-node properties flow through (instrument_color → color)
     inst = res.target_frames["Instrument"].toPandas()
     assert set(inst.columns) >= {"name", "color"}
+
+
+def test_all_property_types_cast(spark):
+    """All 14 reference PropertyType values (model/enums/
+    PropertyType.java) map through the typed projection
+    (utils/BeamUtils.java:72-123 semantics in SURVEY §1.3)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    spark.createDataFrame(
+        [("1", "7", "8", "1.5", "2.25", "9.125", "true", "2024-03-01",
+          "2024-03-01 10:11:12", "abc", "13:14:15", "POINT(1 2)", "86400",
+          "10:00:00", "2024-03-01T10:11:12")],
+        "s string, i string, l string, f string, d string, dec string, "
+        "b string, dt string, ldt string, ba string, tm string, pt string, "
+        "dur string, lt string, zdt string").createOrReplaceTempView("typed_src")
+    mappings = [
+        {"constant": "T", "role": "label"},
+        {"field": "s", "name": "c_string", "role": "key", "type": "String"},
+        {"field": "i", "name": "c_int", "role": "property", "type": "Integer"},
+        {"field": "l", "name": "c_long", "role": "property", "type": "Long"},
+        {"field": "f", "name": "c_float", "role": "property", "type": "Float"},
+        {"field": "dec", "name": "c_dec", "role": "property",
+         "type": "BigDecimal"},
+        {"field": "b", "name": "c_bool", "role": "property", "type": "Boolean"},
+        {"field": "dt", "name": "c_date", "role": "property", "type": "Date"},
+        {"field": "ldt", "name": "c_ldt", "role": "property",
+         "type": "LocalDateTime"},
+        {"field": "ba", "name": "c_bytes", "role": "property",
+         "type": "ByteArray"},
+        {"field": "tm", "name": "c_time", "role": "property", "type": "Time"},
+        {"field": "pt", "name": "c_point", "role": "property", "type": "Point"},
+        {"field": "dur", "name": "c_dur", "role": "property",
+         "type": "Duration"},
+        {"field": "lt", "name": "c_lt", "role": "property",
+         "type": "LocalTime"},
+        {"field": "zdt", "name": "c_dt", "role": "property",
+         "type": "DateTime"},
+    ]
+    spec = parse_job_spec(_json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT * FROM typed_src"}],
+        "targets": [{"name": "T", "type": "node", "source": "s",
+                     "mode": "append", "mappings": mappings}],
+    }))
+    out = run_job(spark, spec).target_frames["T"]
+    dt = dict(out.dtypes)
+    # SURVEY §1.3 mapping table
+    assert dt["c_string"] == "string"
+    assert dt["c_int"] == "bigint" and dt["c_long"] == "bigint"
+    # Float lands as double end-to-end: the reference coerces FLOAT →
+    # double at write time (DataCastingUtils.rowToNeo4jDataMap:159-162)
+    assert dt["c_float"] == "double"
+    assert dt["c_dec"].startswith("decimal")
+    assert dt["c_bool"] == "boolean"
+    assert dt["c_date"] == "date"
+    assert dt["c_ldt"] == "timestamp" and dt["c_dt"] == "timestamp"
+    assert dt["c_bytes"] == "binary"
+    assert dt["c_time"] == "string" and dt["c_point"] == "string"
+    assert dt["c_dur"].startswith("decimal")
+    r = out.collect()[0]
+    assert r["c_int"] == 7 and r["c_long"] == 8
+    assert r["c_bool"] is True
+    assert str(r["c_date"]) == "2024-03-01"
+    assert r["c_point"] == "POINT(1 2)"
+    assert bytes(r["c_bytes"]) == b"abc"
