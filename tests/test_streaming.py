@@ -302,3 +302,30 @@ def test_iceberg_merge_sql_generation():
 
     plain = merge_into_sql("t1", "v", ["a", "b"], ["c"])
     assert "WHEN MATCHED THEN UPDATE SET t.`c` = s.`c`" in plain
+
+
+def test_salted_repartition_spreads_skewed_file_layout(spark, tmp_path):
+    """Skew knob (north_rule): a single-file input (the degenerate
+    hot-partition layout) decodes in ~1 task without salting; with
+    salt_buckets=8 the rows spread across ≥6 tasks."""
+    import pyspark.sql.functions as F
+
+    from dataflow_flex_templates_spark.streaming.job import ClipGraphJob
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    inp = str(tmp_path / "one_file")
+    make_clips_df(spark, 400, seed=8).coalesce(1).write.parquet(inp)
+    df = spark.read.parquet(inp)
+
+    def n_parts(job):
+        return (job.prepare_batch(df)
+                .select(F.spark_partition_id().alias("p"))
+                .groupBy("p").count().count())
+
+    base = ClipGraphJob(input_dir=inp, output_dir=str(tmp_path / "o1"),
+                        checkpoint_dir=str(tmp_path / "c1"))
+    salted = ClipGraphJob(input_dir=inp, output_dir=str(tmp_path / "o2"),
+                          checkpoint_dir=str(tmp_path / "c2"),
+                          salt_buckets=8)
+    assert n_parts(base) <= 2          # one small file → ~one split
+    assert n_parts(salted) >= 6        # salt spreads the hot layout
