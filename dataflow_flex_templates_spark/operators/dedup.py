@@ -242,3 +242,48 @@ def embedding_neardup_pairs(
          .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                  "cosine")
     )
+
+
+# --------------------------------------------- duplicate clustering (CC)
+
+def cluster_duplicates(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_rep).
+
+    The dedup group assignment every pipeline needs after pair
+    generation: each component's representative is its MINIMUM id
+    (deterministic keeper). Iterative min-label propagation — each
+    round joins current labels across edges and keeps the smaller
+    label; converges in O(component diameter) rounds, checked by an
+    aggregate (no collect of the data itself). Each round is one
+    shuffle on id; frames are localCheckpoint()ed to cut lineage so
+    round N's plan doesn't replay rounds 1..N-1.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    nodes = (ids.select(F.col(ids.columns[0]).alias("id")) if ids is not None
+             else sym.select(F.col("a").alias("id")).distinct())
+    labels = nodes.select("id", F.col("id").alias("rep"))
+    sym = sym.persist()
+    for _ in range(max_iters):
+        neigh_min = (sym.join(labels, sym["b"] == labels["id"])
+                     .groupBy("a").agg(F.min("rep").alias("nrep")))
+        new_labels = (labels.join(neigh_min,
+                                  labels["id"] == neigh_min["a"], "left")
+                      .select(F.col("id"),
+                              F.least(F.col("rep"),
+                                      F.coalesce(F.col("nrep"),
+                                                 F.col("rep"))).alias("rep")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.rep") != F.col("o.rep")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id"), F.col("rep").alias("cluster_rep"))

@@ -65,19 +65,23 @@ def extract_media_features(df: DataFrame,
     stage."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, fmts, sizes, ids = [], [], [], []
-            for _, r in pdf.iterrows():
-                ids.append(r["media_id"])
-                fmts.append(r["format"])
-                buf = r["bytes"]
+            feats, sizes = [], []
+            widths = (pdf["width"] if "width" in pdf
+                      else pd.Series([None] * len(pdf)))
+            heights = (pdf["height"] if "height" in pdf
+                       else pd.Series([None] * len(pdf)))
+            # column zip, not iterrows(): per-row Series construction
+            # costs more than the stub kernel itself
+            for buf, fmt, w, h in zip(pdf["bytes"], pdf["format"],
+                                      widths, heights):
                 sizes.append(len(buf) if buf is not None else 0)
                 try:
-                    feats.append(_decode_image_stub(
-                        buf, r["format"], r.get("width"), r.get("height")
-                    ).tolist())
+                    feats.append(
+                        _decode_image_stub(buf, fmt, w, h).tolist())
                 except Exception:
                     feats.append(None)
-            yield pd.DataFrame({"media_id": ids, "format": fmts,
+            yield pd.DataFrame({"media_id": pdf["media_id"].values,
+                                "format": pdf["format"].values,
                                 "n_bytes": sizes, "feat": feats})
 
     return df.mapInPandas(fn, schema=FEATURES_SCHEMA)

@@ -279,3 +279,39 @@ def test_winnow_fingerprints(spark, docs):
     c = set(winnow_fingerprints_np(
         "entirely unrelated text with no overlap whatsoever present"))
     assert a & b and not (a & c)
+
+
+def test_cluster_duplicates_union_find_oracle(spark, neardup_docs):
+    """Connected-components dedup grouping == python union-find over the
+    same exact-jaccard pairs."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        cluster_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(neardup_docs[["doc_id", "text"]])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.18, n=3)
+    got = {r["id"]: r["cluster_rep"]
+           for r in cluster_duplicates(pairs).collect()}
+
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pl = pairs.collect()
+    assert pl
+    for r in pl:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # representative is the min id of its component
+    for x, rep in got.items():
+        assert rep <= x

@@ -444,3 +444,51 @@ def test_session_window_spec_target(spark, stream_env):
         key = (r["codec"], r["window_start"])
         assert key in om, key
         assert (r["n"], r["total_ms"]) == om[key], (key, r["n"], om[key])
+
+
+def test_continuous_mode_incremental_files(spark, stream_env):
+    """True continuous operation (no availableNow): the job picks up
+    files appended AFTER start and commits them exactly-once."""
+    import time
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    inp2 = os.path.join(root, "input_cont")
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half], schema=clips_spark_schema()) \
+        .coalesce(1).write.mode("append").parquet(inp2)
+
+    j = SpecStreamJob(
+        _parse({k: v for k, v in _spec().items()}),
+        input_dir=inp2,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_cont"),
+        checkpoint_dir=os.path.join(root, "ckpt_cont"),
+        max_files_per_trigger=4,
+        prepare_fn=_prepare,
+    )
+    q = j.start(spark, available_now=False)
+    try:
+        deadline = time.time() + 300
+        while (not j.tables["Clip"].committed_batches()
+               and time.time() < deadline):
+            time.sleep(0.5)
+        assert j.tables["Clip"].committed_batches(), "first half not committed"
+
+        # append the second half while the query is live
+        spark.createDataFrame(pdf.iloc[half:], schema=clips_spark_schema()) \
+            .coalesce(1).write.mode("append").parquet(inp2)
+        want = pdf["clip_id"].nunique()
+        while time.time() < deadline:
+            try:
+                if j.read_merged(spark, "Clip").count() == want:
+                    break
+            except ValueError:
+                pass
+            time.sleep(1.0)
+        assert j.read_merged(spark, "Clip").count() == want
+    finally:
+        q.stop()
