@@ -259,6 +259,21 @@ def _q_text_profile(spark, sf_dir):
         "quality", "lang_pred")
 
 
+def _q_token_counts(spark, sf_dir):
+    """Token counting two ways: whitespace + BPE-ish GPT-2 pre-tokenizer
+    regex (LLM token budgeting without a merges table)."""
+    from dataflow_flex_templates_spark.operators.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    _load(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select("doc_id",
+                    token_count(F.col("text")).alias("ws_tokens"),
+                    bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+
 def _q_exact_dedup(spark, sf_dir):
     from dataflow_flex_templates_spark.operators.dedup import exact_dedup
 
@@ -725,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": _q_session_window,
         "text_profile": _q_text_profile,
         "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_neardup": _q_embedding_neardup,
@@ -867,6 +883,16 @@ def oracle_sql() -> dict[str, str]:
                              AND stop_hits / greatest(nt_tokens,1) >= 0.15
                         THEN 'en' ELSE 'unk' END AS lang_pred
             FROM tok
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+                     AS bpe_tokens
+            FROM documents
         """,
         "exact_dedup": """
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,

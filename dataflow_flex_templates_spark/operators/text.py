@@ -153,3 +153,18 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         return pd.Series(out)
 
     return df.withColumn("fingerprints", _fp(F.col(text_col)))
+
+
+#: GPT-2-style pre-tokenizer pattern (contractions, words, numbers,
+#: punctuation runs) — the "BPE-ish" token estimate. Java regex here;
+#: keep semantically aligned with the RE2 twin in the DuckDB oracle.
+BPE_SPLIT_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer pattern
+    (a good proxy for LLM token budgeting without shipping a merges
+    table). Pure JVM regex — whole-stage codegen."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+                  ).cast("long")

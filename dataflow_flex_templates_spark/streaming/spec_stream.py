@@ -188,6 +188,9 @@ class SpecStreamJob:
         runtime_tokens: dict[str, str] | None = None,
         state_dedup_key: str | None = None,
         http_fn: Callable | None = None,
+        join_input_dir: str | None = None,
+        join_schema: T.StructType | None = None,
+        join_window: str = "5 minutes",
     ):
         refactor_job_spec(spec, runtime_tokens)
         validate_job_spec(spec)
@@ -216,6 +219,14 @@ class SpecStreamJob:
         self.state_dedup_key = state_dedup_key
         self.http_fn = http_fn
         self.action_results: list[dict] = []
+        #: Optional second stream (transcripts): the north_rule's
+        #: stateful clip↔transcript stream-stream join keyed on clip_id
+        #: runs UPSTREAM of the target pipeline — joined rows flow into
+        #: the same per-target plans. Both sides are watermarked; join
+        #: state is bounded by watermark + join_window.
+        self.join_input_dir = join_input_dir
+        self.join_schema = join_schema
+        self.join_window = join_window
 
         self.tables: dict[str, ExactlyOnceTable] = {}
         active = [t for t in spec.targets if t.active]
@@ -289,6 +300,21 @@ class SpecStreamJob:
               .schema(self.input_schema)
               .option("maxFilesPerTrigger", self.max_files_per_trigger)
               .parquet(self.input_dir))
+        if self.join_input_dir is not None:
+            from dataflow_flex_templates_spark.streaming.windows import (
+                clip_transcript_join,
+            )
+
+            scripts = (spark.readStream
+                       .schema(self.join_schema)
+                       .option("maxFilesPerTrigger",
+                               self.max_files_per_trigger)
+                       .parquet(self.join_input_dir))
+            # the join applies watermarks to both sides itself
+            return clip_transcript_join(
+                df, scripts, watermark=self.watermark,
+                join_window=self.join_window,
+                time_col=self.event_time_col)
         if self.event_time_col and self.event_time_col in df.columns:
             df = df.withWatermark(self.event_time_col, self.watermark)
         return df

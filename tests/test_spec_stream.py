@@ -492,3 +492,88 @@ def test_continuous_mode_incremental_files(spark, stream_env):
         assert j.read_merged(spark, "Clip").count() == want
     finally:
         q.stop()
+
+
+def test_joined_two_stream_pipeline(spark, stream_env):
+    """The north_rule's clip↔transcript stateful stream-stream join
+    keyed on clip_id runs upstream of the spec-driven pipeline: audio
+    and transcript arrive as SEPARATE streams, the joined rows flow
+    through the same targets, and the merged graph equals the
+    single-stream batch oracle row-for-row."""
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    audio_dir = os.path.join(root, "in_audio")
+    script_dir = os.path.join(root, "in_scripts")
+    audio_schema = T.StructType(
+        [f for f in clips_spark_schema() if f.name != "transcript"])
+    script_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        part = pdf.iloc[i:i + chunk]
+        spark.createDataFrame(
+            part.drop(columns=["transcript"]), schema=audio_schema) \
+            .coalesce(1).write.mode("append").parquet(audio_dir)
+        spark.createDataFrame(
+            part[["clip_id", "transcript", "event_time"]],
+            schema=script_schema) \
+            .coalesce(1).write.mode("append").parquet(script_dir)
+
+    spec = _spec()
+    spec["targets"] = [t for t in spec["targets"]
+                       if "window" not in (t.get("transform") or {})]
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=audio_dir,
+        input_schema=audio_schema,
+        output_dir=os.path.join(root, "out_join"),
+        checkpoint_dir=os.path.join(root, "ckpt_join"),
+        watermark="60 seconds",
+        max_files_per_trigger=2,
+        prepare_fn=_prepare,
+        join_input_dir=script_dir,
+        join_schema=script_schema,
+        join_window="5 minutes",
+    )
+    j.run_to_completion(spark, timeout_s=900)
+
+    # batch oracle over the SAME joined relation (duplicate keys join
+    # into a cross product on both paths; the deterministic ordinal
+    # picks the same winner from identical rows), column order matching
+    # clip_transcript_join's output so the tie-break hash is identical
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        event_time_ordinal,
+    )
+
+    audio_b = spark.read.schema(audio_schema).parquet(audio_dir).alias("c")
+    script_b = spark.read.schema(script_schema).parquet(script_dir).alias("t")
+    joined_b = audio_b.join(script_b,
+                            F.col("c.clip_id") == F.col("t.clip_id")).select(
+        F.col("c.clip_id").alias("clip_id"), F.col("c.bytes").alias("bytes"),
+        F.col("c.sr_hz").alias("sr_hz"), F.col("c.dur_ms").alias("dur_ms"),
+        F.col("c.codec").alias("codec"),
+        F.col("t.transcript").alias("transcript"),
+        F.col("c.event_time").alias("event_time"))
+    prepared = _prepare(event_time_ordinal(joined_b, "event_time"))
+    bspec = _parse(spec)
+    batch = run_job(spark, bspec, source_frames={"clips": prepared})
+
+    got = (j.read_merged(spark, "Clip").toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    want = (batch.target_frames["Clip"].toPandas()
+            .sort_values("clip_id").reset_index(drop=True))
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "n_samples",
+            "transcript_norm"]
+    assert got[cols].equals(want[cols])
+    assert len(got) == pdf["clip_id"].nunique()
