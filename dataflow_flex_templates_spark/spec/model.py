@@ -280,6 +280,13 @@ class Config:
     edge_parallelism: int = 1
     node_batch_size: int = 5000
     edge_batch_size: int = 1000
+    #: JSON keys the spec actually set — knobs are APPLIED only when
+    #: explicit (the defaults exist for reference parity; silently
+    #: repartitioning every job to width 5/1 would be a de-optimization)
+    explicit_keys: frozenset = frozenset()
+
+    def wants(self, key: str) -> bool:
+        return key in self.explicit_keys
 
 
 @dataclass

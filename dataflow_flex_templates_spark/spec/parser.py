@@ -344,6 +344,7 @@ def _parse_config(raw: dict | None) -> Config:
         edge_parallelism=int(raw.get("edge_write_parallelism", 1)),
         node_batch_size=int(raw.get("node_write_batch_size", 5000)),
         edge_batch_size=int(raw.get("edge_write_batch_size", 1000)),
+        explicit_keys=frozenset(raw),
     )
 
 

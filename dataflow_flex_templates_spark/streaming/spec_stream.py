@@ -287,8 +287,19 @@ class SpecStreamJob:
                 (prepared.write.mode("overwrite")
                  .parquet(os.path.join(self.audit_dir, f"batch={batch_id}")))
             # D2: spec.targets is nodes-first after refactor.
+            cfg = self.spec.config
             for t in self._targets:
                 out = apply_target(spark, prepared, t, keep_ordinal=True)
+                # W5 write-parallelism knob (CreateKvTransform analogue):
+                # applied only when the spec sets it explicitly.
+                key = ("node_write_parallelism"
+                       if t.target_type == TargetType.node
+                       else "edge_write_parallelism")
+                par = (cfg.node_parallelism
+                       if t.target_type == TargetType.node
+                       else cfg.edge_parallelism)
+                if cfg.wants(key) and par > 0:
+                    out = out.repartition(par)
                 self.tables[t.name].write_batch(out, batch_id)
         finally:
             prepared.unpersist()

@@ -577,3 +577,35 @@ def test_joined_two_stream_pipeline(spark, stream_env):
             "transcript_norm"]
     assert got[cols].equals(want[cols])
     assert len(got) == pdf["clip_id"].nunique()
+
+
+def test_w5_parallelism_knob_applied(spark, stream_env):
+    """node_write_parallelism, when explicitly set, bounds the written
+    partition count per batch (W5 — the reference's vestigial random-key
+    throttle realized as repartition-before-write)."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    spec = _spec()
+    spec["config"] = {"node_write_parallelism": 2,
+                      "edge_write_parallelism": 1}
+    spec["targets"] = [t for t in spec["targets"]
+                       if "window" not in (t.get("transform") or {})]
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_w5"),
+        checkpoint_dir=os.path.join(root, "ckpt_w5"),
+        max_files_per_trigger=6,
+        prepare_fn=_prepare,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    for b in j.tables["Clip"].committed_batches():
+        info = j.tables["Clip"].commit_info(b)
+        assert len(info["partitions"]) <= 2, info
+    for b in j.tables["ENCODED_AS"].committed_batches():
+        info = j.tables["ENCODED_AS"].commit_info(b)
+        assert len(info["partitions"]) <= 1, info
