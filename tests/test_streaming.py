@@ -329,3 +329,52 @@ def test_salted_repartition_spreads_skewed_file_layout(spark, tmp_path):
                           salt_buckets=8)
     assert n_parts(base) <= 2          # one small file → ~one split
     assert n_parts(salted) >= 6        # salt spreads the hot layout
+
+
+def test_late_rows_dropped_and_counted(spark, tmp_path):
+    """Rows later than the watermark are dropped by the stateful agg
+    AND surfaced in the metrics summary (north_rule: 'late rows
+    dropped + counted')."""
+    from dataflow_flex_templates_spark.streaming.metrics import (
+        ProgressRecorder,
+    )
+    from dataflow_flex_templates_spark.streaming.windows import tumbling_agg
+    from dataflow_flex_templates_spark.testing.clips import clips_spark_schema
+
+    root = str(tmp_path)
+    pdf = make_clips_pdf(300, seed=17, dup_rate=0.0, late_rate=0.1,
+                         watermark_s=30, max_step_ms=2000, max_dur_ms=400)
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        import pyspark.sql  # noqa: F401
+
+        from dataflow_flex_templates_spark.session import get_spark  # noqa
+
+        spark.createDataFrame(pdf.iloc[i:i + chunk],
+                              schema=clips_spark_schema()) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = (spark.readStream.schema(clips_spark_schema())
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        agg = tumbling_agg(stream, "event_time", "10 seconds", ["codec"],
+                           {"n": "count(*)"}, watermark="30 seconds")
+        q = (agg.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: df.write.format("noop")
+                           .mode("overwrite").save())
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        import time
+        deadline = time.time() + 30
+        while (rec.summary()["rows_dropped_by_watermark"] == 0
+               and time.time() < deadline):
+            time.sleep(0.5)
+        s = rec.summary()
+        # ~10% of rows are generated far beyond the watermark
+        assert s["rows_dropped_by_watermark"] > 0, s
+    finally:
+        spark.streams.removeListener(rec)
