@@ -434,3 +434,40 @@ def test_text_spec_verbatim_with_runtime_uri(spark, tmp_path):
     kinds = {(m["kind"], m["property"]) for m in res_text.manifest}
     assert ("node_key", "Customer_Id") in kinds
     assert ("index", "Contact_Name") in kinds
+
+
+def test_bq_spec_verbatim_with_read_query_override(spark):
+    """The reference's bq-northwind-jobspec.json runs verbatim with a
+    runtime readQuery override (its BigQuery three-part table swapped
+    for a catalog view seeded with the inline fixture's rows) — same
+    graph as the inline spec."""
+    import os
+
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.sources.readers import (
+        all_string_schema,
+    )
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    base = "/root/reference/src/test/resources/testing-specs"
+    if not os.path.isdir(base):
+        import pytest
+        pytest.skip("reference fixtures not present")
+    with open(f"{base}/inline-northwind-jobspec.json") as f:
+        inline_spec = parse_job_spec(f.read())
+    src = next(iter(inline_spec.sources.values()))
+    rows = [[None if c is None else str(c) for c in r] for r in src.inline]
+    spark.createDataFrame(rows, schema=all_string_schema(src.field_names)) \
+        .createOrReplaceTempView("v_customer_orders")
+
+    with open(f"{base}/bq-northwind-jobspec.json") as f:
+        bq_spec = parse_job_spec(f.read())
+    res_bq = run_job(spark, bq_spec,
+                     read_query="SELECT * FROM v_customer_orders")
+    res_inline = run_job(spark, inline_spec)
+    b_nodes = {r["label"]: r["count"] for r in
+               res_bq.nodes.groupBy("label").count().collect()}
+    i_nodes = {r["label"]: r["count"] for r in
+               res_inline.nodes.groupBy("label").count().collect()}
+    assert b_nodes == i_nodes
+    assert res_bq.relationships.count() == res_inline.relationships.count()
