@@ -302,7 +302,10 @@ def _parse_source(raw: dict) -> Source:
 
             rowsep = raw.get("separator") or "\n"
             delim = raw.get("delimiter") or ","
-            lines = [ln for ln in data.split(rowsep) if ln.strip()]
+            # drop only truly EMPTY lines (StringUtils.isEmpty parity,
+            # TextParserUtils.parseDelimitedLine) — whitespace-only
+            # cells are data
+            lines = [ln for ln in data.split(rowsep) if ln != ""]
             inline_rows = list(
                 _csv.reader(_io.StringIO("\n".join(lines)),
                             delimiter=delim, quotechar='"'))
