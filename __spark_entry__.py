@@ -316,6 +316,20 @@ def _q_dedup_clusters(spark, sf_dir):
     return cluster_duplicates(pairs).select("id", "cluster_rep")
 
 
+def _q_dedup_keep(spark, sf_dir):
+    """End-to-end dedup filter: drop every non-representative member of
+    a near-dup component; keep representatives + unpaired docs."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        dedup_keep,
+        ngram_jaccard_pairs,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id < 120")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return dedup_keep(pairs, docs).select("doc_id")
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from dataflow_flex_templates_spark.operators.dedup import embedding_neardup_pairs
 
@@ -769,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep": _q_dedup_keep,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "cosine_topk": _q_cosine_topk,
@@ -1008,6 +1023,37 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
             SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id
+        """,
+        "dedup_keep": """
+            WITH RECURSIVE norm AS (
+              SELECT doc_id AS id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+              FROM documents WHERE doc_id < 120),
+            sh AS (
+              SELECT id, list_distinct(list_transform(
+                       generate_series(1, greatest(length(nt)-2, 1)),
+                       i -> substring(nt, i, 3))) AS s
+              FROM norm),
+            inv AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+              GROUP BY 1,2,3,4),
+            pairs AS (
+              SELECT id_a, id_b FROM cand
+              WHERE inter / (sz_a + sz_b - inter) >= 0.5),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+            losers AS (
+              SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
+            SELECT doc_id FROM documents
+            WHERE doc_id < 120 AND doc_id NOT IN (SELECT id FROM losers)
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -351,3 +351,18 @@ def embedding_neardup_lsh(
                                   6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def dedup_keep(
+    pairs_df: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end dedup FILTER: given near-dup pairs, keep each
+    component's representative (minimum id) plus every unpaired doc —
+    the frame a training pipeline actually feeds downstream. One
+    left-anti join against the non-representative ids."""
+    clusters = cluster_duplicates(pairs_df)
+    losers = clusters.filter(F.col("id") != F.col("cluster_rep")) \
+                     .select(F.col("id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

@@ -337,3 +337,29 @@ def test_embedding_neardup_lsh_recall(spark, emb):
     # cos 0.3 ≈ 72 deg → per-plane collision ~0.6; 4 planes x 16 tables
     # gives ~0.94 measured recall on the fixture
     assert recall >= 0.8, recall
+
+
+def test_dedup_keep_filter(spark, neardup_docs):
+    """dedup_keep retains exactly one representative per near-dup
+    component plus all unpaired docs."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        dedup_keep,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(neardup_docs[["doc_id", "text"]])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.18, n=3)
+    kept = {r["doc_id"] for r in dedup_keep(pairs, docs).collect()}
+    paired = {r["id_a"] for r in pairs.collect()} | \
+             {r["id_b"] for r in pairs.collect()}
+    all_ids = set(neardup_docs["doc_id"])
+    # unpaired docs always kept
+    assert (all_ids - paired) <= kept
+    # each component keeps exactly its min id
+    from dataflow_flex_templates_spark.operators.dedup import (
+        cluster_duplicates,
+    )
+    comp = {r["id"]: r["cluster_rep"]
+            for r in cluster_duplicates(pairs).collect()}
+    for x, rep in comp.items():
+        assert (x in kept) == (x == rep)
