@@ -269,6 +269,7 @@ def cluster_duplicates(
              else sym.select(F.col("a").alias("id")).distinct())
     labels = nodes.select("id", F.col("id").alias("rep"))
     sym = sym.persist()
+    converged = False
     for _ in range(max_iters):
         neigh_min = (sym.join(labels, sym["b"] == labels["id"])
                      .groupBy("a").agg(F.min("rep").alias("nrep")))
@@ -284,8 +285,19 @@ def cluster_duplicates(
                    .filter(F.col("n.rep") != F.col("o.rep")).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # A component with diameter > max_iters would silently keep >1
+        # representative (dedup_keep would then under-delete). Surface
+        # it loudly — callers can raise max_iters or pre-contract.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cluster_duplicates: min-label propagation did NOT converge "
+            "within %d rounds; some components may carry multiple "
+            "representatives", max_iters)
     return labels.select(F.col("id"), F.col("rep").alias("cluster_rep"))
 
 

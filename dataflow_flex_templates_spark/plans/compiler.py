@@ -301,7 +301,15 @@ def apply_target(
             if name not in keys and not m.is_constant
             and m.field and m.field in source_df.columns
         ]
-        if not extra_group_cols:
+        # The skip is only sound when the key columns are cast-free:
+        # grouping ran on RAW source values, keys are the TYPED outputs,
+        # and a cast can merge distinct raw groups into one key ('1',
+        # ' 1', '01' → 1; unparseable → null) — which would emit
+        # duplicate-key rows from a merge target. Keys with a declared
+        # type keep the LWW dedup on the post-cast values.
+        keys_cast_free = all(
+            m.type is None for m, name in ct.out_cols if name in keys)
+        if not extra_group_cols and keys_cast_free:
             do_dedup = False
     out_order = [c for c in projected.columns if c != ORDINAL_COL]
     if keep_ordinal and ORDINAL_COL in projected.columns:

@@ -7,13 +7,25 @@ uses (north_rule: "exactly-once idempotent Iceberg sink"), and its SQL
 generation + commit protocol are unit-tested without the jar:
 
   foreachBatch(batch_id, df):
-    1. committed batch_ids live in the target table property
-       ``etl.committed-batches`` (or a side log table) — skip if seen
+    1. committed batch_ids live in a side log table — skip if seen
     2. stage the micro-batch as a temp view
     3. one atomic ``MERGE INTO`` keyed on the natural key with the
        deterministic LWW guard (update only when source order is newer)
-    4. the batch_id is stamped via a commit-message snapshot property
-       (``spark.wap`` style) in the SAME commit — restart replays no-op
+    4. the batch_id is recorded by a separate INSERT into the log table
+
+This is a TWO-commit protocol (MERGE commit, then log commit). A crash
+between the two replays the MERGE on restart; the replay is a no-op
+because the ``order_col >= `` guard makes the MERGE idempotent — the
+replayed rows carry the same deterministic event-time ordinals, so
+every matched row re-writes its own values. That argument REQUIRES
+``order_col``: without it a replay still re-applies the same values
+(benign when the batch content is deterministic) but carries no
+ordering defense against recomputation drift, so production use should
+always pass the deterministic ordinal. (A single-commit variant —
+batch_id stamped as a snapshot property of the MERGE commit itself,
+``spark.wap`` style — removes the window entirely; the log-table form
+is kept here because it is testable without an Iceberg catalog and its
+replay semantics are equivalent under the guard.)
 
 Mapping to the reference: W2 node merge (CypherGenerator.java:63-71
 ``MERGE (n {keys}) SET n += props``) and W3 edge merge (:38-48) both

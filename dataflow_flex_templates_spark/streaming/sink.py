@@ -102,6 +102,7 @@ class ExactlyOnceTable:
             "batch_id": batch_id,
             "rows": int(sum(part_counts.values())),
             "partitions": part_counts,
+            "columns": out.columns,
             "committed_at_unix": time.time(),
             "epoch_id": str(uuid.uuid4()),
         }
@@ -126,9 +127,19 @@ class ExactlyOnceTable:
             raise ValueError(f"all committed batches empty in {self.path}")
         df = spark.read.parquet(*paths)
         # multi-table commits null-pad to the union schema; project back
-        # to this table's own columns (recorded per commit)
-        cols = self.commit_info(batches[-1]).get("columns")
-        if cols:
+        # to the union of every commit's recorded column list (first-
+        # appearance order) so a table written by both write_batch and
+        # write_batch_multi reads the same regardless of which wrote
+        # last. Commits from before column recording fall back to the
+        # physical schema.
+        cols: list[str] = []
+        any_recorded = False
+        for b in batches:
+            rec = self.commit_info(b).get("columns")
+            if rec:
+                any_recorded = True
+                cols.extend(c for c in rec if c not in cols)
+        if any_recorded:
             df = df.select(*[c for c in cols if c in df.columns])
         return df
 
