@@ -294,11 +294,15 @@ def _q_exact_dedup(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs through the DF-BOUNDED inverted index
+    (max_df drops hot shingles from candidate generation only; the
+    array_intersect verify recomputes true Jaccard, so output equals
+    the unbounded exact path — proven in tests/test_operators.py)."""
     from dataflow_flex_templates_spark.operators.dedup import ngram_jaccard_pairs
 
     _load(spark, sf_dir)
     docs = spark.table("documents").filter("doc_id < 120")
-    return ngram_jaccard_pairs(docs, threshold=0.18, n=3)
+    return ngram_jaccard_pairs(docs, threshold=0.18, n=3, max_df=100)
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -361,8 +365,9 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup (approximation → rows-only driver check;
-    recall/precision pytest-verified vs exact jaccard)."""
+    """MinHash+LSH near-dup. Oracle: band-bucket candidates pinned from
+    the pure-Python XXH64 twin (testing/twins.py, bit-exact vs
+    Catalyst) + exact-Jaccard verification re-derived in DuckDB SQL."""
     from dataflow_flex_templates_spark.operators.dedup import minhash_lsh_pairs
 
     _load(spark, sf_dir)
@@ -371,11 +376,26 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    """SimHash fingerprints (xxhash64-based → rows-only driver check)."""
+    """SimHash fingerprints. Oracle: signatures recomputed by the
+    pure-Python XXH64 twin (independent implementation of the public
+    XXH64 spec) pinned as a DuckDB VALUES table."""
     from dataflow_flex_templates_spark.operators.dedup import simhash
 
     _load(spark, sf_dir)
     return simhash(spark.table("documents").filter("doc_id < 200"))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole block bucketing —
+    GUARANTEED recall 1.0 at Hamming ≤ 3 (operators/dedup.py). Oracle:
+    twin-pinned signatures + brute-force xor/bit_count pairing in SQL."""
+    from dataflow_flex_templates_spark.operators.dedup import simhash_pairs
+
+    _load(spark, sf_dir)
+    return (simhash_pairs(spark.table("documents").filter("doc_id < 500"),
+                          max_hamming=3)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
@@ -389,17 +409,19 @@ def _q_lsh_ann_topk(spark, sf_dir):
 
 
 def _q_winnow_fingerprints(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints (MOSS) per document —
-    Arrow-batched numpy kernel; rows-only driver check (the hash
-    algebra is pytest-verified against a pure-numpy oracle)."""
+    """Rolling-hash winnowing fingerprints (MOSS) per document,
+    Arrow-batched numpy kernel, exploded to (doc_id, fingerprint) rows.
+    Oracle: the ENTIRE winnowing algebra (k-gram polynomial rolling
+    hash mod 2^64 folded to 61 bits, sliding-window min, robust
+    position dedup) re-expressed in DuckDB SQL over HUGEINT — a fully
+    independent recomputation, no pinned constants."""
     from dataflow_flex_templates_spark.operators.text import (
         winnow_fingerprints,
     )
 
     _load(spark, sf_dir)
     return (winnow_fingerprints(spark.table("documents").filter("doc_id < 200"))
-            .select("doc_id", F.size("fingerprints").alias("n_fp"),
-                    F.col("fingerprints")))
+            .select("doc_id", F.explode("fingerprints").alias("fingerprint")))
 
 
 def _q_ivf_ann_topk(spark, sf_dir):
@@ -416,8 +438,9 @@ def _q_ivf_ann_topk(spark, sf_dir):
 
 def _q_audio_decode_stats(spark, sf_dir):
     """Vectorized PCM decode (pandas UDF) over the synthetic clip table
-    — per-codec amplitude stats. No SQL oracle (binary decode);
-    SNR≥30dB is pytest-verified per row."""
+    — per-codec amplitude stats. Oracle: the same aggregates
+    recomputed single-process by the numpy twin (no Spark), pinned as
+    a VALUES table; per-row SNR≥30dB additionally pytest-verified."""
     from dataflow_flex_templates_spark.functions.audio import with_audio_features
     from dataflow_flex_templates_spark.testing.clips import make_clips_df
 
@@ -450,31 +473,41 @@ def _q_audio_resample_stats(spark, sf_dir):
 
 def _q_streaming_clip_graph(spark, sf_dir):
     """End-to-end streaming job (exactly-once sink, LWW merge) run to
-    completion on a synthetic clip stream; returns the merged node
-    table. Rows-only driver check; full semantics pytest-verified."""
+    completion on a DOCUMENT-DERIVED clip stream: every clip column is
+    deterministic arithmetic over the `documents` table (including a
+    later " rev2" transcript revision for doc_id%5==0 that must win
+    under MERGE), so the merged node table has a genuine DuckDB SQL
+    oracle — decode sample counts, normalization, and LWW all checked
+    row-for-row against `SELECT ... FROM documents`."""
     import tempfile
 
     from dataflow_flex_templates_spark.streaming.job import ClipGraphJob
-    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+    from dataflow_flex_templates_spark.testing.clips import make_doc_clips_df
 
+    _load(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="entry_stream_")
-    make_clips_df(spark, 200, seed=42).repartition(4).write.mode(
-        "overwrite").parquet(f"{root}/in")
+    clips = make_doc_clips_df(
+        spark, spark.table("documents").filter("doc_id < 200"))
+    clips.repartition(4).write.mode("overwrite").parquet(f"{root}/in")
     job = ClipGraphJob(input_dir=f"{root}/in", output_dir=f"{root}/out",
                        checkpoint_dir=f"{root}/ckpt",
                        max_files_per_trigger=2)
     job.run_to_completion(spark)
     return (job.nodes_table.read_merged(spark)
-            .select("clip_id", "sr_hz", "dur_ms", "codec", "n_samples",
-                    "transcript_norm"))
+            .select("clip_id",
+                    F.col("sr_hz").cast("long").alias("sr_hz"),
+                    F.col("dur_ms").cast("long").alias("dur_ms"),
+                    "codec", "n_samples", "transcript_norm"))
 
 
 def _q_spec_stream_graph(spark, sf_dir):
     """North-star flagship: the SAME JSON job spec the batch engine
     runs, executed as a continuous Structured Streaming pipeline
     (SpecStreamJob) — vectorized decode, event-time-deterministic LWW
-    MERGE, exactly-once commits. Rows-only driver check; batch/stream
-    row-identity is pytest-verified (tests/test_spec_stream.py)."""
+    MERGE, exactly-once commits. Runs over the DOCUMENT-DERIVED clip
+    stream so the merged output has a genuine DuckDB oracle (see
+    _q_streaming_clip_graph); batch/stream row-identity is additionally
+    pytest-verified (tests/test_spec_stream.py)."""
     import json as _json
     import tempfile
 
@@ -488,7 +521,7 @@ def _q_spec_stream_graph(spark, sf_dir):
     from dataflow_flex_templates_spark.streaming.spec_stream import SpecStreamJob
     from dataflow_flex_templates_spark.testing.clips import (
         clips_spark_schema,
-        make_clips_df,
+        make_doc_clips_df,
     )
 
     spec = parse_job_spec(_json.dumps({
@@ -517,9 +550,11 @@ def _q_spec_stream_graph(spark, sf_dir):
                             normalize_transcript(_F.col("transcript")))
                 .drop("bytes"))
 
+    _load(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="entry_spec_stream_")
-    make_clips_df(spark, 200, seed=42).repartition(4).write.mode(
-        "overwrite").parquet(f"{root}/in")
+    clips = make_doc_clips_df(
+        spark, spark.table("documents").filter("doc_id < 200"))
+    clips.repartition(4).write.mode("overwrite").parquet(f"{root}/in")
     job = SpecStreamJob(
         spec, input_dir=f"{root}/in", input_schema=clips_spark_schema(),
         output_dir=f"{root}/out", checkpoint_dir=f"{root}/ckpt",
@@ -530,53 +565,49 @@ def _q_spec_stream_graph(spark, sf_dir):
 
 
 def _q_cep_sequence_detect(spark, sf_dir):
-    """CEP sequence detection (view→cart→buy within 2 min per user)
-    over an out-of-order event stream: watermark-gated buffered
-    matching via applyInPandasWithState. Non-SQL-expressible stateful
-    op → rows-only; equality with the sorted batch automaton oracle is
-    pytest-verified (tests/test_cep.py)."""
+    """CEP sequence detection (view→click→purchase within 12 h per
+    user) over the `events` table replayed as an out-of-order stream:
+    watermark-gated buffered matching via applyInPandasWithState.
+    Oracle: the pattern automaton re-expressed as a DuckDB RECURSIVE
+    CTE over the same `events` view — a fully independent SQL
+    recomputation of the stateful streaming op."""
     import os
-    import random
     import tempfile
-    from datetime import datetime, timedelta, timezone
+    from datetime import timedelta
 
     import pandas as pd
-    from pyspark.sql import types as T
 
     from dataflow_flex_templates_spark.streaming.cep import detect_sequence
 
-    rng = random.Random(13)
-    t = datetime(2025, 1, 1, tzinfo=timezone.utc)
-    rows = []
-    for _ in range(600):
-        t = t + timedelta(milliseconds=rng.randrange(200, 1500))
-        rows.append((f"u{rng.randrange(8)}",
-                     rng.choices(["view", "cart", "buy", "noise"],
-                                 [0.4, 0.25, 0.15, 0.2])[0],
-                     t - timedelta(seconds=rng.uniform(0, 5))))
-    pdf = pd.DataFrame(rows, columns=["user", "event", "event_time"])
-    schema = T.StructType([
-        T.StructField("user", T.StringType()),
-        T.StructField("event", T.StringType()),
-        T.StructField("event_time", T.TimestampType()),
-    ])
+    _load(spark, sf_dir)
+    pdf = (spark.table("events")
+           .select("user_id", "event_type", F.col("ts").alias("event_time"))
+           .orderBy("event_time").toPandas())
+    schema = "user_id long, event_type string, event_time timestamp"
     root = tempfile.mkdtemp(prefix="entry_cep_")
     inp = os.path.join(root, "in")
+    # chronological chunks: stream arrival order ≈ event order, so the
+    # advancing watermark never drops a yet-to-arrive event
     chunk = len(pdf) // 8 + 1
     for i in range(0, len(pdf), chunk):
         spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
             .coalesce(1).write.mode("append").parquet(inp)
-    far = pdf["event_time"].max() + timedelta(hours=1)
+    # per-user flush rows far past the end push the watermark over every
+    # real event; 'flush' is not in the pattern so the automaton ignores
+    # them (and the batch oracle, which never sees them, agrees)
+    far = pdf["event_time"].max() + timedelta(days=2)
     spark.createDataFrame(
-        pd.DataFrame([(u, "noise", far) for u in sorted(pdf["user"].unique())],
+        pd.DataFrame([(u, "flush", far)
+                      for u in sorted(pdf["user_id"].unique())],
                      columns=pdf.columns), schema=schema) \
         .coalesce(1).write.mode("append").parquet(inp)
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 2).parquet(inp)
-              .withWatermark("event_time", "30 seconds"))
-    matches = detect_sequence(stream, "user", "event",
-                              ["view", "cart", "buy"], within="2 minutes")
+              .withWatermark("event_time", "1 hour"))
+    matches = detect_sequence(stream, "user_id", "event_type",
+                              ["view", "click", "purchase"],
+                              within="12 hours")
     out = os.path.join(root, "out")
     q = (matches.writeStream.outputMode("append")
          .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
@@ -584,10 +615,136 @@ def _q_cep_sequence_detect(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(600)
     return (spark.read.parquet(out)
-            .select("user",
+            .select("user_id",
                     F.unix_micros("match_start").alias("match_start"),
                     F.unix_micros("match_end").alias("match_end"),
-                    "n_events"))
+                    F.col("n_events").cast("long").alias("n_events")))
+
+
+def _q_stream_stream_join(spark, sf_dir):
+    """Stateful clip↔transcript stream-stream join keyed on clip_id
+    (J2 / north_rule): audio rows and transcript rows arrive on two
+    watermarked streams, join within the event-time window, then flow
+    through the spec target pipeline (decode + normalize + MERGE).
+    Document-derived input → genuine DuckDB oracle over `documents`."""
+    import json as _json
+    import tempfile
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        normalize_transcript,
+        with_audio_features,
+    )
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.streaming.spec_stream import SpecStreamJob
+    from dataflow_flex_templates_spark.testing.clips import make_doc_clips_df
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_ssj_")
+    # one base row per clip on each side (no rev2 duplicates: both join
+    # legs carry the clip's event_time, so LWW between two joined
+    # transcript versions would tie on the order key)
+    base = make_doc_clips_df(
+        spark, spark.table("documents").filter("doc_id < 200")) \
+        .dropDuplicates(["clip_id"])
+    base.persist()
+    clips_side = base.drop("transcript")
+    scripts_side = base.select("clip_id", "transcript", "event_time")
+    clips_side.repartition(4).write.mode("overwrite").parquet(f"{root}/clips")
+    scripts_side.repartition(4).write.mode("overwrite").parquet(
+        f"{root}/scripts")
+    base.unpersist()
+
+    clips_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+    scripts_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+
+    spec = parse_job_spec(_json.dumps({
+        "sources": [{"type": "bigquery", "name": "joined",
+                     "query": "SELECT 1"}],
+        "targets": [{
+            "name": "JoinedClip", "type": "node", "source": "joined",
+            "mode": "merge",
+            "mappings": [
+                {"constant": "JoinedClip", "role": "label"},
+                {"field": "clip_id", "name": "clip_id", "role": "key",
+                 "type": "String"},
+                {"field": "codec", "name": "codec", "role": "property",
+                 "type": "String"},
+                {"field": "n_samples", "name": "n_samples",
+                 "role": "property", "type": "Long"},
+                {"field": "transcript_norm", "name": "transcript_norm",
+                 "role": "property", "type": "String"},
+            ],
+        }],
+    }))
+
+    def prepare(df):
+        return (with_audio_features(df)
+                .withColumn("transcript_norm",
+                            normalize_transcript(F.col("transcript")))
+                .drop("bytes"))
+
+    job = SpecStreamJob(
+        spec, input_dir=f"{root}/clips", input_schema=clips_schema,
+        output_dir=f"{root}/out", checkpoint_dir=f"{root}/ckpt",
+        max_files_per_trigger=2, prepare_fn=prepare,
+        watermark="120 seconds",
+        join_input_dir=f"{root}/scripts", join_schema=scripts_schema,
+        join_window="5 minutes")
+    job.run_to_completion(spark)
+    return job.read_merged(spark, "JoinedClip").select(
+        "clip_id", "codec", "n_samples", "transcript_norm")
+
+
+def _q_actions_named_barrier(spark, sf_dir):
+    """D1 execute_after_name: an action that waits on ONE named target
+    (GcpToNeo4j.java:333-336, BeamBlock.java:38-104) — it runs right
+    after target Part completes and observes exactly Part's rows via
+    the published target_Part view; the unnamed 'loads' action still
+    runs at the phase boundary after it."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    _load(spark, sf_dir)
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT l_partkey, l_quantity FROM lineitem"}],
+        "targets": [{"node": {
+            "source": "s", "name": "Part", "mode": "append",
+            "transform": {"group": True,
+                          "aggregations": [{"expr": "SUM(l_quantity)",
+                                            "field": "qty"}]},
+            "mappings": {"labels": ["\"Part\""],
+                         "keys": [{"l_partkey": "partkey"}],
+                         "properties": {"doubles": [{"qty": "qty"}]}},
+        }}],
+        "actions": [
+            {"name": "audit_part", "type": "cypher",
+             "execute_after": "node", "execute_after_name": "Part",
+             "options": [{"cypher":
+                          "CREATE OR REPLACE TEMP VIEW named_part_audit AS "
+                          "SELECT COUNT(*) AS n_parts, "
+                          "round(SUM(qty), 4) AS total_qty "
+                          "FROM target_Part"}]},
+            {"name": "post", "type": "bigquery", "execute_after": "loads",
+             "options": [{"sql": "SELECT 1 AS one"}]},
+        ],
+    }))
+    out = run_job(spark, spec)
+    # named action fired at its target's barrier, before the phase action
+    assert [r["name"] for r in out.action_results] == ["audit_part", "post"]
+    return spark.table("named_part_audit")
 
 
 def _q_text_source_csv(spark, sf_dir):
@@ -789,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -796,11 +954,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_stats": _q_audio_resample_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
+        "stream_stream_join": _q_stream_stream_join,
         "cep_sequence_detect": _q_cep_sequence_detect,
         "text_source_csv": _q_text_source_csv,
         "inline_source": _q_inline_source,
         "token_substitution": _q_token_substitution,
         "actions_pipeline": _q_actions_pipeline,
+        "actions_named_barrier": _q_actions_named_barrier,
         "drop_empty_rows": _q_drop_empty_rows,
         "frame_sample_plan": _q_frame_sample_plan,
         "media_features": _q_media_features,
@@ -809,15 +969,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------------------
 # oracle_sql() — DuckDB equivalents (same aliases, same rounding)
+#
+# Hash-derived operators split their oracle: candidate sets /
+# signatures come from the pure-Python twins (testing/twins.py —
+# independent XXH64 + sequential-fold LSH, verified bit-exact against
+# Catalyst in tests/test_twins.py), pinned into
+# testing/oracle_constants.json by scripts/gen_oracle_constants.py
+# (NO Spark involved); the similarity/aggregation half is genuine SQL
+# over the same parquet views.
 # --------------------------------------------------------------------------
 
 _STOPWORDS_SQL = ("['a','and','are','as','at','be','by','for','from','has',"
                   "'he','in','is','it','its','of','on','that','the','to',"
                   "'was','were','will','with']")
 
+_CONSTANTS = None
+
+
+def _constants() -> dict:
+    global _CONSTANTS
+    if _CONSTANTS is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "dataflow_flex_templates_spark", "testing",
+            "oracle_constants.json")
+        with open(path) as f:
+            _CONSTANTS = json.load(f)
+    return _CONSTANTS
+
+
+def _values_table(rows, cols: list[str]) -> str:
+    """Render rows as a DuckDB inline VALUES relation."""
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return repr(v)
+
+    body = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    return f"(VALUES {body}) AS t({', '.join(cols)})"
+
+
+#: DuckDB twin of functions.audio.normalize_transcript (same op order:
+#: lower/trim → strip non-letter/digit/apostrophe → collapse ws → trim).
+def _norm_transcript_sql(col: str) -> str:
+    return ("trim(regexp_replace(regexp_replace(lower(trim(" + col + ")), "
+            r"'[^\p{L}\p{N}'' ]+', ' ', 'g'), '\s+', ' ', 'g'))")
+
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "jobspec_customer_nodes": """
             SELECT c_custkey AS custkey, c_name AS name,
                    c_mktsegment AS mktsegment
@@ -1112,10 +1317,256 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes
             FROM documents WHERE doc_id < 100
         """,
-        # minhash_lsh / simhash / lsh_ann_topk / audio_decode_stats /
-        # streaming_clip_graph: intentionally no SQL oracle (hash-based
-        # approximations, binary decode, streaming state) — rows-only.
+        "actions_named_barrier": """
+            SELECT COUNT(*) AS n_parts, round(SUM(qty), 4) AS total_qty
+            FROM (SELECT l_partkey, SUM(l_quantity) AS qty
+                  FROM lineitem GROUP BY 1)
+        """,
+        # winnowing: the whole algebra (k=5-gram polynomial rolling hash
+        # mod 2^64 folded to 61 bits, window w=4 min, robust positional
+        # dedup) re-derived in SQL over HUGEINT — no pinned constants
+        "winnow_fingerprints": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+              FROM documents WHERE doc_id < 200),
+            chars AS (SELECT doc_id, nt, length(nt) AS n FROM norm),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN n >= 5 THEN
+                  list_transform(generate_series(1, n - 4),
+                    i -> CAST(
+                      ((((((((ord(substring(nt, i, 1)) & 65535)::HUGEINT
+                           * 1000003
+                         + (ord(substring(nt, i+1, 1)) & 65535))
+                           % 18446744073709551616) * 1000003
+                         + (ord(substring(nt, i+2, 1)) & 65535))
+                           % 18446744073709551616) * 1000003
+                         + (ord(substring(nt, i+3, 1)) & 65535))
+                           % 18446744073709551616) * 1000003
+                         + (ord(substring(nt, i+4, 1)) & 65535))
+                           % 18446744073709551616
+                           % 2305843009213693952 AS BIGINT))
+                ELSE [] END AS g
+              FROM chars),
+            winnowed AS (
+              SELECT doc_id,
+                CASE
+                  WHEN len(g) = 0 THEN []
+                  WHEN len(g) < 4 THEN [g[list_position(g, list_min(g))]]
+                  ELSE (
+                    list_transform(
+                      list_filter(generate_series(1, len(g) - 3),
+                        i -> i = 1 OR
+                          (i - 1 + list_position(g[i:i+3],
+                                                 list_min(g[i:i+3]))) !=
+                          (i - 2 + list_position(g[i-1:i+2],
+                                                 list_min(g[i-1:i+2])))),
+                      i -> list_min(g[i:i+3]))
+                  )
+                END AS fps
+              FROM grams)
+            SELECT doc_id, unnest(fps) AS fingerprint FROM winnowed
+        """,
+        # CEP automaton (non-overlapping, first-match-restart, span ≤
+        # within) as a recursive CTE stepping every user one event per
+        # iteration — a fully independent SQL recomputation of the
+        # applyInPandasWithState streaming op
+        "cep_sequence_detect": """
+            WITH RECURSIVE ev AS (
+              SELECT user_id, event_type AS ev, epoch_us(ts) AS ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_type) AS rn
+              FROM events),
+            step(user_id, rn, stage, mstart, emit_start, emit_end) AS (
+              SELECT user_id, 0, 0, CAST(-1 AS BIGINT),
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+              FROM (SELECT DISTINCT user_id FROM ev)
+              UNION ALL
+              SELECT e.user_id, e.rn,
+                CASE
+                  WHEN e.ev = (CASE s2.stage WHEN 0 THEN 'view'
+                               WHEN 1 THEN 'click'
+                               WHEN 2 THEN 'purchase' END)
+                    THEN CASE WHEN s2.stage = 2 THEN 0
+                              ELSE s2.stage + 1 END
+                  WHEN s2.stage > 0 AND e.ev = 'view' THEN 1
+                  ELSE s2.stage END,
+                CASE
+                  WHEN e.ev = (CASE s2.stage WHEN 0 THEN 'view'
+                               WHEN 1 THEN 'click'
+                               WHEN 2 THEN 'purchase' END)
+                    THEN CASE WHEN s2.stage = 2 THEN -1
+                              WHEN s2.stage = 0 THEN e.ts
+                              ELSE s2.mstart END
+                  WHEN s2.stage > 0 AND e.ev = 'view' THEN e.ts
+                  ELSE s2.mstart END,
+                CASE WHEN s2.stage = 2 AND e.ev = 'purchase'
+                     THEN s2.mstart END,
+                CASE WHEN s2.stage = 2 AND e.ev = 'purchase'
+                     THEN e.ts END
+              FROM step s
+              JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+              CROSS JOIN LATERAL (SELECT
+                  CASE WHEN s.stage > 0 AND s.mstart >= 0
+                            AND e.ts - s.mstart > 43200000000
+                       THEN 0 ELSE s.stage END AS stage,
+                  CASE WHEN s.stage > 0 AND s.mstart >= 0
+                            AND e.ts - s.mstart > 43200000000
+                       THEN CAST(-1 AS BIGINT) ELSE s.mstart END AS mstart
+                ) s2
+            )
+            SELECT user_id, emit_start AS match_start,
+                   emit_end AS match_end, CAST(3 AS BIGINT) AS n_events
+            FROM step WHERE emit_start IS NOT NULL
+        """,
     }
+
+    const = _constants()
+
+    # simhash signatures: pinned from the pure-Python XXH64 twin
+    sim_vals = _values_table(const["simhash"], ["id", "simhash"])
+    out["simhash"] = f"""
+        SELECT CAST(id AS BIGINT) AS id, CAST(simhash AS BIGINT) AS simhash
+        FROM {sim_vals} WHERE id < 200
+    """
+    # simhash near-dup pairs: twin signatures + brute-force SQL pairing
+    out["simhash_pairs"] = f"""
+        WITH sims AS (
+          SELECT CAST(id AS BIGINT) AS id,
+                 CAST(simhash AS BIGINT) AS simhash
+          FROM {sim_vals} WHERE id < 500)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                 AS hamming
+        FROM sims a JOIN sims b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    # minhash LSH: twin band-bucket candidates + exact Jaccard in SQL
+    mh_cand = _values_table(const["minhash_candidates"], ["id_a", "id_b"])
+    out["minhash_lsh"] = rf"""
+        WITH cand AS (
+          SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+          FROM {mh_cand}),
+        norm AS (
+          SELECT doc_id AS id,
+                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+          FROM documents WHERE doc_id < 120),
+        sh AS (
+          SELECT id, list_distinct(list_transform(
+                   generate_series(1, greatest(length(nt)-2, 1)),
+                   i -> substring(nt, i, 3))) AS s
+          FROM norm),
+        inv AS (SELECT id, len(s) AS sz, unnest(s) AS g FROM sh),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 COUNT(*) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1,2,3,4),
+        jac AS (
+          SELECT id_a, id_b,
+                 round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+          FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.18)
+        SELECT j.id_a, j.id_b, j.jaccard
+        FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+    """
+    # embedding near-dup LSH: twin bucket candidates + exact SQL cosine
+    nd_cand = _values_table(const["neardup_lsh_candidates"],
+                            ["id_a", "id_b"])
+    out["embedding_neardup_lsh"] = f"""
+        WITH cand AS (
+          SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+          FROM {nd_cand})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6)
+                 AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.3
+    """
+    # LSH ANN top-k: twin candidates + exact SQL cosine re-rank
+    ann_cand = _values_table(const["lsh_ann_candidates"],
+                             ["query_id", "neighbor_id"])
+    out["lsh_ann_topk"] = f"""
+        WITH cand AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(neighbor_id AS BIGINT) AS neighbor_id
+          FROM {ann_cand}),
+        sc AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              v.embedding::DOUBLE[]), 6)
+                   AS cosine
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings v ON v.vec_id = c.neighbor_id),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM sc)
+        SELECT query_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 5
+    """
+    # audio stats: single-process numpy-twin aggregates
+    out["audio_decode_stats"] = f"""
+        SELECT codec, CAST(n AS BIGINT) AS n,
+               CAST(avg_rms AS DOUBLE) AS avg_rms,
+               CAST(avg_zcr AS DOUBLE) AS avg_zcr
+        FROM {_values_table(const["audio_decode_stats"],
+                            ["codec", "n", "avg_rms", "avg_zcr"])}
+        ORDER BY codec
+    """
+    out["audio_resample_stats"] = f"""
+        SELECT CAST(sr_hz AS BIGINT) AS sr_hz, CAST(n AS BIGINT) AS n,
+               CAST(total_out_samples AS BIGINT) AS total_out_samples,
+               CAST(avg_rms AS DOUBLE) AS avg_rms
+        FROM {_values_table(const["audio_resample_stats"],
+                            ["sr_hz", "n", "total_out_samples", "avg_rms"])}
+        ORDER BY sr_hz
+    """
+    # document-derived streaming jobs: pure SQL over `documents`
+    # (arithmetic clip columns + normalization + rev2 LWW resolution)
+    _doc_clip_cols = """
+          'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id,
+          CAST([8000, 16000, 44100][doc_id % 3 + 1] AS BIGINT) AS sr_hz,
+          CAST(100 + (doc_id % 7) * 50 AS BIGINT) AS dur_ms,
+          ['pcm_s16le', 'pcm_f32le', 'ulaw'][doc_id % 3 + 1] AS codec,
+          CAST([8000, 16000, 44100][doc_id % 3 + 1]
+               * (100 + (doc_id % 7) * 50) / 1000 AS BIGINT) AS n_samples
+    """
+    win_norm = _norm_transcript_sql(
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END")
+    base_norm = _norm_transcript_sql("text")
+    out["streaming_clip_graph"] = f"""
+        SELECT {_doc_clip_cols},
+               {win_norm} AS transcript_norm
+        FROM documents WHERE doc_id < 200
+    """
+    out["spec_stream_graph"] = f"""
+        SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id,
+               ['pcm_s16le', 'pcm_f32le', 'ulaw'][doc_id % 3 + 1] AS codec,
+               CAST([8000, 16000, 44100][doc_id % 3 + 1]
+                    * (100 + (doc_id % 7) * 50) / 1000 AS BIGINT)
+                 AS n_samples,
+               {win_norm} AS transcript_norm
+        FROM documents WHERE doc_id < 200
+    """
+    out["stream_stream_join"] = f"""
+        SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id,
+               ['pcm_s16le', 'pcm_f32le', 'ulaw'][doc_id % 3 + 1] AS codec,
+               CAST([8000, 16000, 44100][doc_id % 3 + 1]
+                    * (100 + (doc_id % 7) * 50) / 1000 AS BIGINT)
+                 AS n_samples,
+               {base_norm} AS transcript_norm
+        FROM documents WHERE doc_id < 200
+    """
+    # ivf_ann_topk: intentionally no SQL oracle — Lloyd-refined
+    # centroids depend on distributed float-sum order, so candidates
+    # are not reproducible outside the engine; recall vs exact top-k
+    # is pytest-verified instead.
+    return out
 
 
 if __name__ == "__main__":

@@ -91,12 +91,37 @@ def run_actions(
     phase: str,
     http_fn: Callable[[str, str, dict, dict], str] | None = None,
 ) -> list[dict]:
-    """Run every action whose ``execute_after`` lands in ``phase``,
-    in spec order (the reference's queue preserves registration order)."""
+    """Run every UNNAMED action whose ``execute_after`` lands in
+    ``phase``, in spec order (the reference's queue preserves
+    registration order). Actions carrying ``execute_after_name`` are
+    excluded here — they fire at their named predecessor's barrier via
+    :func:`run_named_actions` (D1, GcpToNeo4j.java:333-336 +
+    utils/BeamBlock.java:38-104: a name, when present, overrides the
+    typed queue)."""
     accepted = PHASES[phase]
     results = []
     for a in actions:
+        if a.execute_after_name:
+            continue
         if (a.execute_after or "loads").lower() in accepted:
+            results.append(run_action(spark, a, http_fn=http_fn))
+    return results
+
+
+def run_named_actions(
+    spark: SparkSession,
+    actions: list[Action],
+    name: str,
+    http_fn: Callable[[str, str, dict, dict], str] | None = None,
+) -> list[dict]:
+    """Run every action whose ``execute_after_name`` equals ``name`` —
+    called right after the named source/target completes. Matches
+    BeamBlock.waitOnCollection's by-name lookup: the name alone selects
+    the wait target; the ``execute_after`` type is ignored when a name
+    is present (the reference registers the signal under the name)."""
+    results = []
+    for a in actions:
+        if a.execute_after_name == name:
             results.append(run_action(spark, a, http_fn=http_fn))
     return results
 

@@ -140,7 +140,10 @@ def run_job(
     reading from ``source.uri`` — the Spark-native analogue of the
     template's runtime ``inputFilePattern`` override.
     """
-    from dataflow_flex_templates_spark.graph.actions import run_actions
+    from dataflow_flex_templates_spark.graph.actions import (
+        run_actions,
+        run_named_actions,
+    )
 
     refactor_job_spec(spec, runtime_tokens,
                       read_query=read_query,
@@ -162,6 +165,10 @@ def run_job(
             frames[name] = source_frames[name]
         else:
             frames[name] = read_source(spark, src)
+        # D1 named barrier: actions waiting on THIS source by name
+        # (execute_after_name) fire as soon as it is declared.
+        result.action_results += run_named_actions(
+            spark, spec.actions, name, http_fn)
 
     result.action_results += run_actions(spark, spec.actions, "sources", http_fn)
 
@@ -184,6 +191,18 @@ def run_job(
             node_frames.append(_canonical_nodes(spark, target, out))
         else:
             edge_frames.append(_canonical_edges(spark, target, out))
+        # D1 named barrier (GcpToNeo4j.java:333-336 / BeamBlock.java:
+        # 38-104): the completed target is published as a temp view so
+        # an execute_after_name action observes EXACTLY its named
+        # predecessor's rows (targets declared later do not exist yet).
+        from dataflow_flex_templates_spark.plans.compiler import (
+            make_valid_identifier,
+        )
+
+        out.createOrReplaceTempView(
+            f"target_{make_valid_identifier(target.name)}")
+        result.action_results += run_named_actions(
+            spark, spec.actions, target.name, http_fn)
     if not nodes_done:
         result.action_results += run_actions(spark, spec.actions, "nodes", http_fn)
     result.action_results += run_actions(spark, spec.actions, "edges", http_fn)

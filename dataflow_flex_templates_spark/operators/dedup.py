@@ -63,28 +63,63 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over character n-gram shingle sets, computed via an
     inverted index (explode + equi-join on shingle), never a cross join.
 
     Returns (id_a, id_b, jaccard) for id_a < id_b with jaccard ≥ threshold.
+
+    ``max_df`` bounds the posting lists: shingles whose document
+    frequency exceeds it are dropped from CANDIDATE GENERATION only
+    (a hot "the"-class shingle otherwise makes the self-join quadratic
+    at corpus scale — df² pairs from one posting list). Verification is
+    then exact: true intersection/union are recomputed from the FULL
+    shingle sets (array_intersect) per candidate pair, so precision is
+    always 1.0 and the only possible loss is a ≥-threshold pair whose
+    every shared shingle is ultra-common — vanishingly unlikely for
+    real thresholds, and impossible when max_df ≥ corpus size (the
+    exact mode). At 100 TB pick max_df ≈ 1e4: posting-list join cost
+    is then ≤ max_df² per shingle instead of corpus².
     """
     sets_ = shingle_sets(df, text_col, id_col, n)
     inv = sets_.select("id", "sh_size", F.explode("sh").alias("s"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    common = (
+    if max_df is None:
+        a = inv.alias("a")
+        b = inv.alias("b")
+        common = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                      F.col("a.sh_size").alias("sz_a"), F.col("b.sh_size").alias("sz_b"))
+             .agg(F.count("*").alias("inter"))
+        )
+        jac = common.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        return (jac.filter(F.col("jaccard") >= threshold)
+                   .select("id_a", "id_b", "jaccard"))
+
+    rare = (inv.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df).select("s"))
+    bounded = inv.join(rare, "s")          # DF-bounded inverted index
+    a, b = bounded.alias("a"), bounded.alias("b")
+    cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                  F.col("a.sh_size").alias("sz_a"), F.col("b.sh_size").alias("sz_b"))
-         .agg(F.count("*").alias("inter"))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .distinct()
     )
-    jac = common.withColumn(
-        "jaccard",
-        F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-    )
-    return (jac.filter(F.col("jaccard") >= threshold)
-               .select("id_a", "id_b", "jaccard"))
+    sa = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                      F.col("sh_size").alias("sz_a"))
+    sb = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                      F.col("sh_size").alias("sz_b"))
+    verified = (cands.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jaccard", F.round(
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)))
+    return (verified.filter(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "jaccard"))
 
 
 # ------------------------------------------------------------ minhash + LSH
@@ -191,22 +226,51 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` of
-    the simhash (LSH-style candidate cut), verify Hamming ≤ max_hamming
-    via bit_count(xor)."""
+                  n_blocks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash with GUARANTEED recall 1.0.
+
+    Pigeonhole blocking: the 64-bit simhash is split into
+    ``max_hamming + 1`` bit blocks; any pair within Hamming distance
+    ``max_hamming`` has at most that many differing bits, so at least
+    one whole block is identical — bucketing every block and unioning
+    candidates therefore misses NO qualifying pair (unlike a single
+    bit-prefix bucket, whose recall drops ~40% at r=3). Exact
+    bit_count(xor) verification keeps precision 1.0. Cost: each doc
+    lands in ``n_blocks`` buckets (a narrow 2-int explode), joins stay
+    bucket-local — sub-quadratic as long as any single block value is
+    not shared by a huge fraction of the corpus (near-identical docs
+    cluster by design; that is the output, not blowup).
+    """
+    nb = n_blocks or (max_hamming + 1)
+    width = 64 // nb
     sim = simhash(df, text_col, id_col)
-    sim = sim.withColumn(
-        "bucket", F.shiftright("simhash", 64 - prefix_bits))
-    a, b = sim.alias("a"), sim.alias("b")
+
+    def block(b: int):
+        # unsigned shift so the sign bit never smears; last block takes
+        # the remainder bits
+        w = width if b < nb - 1 else 64 - width * (nb - 1)
+        return F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+            F.lit((1 << w) - 1).cast("long"))
+
+    blocks = F.array(*[F.struct(F.lit(b).alias("blk"),
+                                block(b).alias("bv"))
+                       for b in range(nb)])
+    bucketed = (sim.select("id", "simhash", F.explode(blocks).alias("bk"))
+                .select("id", "simhash", F.col("bk.blk").alias("blk"),
+                        F.col("bk.bv").alias("bv")))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bv") == F.col("b.bv"))
                & (F.col("a.id") < F.col("b.id")))
-         .withColumn("hamming", F.bit_count(
-             F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
-         .filter(F.col("hamming") <= max_hamming)
          .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 "hamming")
+                 F.col("a.simhash").alias("sh_a"),
+                 F.col("b.simhash").alias("sh_b"))
+         .dropDuplicates(["id_a", "id_b"])
+         .withColumn("hamming", F.bit_count(
+             F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+         .filter(F.col("hamming") <= max_hamming)
+         .select("id_a", "id_b", "hamming")
     )
 
 

@@ -32,8 +32,16 @@ class SpecValidationError(ValueError):
         super().__init__("; ".join(errors))
 
 
-def validate_job_spec(spec: JobSpec, strict_order_by: bool = False) -> list[str]:
-    """Return a list of warnings; raise SpecValidationError on errors."""
+def validate_job_spec(spec: JobSpec, strict_order_by: bool = False,
+                      strict: bool = False) -> list[str]:
+    """Return a list of warnings; raise SpecValidationError on errors.
+
+    ``strict=True`` restores the reference's hard-error behavior for
+    every rule this engine deliberately downgrades to a warning
+    (unknown job options per InputValidator.java:175-184, ORDER BY in
+    source SQL per :91-98) — for users linting specs against reference
+    semantics."""
+    strict_order_by = strict_order_by or strict
     errors: list[str] = []
     warnings: list[str] = []
 
@@ -90,11 +98,13 @@ def validate_job_spec(spec: JobSpec, strict_order_by: bool = False) -> list[str]
     for key in spec.options:
         if key in CONNECTOR_OPTION_KEYS:
             continue
-        if key.startswith("relationship"):
+        if key.startswith("relationship") or strict:
             errors.append(f"invalid option specified: {key}")
         else:
             warnings.append(f"option '{key}' used only for $token substitution")
 
+    known_names = set(spec.sources) | {t.name for t in spec.targets} | {
+        a.name for a in spec.actions}
     for a in spec.actions:
         if a.action_type in ("http_get", "http_post") and "url" not in a.options:
             errors.append(f"action '{a.name}': http action needs a url option")
@@ -102,6 +112,11 @@ def validate_job_spec(spec: JobSpec, strict_order_by: bool = False) -> list[str]
             a.options.get("cypher") or a.options.get("sql")
         ):
             errors.append(f"action '{a.name}': needs a sql/cypher option")
+        if a.execute_after_name and a.execute_after_name not in known_names:
+            warnings.append(
+                f"action '{a.name}': execute_after_name "
+                f"'{a.execute_after_name}' matches no source/target/action "
+                "— it will never fire")
 
     if errors:
         raise SpecValidationError(errors)

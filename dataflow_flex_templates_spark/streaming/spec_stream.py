@@ -284,8 +284,18 @@ class SpecStreamJob:
         prepared = self.prepare_batch(batch_df).persist()
         try:
             if self.audit_dir:  # W7 audit tee (GcsLogTransform.java:38-67)
-                (prepared.write.mode("overwrite")
-                 .parquet(os.path.join(self.audit_dir, f"batch={batch_id}")))
+                audit_path = os.path.join(self.audit_dir,
+                                          f"batch={batch_id}")
+                if self.spec.config.audit_format == "avro":
+                    # avro_type=avro (GcsLogTransform.java:51) — public
+                    # Avro container format, one file per partition.
+                    from dataflow_flex_templates_spark.streaming.avro_io import (
+                        write_avro_dir,
+                    )
+
+                    write_avro_dir(prepared, audit_path)
+                else:
+                    prepared.write.mode("overwrite").parquet(audit_path)
             # D2: spec.targets is nodes-first after refactor.
             cfg = self.spec.config
             for t in self._targets:
@@ -393,11 +403,31 @@ class SpecStreamJob:
         return MultiQuery(queries)
 
     def run_to_completion(self, spark: SparkSession, timeout_s: int = 600):
-        from dataflow_flex_templates_spark.graph.actions import run_actions
+        from dataflow_flex_templates_spark.graph.actions import (
+            run_actions,
+            run_named_actions,
+        )
+        from dataflow_flex_templates_spark.plans.compiler import (
+            make_valid_identifier,
+        )
 
         q = self.start(spark, available_now=True)
         q.awaitTermination(timeout_s)
         q.stop()
+        # D1 named barriers: in a drained availableNow run every target
+        # is complete; publish each merged table as a temp view and fire
+        # its execute_after_name actions in D2 order (nodes first — the
+        # spec is already nodes-first after refactor).
+        for t in self.spec.targets:
+            if not t.active or t.name not in self.tables:
+                continue
+            named = [a for a in self.spec.actions
+                     if a.execute_after_name == t.name]
+            if named:
+                self.read_merged(spark, t.name).createOrReplaceTempView(
+                    f"target_{make_valid_identifier(t.name)}")
+                self.action_results += run_named_actions(
+                    spark, self.spec.actions, t.name, self.http_fn)
         # post-load phases after all queries drained (D1: nodes/edges/
         # loads barriers collapse to completion of the run).
         for phase in ("nodes", "edges"):

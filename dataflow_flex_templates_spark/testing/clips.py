@@ -151,6 +151,65 @@ def write_clips_parquet(spark, path: str, n: int, seed: int = 42,
 
 
 # ------------------------------------------------------------------
+# Document-derived clips: a clip table whose every column is a
+# DETERMINISTIC ARITHMETIC function of the driver's pre-registered
+# `documents` table, so end-to-end STREAMING jobs get a genuine DuckDB
+# SQL oracle (`SELECT ... FROM documents`) instead of a rows-only
+# check. doc_id % 5 == 0 docs additionally emit a later " rev2"
+# transcript revision — the MERGE last-writer-wins case the oracle
+# resolves with a CASE on doc_id.
+# ------------------------------------------------------------------
+
+DOC_SR = [8000, 16000, 44100]        # sr_hz   = DOC_SR[doc_id % 3]
+DOC_CODEC = ["pcm_s16le", "pcm_f32le", "ulaw"]  # codec = [doc_id % 3]
+#: dur_ms = 100 + (doc_id % 7) * 50 — every sr*dur/1000 is integral.
+
+
+def make_doc_clips_pdf(docs: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) rows → deterministic clip rows (see above)."""
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        sr = DOC_SR[doc_id % 3]
+        dur = 100 + (doc_id % 7) * 50
+        codec = DOC_CODEC[doc_id % 3]
+        clip_id = f"doc_{doc_id:06d}"
+        payload = encode_pcm_np(reference_waveform(clip_id, sr, dur), codec)
+        ts = EPOCH + timedelta(seconds=doc_id)
+        text = text or ""
+        rows.append((clip_id, payload, sr, dur, codec, text, ts))
+        if doc_id % 5 == 0:
+            rows.append((clip_id, payload, sr, dur, codec, text + " rev2",
+                         ts + timedelta(seconds=1)))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "event_time"],
+    )
+
+
+#: DuckDB twin of the derivation above, for splicing into oracle SQL.
+DOC_CLIPS_SQL = """
+    SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id,
+           CAST([8000, 16000, 44100][doc_id % 3 + 1] AS BIGINT) AS sr_hz,
+           CAST(100 + (doc_id % 7) * 50 AS BIGINT) AS dur_ms,
+           ['pcm_s16le', 'pcm_f32le', 'ulaw'][doc_id % 3 + 1] AS codec,
+           CAST([8000, 16000, 44100][doc_id % 3 + 1]
+                * (100 + (doc_id % 7) * 50) / 1000 AS BIGINT) AS n_samples,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END
+             AS winning_transcript
+    FROM documents
+"""
+
+
+def make_doc_clips_df(spark, docs_df):
+    """Spark wrapper: ``docs_df`` needs (doc_id, text) columns."""
+    pdf = make_doc_clips_pdf(
+        docs_df.select("doc_id", "text").orderBy("doc_id").toPandas())
+    return spark.createDataFrame(pdf, schema=clips_spark_schema())
+
+
+# ------------------------------------------------------------------
 # Distributed generator — the scale path. make_clips_pdf is a driver
 # loop (fine at 1e3); benchmarks and any 1e5+ generation must fan the
 # synthesis out to executors. All per-clip randomness is derived from

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Generate the driver-oracle constant tables — WITHOUT Spark.
+
+Hash-derived operators (simhash, minhash-LSH, hyperplane-LSH) and the
+binary audio path cannot be expressed in DuckDB ANSI SQL directly, so
+their oracles are split: the hash/candidate half is computed here by
+the single-process twins (testing/twins.py — pure-Python XXH64 +
+sequential-fold LSH, bit-exact with Catalyst by construction, verified
+in tests/test_twins.py), pinned into oracle_constants.json, and the
+similarity/aggregation half runs in DuckDB SQL over the same parquet
+tables. Nothing in this script imports pyspark.
+
+Inputs: /root/testdata/sf0.01 (the driver's correctness SF).
+Output: dataflow_flex_templates_spark/testing/oracle_constants.json
+
+Re-run whenever the testdata or the operator parameters in
+__spark_entry__.py change:  python scripts/gen_oracle_constants.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "dataflow_flex_templates_spark", "testing",
+                   "oracle_constants.json")
+
+
+def _assert_not_knife_edge(x: float, digits: int = 4) -> float:
+    """Rounded aggregates must sit safely away from a rounding boundary
+    so engine-side float-sum reassociation cannot flip the digit."""
+    scaled = x * 10 ** digits
+    frac = abs(scaled - math.floor(scaled) - 0.5)
+    assert frac > 1e-6, f"knife-edge rounding for {x!r}"
+    return round(x, digits)
+
+
+def main() -> None:
+    from dataflow_flex_templates_spark.testing.twins import (
+        lsh_pair_candidates,
+        lsh_query_candidates,
+        minhash_band_candidates,
+        simhash_twin,
+    )
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id")
+    out: dict = {"sf_dir": SF_DIR}
+
+    # simhash signatures for every doc (queries slice by doc_id in SQL)
+    out["simhash"] = [
+        [int(i), simhash_twin(t)]
+        for i, t in zip(docs["doc_id"], docs["text"])
+    ]
+
+    # minhash banded-LSH candidate pairs (driver params: doc_id < 120,
+    # num_hashes=32, bands=16)
+    sub = [(int(i), t) for i, t in zip(docs["doc_id"], docs["text"])
+           if i < 120]
+    out["minhash_candidates"] = [
+        list(p) for p in minhash_band_candidates(sub, num_hashes=32,
+                                                 bands=16, n=3)
+    ]
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pandas()
+    emb = emb[emb["vec_id"] < 300].sort_values("vec_id")
+    vecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for _, r in emb.iterrows()]
+    dim = len(vecs[0][1])
+    out["embedding_dim"] = dim
+
+    # embedding_neardup_lsh candidates (vec_id < 300, planes=4, tables=16)
+    out["neardup_lsh_candidates"] = [
+        list(p) for p in lsh_pair_candidates(vecs, dim, n_planes=4,
+                                             n_tables=16)
+    ]
+    # lsh_ann_topk candidates (queries vec_id < 12, planes=3, tables=16)
+    qvecs = [(i, v) for i, v in vecs if i < 12]
+    out["lsh_ann_candidates"] = [
+        list(p) for p in lsh_query_candidates(vecs, qvecs, dim, n_planes=3,
+                                              n_tables=16)
+    ]
+
+    # ---- audio stats twins (no Spark, no DataFrames) -------------------
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm_np,
+        resample_linear_np,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_pdf
+
+    clips = make_clips_pdf(300, seed=42)
+    by_codec: dict[str, list[tuple[float, float]]] = {}
+    by_sr: dict[int, list[tuple[int, float]]] = {}
+    for _, r in clips.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        n = len(w)
+        rms = math.sqrt(float(np.dot(w, w)) / n) if n else 0.0
+        sb = np.signbit(w)
+        zcr = (float(np.count_nonzero(sb[1:] != sb[:-1])) / max(n - 1, 1)
+               if n else 0.0)
+        by_codec.setdefault(r["codec"], []).append((rms, zcr))
+        rs = resample_linear_np(w, int(r["sr_hz"]), 16000)
+        rms_o = (math.sqrt(float(np.dot(rs, rs)) / len(rs))
+                 if len(rs) else 0.0)
+        by_sr.setdefault(int(r["sr_hz"]), []).append((len(rs), rms_o))
+
+    out["audio_decode_stats"] = [
+        [codec, len(v),
+         _assert_not_knife_edge(sum(x for x, _ in v) / len(v)),
+         _assert_not_knife_edge(sum(z for _, z in v) / len(v))]
+        for codec, v in sorted(by_codec.items())
+    ]
+    out["audio_resample_stats"] = [
+        [sr, len(v), int(sum(n for n, _ in v)),
+         _assert_not_knife_edge(sum(r for _, r in v) / len(v))]
+        for sr, v in sorted(by_sr.items())
+    ]
+
+    with open(OUT, "w") as f:
+        json.dump(out, f)
+    sizes = {k: (len(v) if isinstance(v, list) else v)
+             for k, v in out.items()}
+    print(f"wrote {OUT}: {sizes}")
+
+
+if __name__ == "__main__":
+    main()
