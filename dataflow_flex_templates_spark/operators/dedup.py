@@ -247,10 +247,12 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
 
     def block(b: int):
         # unsigned shift so the sign bit never smears; last block takes
-        # the remainder bits
+        # the remainder bits (a full 64-bit mask is -1 in two's
+        # complement — (1<<64)-1 would overflow the long literal)
         w = width if b < nb - 1 else 64 - width * (nb - 1)
+        mask = -1 if w == 64 else (1 << w) - 1
         return F.shiftrightunsigned("simhash", b * width).bitwiseAND(
-            F.lit((1 << w) - 1).cast("long"))
+            F.lit(mask).cast("long"))
 
     blocks = F.array(*[F.struct(F.lit(b).alias("blk"),
                                 block(b).alias("bv"))

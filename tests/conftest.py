@@ -21,3 +21,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _drain_streams():
+    """No streaming query may leak across tests: a lingering query from
+    one test can race another test's checkpoint/temp state (the
+    round-1 test_kill_and_resume full-suite flake)."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    for q in s.streams.active:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:
+            pass

@@ -103,6 +103,100 @@ def test_token_substitution_through_run_job(spark):
     assert res.target_frames["T"].count() == 3
 
 
+def test_execute_after_name_batch(spark):
+    """D1 named barrier (GcpToNeo4j.java:333-336, BeamBlock.java:38-104):
+    an action named after target A fires right after A and observes
+    EXACTLY A's rows — target B, declared later, does not exist yet, so
+    an action peeking at B at A's barrier fails; the same action named
+    after B succeeds and sees both."""
+    spark.range(8).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    ).createOrReplaceTempView("named_base")
+
+    def spec(probe_sql):
+        return parse_job_spec(json.dumps({
+            "sources": [{"type": "bigquery", "name": "s",
+                         "query": "SELECT * FROM named_base"}],
+            "targets": [
+                {"node": {"source": "s", "name": "A", "mode": "append",
+                          "transform": {"where": "v < 8"},
+                          "mappings": {"labels": ["\"A\""], "keys": ["k"],
+                                       "properties": {"longs": ["v"]}}}},
+                {"node": {"source": "s", "name": "B", "mode": "append",
+                          "mappings": {"labels": ["\"B\""], "keys": ["k"]}}},
+            ],
+            "actions": [
+                {"name": "after_a", "type": "cypher",
+                 "execute_after": "node", "execute_after_name": "A",
+                 "options": [{"cypher": probe_sql}]},
+                {"name": "tail", "type": "cypher", "execute_after": "loads",
+                 "options": [{"cypher": "SELECT 1 AS one"}]},
+            ],
+        }))
+
+    spark.catalog.dropTempView("target_B")
+    res = run_job(spark, spec(
+        "CREATE OR REPLACE TEMP VIEW seen_at_a AS "
+        "SELECT count(*) AS n FROM target_A"))
+    assert [r["name"] for r in res.action_results] == ["after_a", "tail"]
+    # observed exactly A's (filtered) rows: v < 8 → ids 0..3
+    assert spark.table("seen_at_a").first()["n"] == 4
+
+    # peeking at the NOT-yet-declared target B from A's barrier fails
+    spark.catalog.dropTempView("target_B")
+    with pytest.raises(Exception, match="target_B"):
+        run_job(spark, spec("SELECT count(*) FROM target_B"))
+
+    # ...but a named barrier on B itself sees both targets
+    sp = spec("SELECT count(*) FROM target_B")
+    sp.actions[0].execute_after_name = "B"
+    res2 = run_job(spark, sp)
+    assert [r["name"] for r in res2.action_results] == ["after_a", "tail"]
+    assert res2.action_results[0]["rows"] == 1
+
+
+def test_execute_after_name_source(spark):
+    """Named barrier on a SOURCE: fires at source declaration, before
+    any target runs."""
+    spark.range(3).select(F.col("id").cast("string").alias("k")) \
+        .createOrReplaceTempView("src_base")
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "mysrc",
+                     "query": "SELECT * FROM src_base"}],
+        "targets": [{"node": {
+            "source": "mysrc", "name": "N", "mode": "append",
+            "mappings": {"labels": ["\"N\""], "keys": ["k"]}}}],
+        "actions": [
+            {"name": "on_src", "type": "cypher",
+             "execute_after": "source", "execute_after_name": "mysrc",
+             "options": [{"cypher": "SELECT count(*) AS n FROM src_base"}]},
+        ],
+    }))
+    res = run_job(spark, spec)
+    assert res.action_results[0] == {"name": "on_src", "type": "cypher",
+                                     "rows": 1}
+
+
+def test_execute_after_name_unknown_warns():
+    from dataflow_flex_templates_spark.spec.validator import (
+        validate_job_spec,
+    )
+
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s", "query": "SELECT 1"}],
+        "targets": [{"node": {"source": "s", "name": "N", "mode": "append",
+                              "mappings": {"labels": ["\"N\""],
+                                           "keys": ["k"]}}}],
+        "actions": [{"name": "ghost", "type": "cypher",
+                     "execute_after": "node",
+                     "execute_after_name": "NoSuchTarget",
+                     "options": [{"cypher": "SELECT 1"}]}],
+    }))
+    warnings = validate_job_spec(spec)
+    assert any("NoSuchTarget" in w for w in warnings)
+
+
 def test_drop_empty_rows(spark):
     df = spark.createDataFrame(
         [("a", 1), (None, None), ("b", None), (None, 2), (None, None)],

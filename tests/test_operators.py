@@ -115,6 +115,42 @@ def test_ngram_jaccard_pairs(spark, neardup_docs):
     assert len(want) > 5
 
 
+def test_ngram_jaccard_max_df(spark, neardup_docs):
+    """DF-bounded candidate generation + exact array_intersect verify
+    equals the unbounded exact path, and actually cuts hot shingles
+    from the join input (the 100 TB hot-shingle defense)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+
+    # adversarial corpus: every doc shares a hot boilerplate prefix
+    pdf = neardup_docs.copy()
+    pdf["text"] = "common header boilerplate " + pdf["text"]
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+
+    exact = sorted(tuple(r) for r in
+                   ngram_jaccard_pairs(df, threshold=0.5).collect())
+    bounded = sorted(tuple(r) for r in
+                     ngram_jaccard_pairs(df, threshold=0.5,
+                                         max_df=15).collect())
+    assert exact == bounded and len(exact) > 0
+
+    # the cut is real: hot shingles exceed max_df and leave the index
+    inv = shingle_sets(df).select("id", F.explode("sh").alias("s"))
+    dfc = inv.groupBy("s").count()
+    n_docs = len(pdf)
+    hot = dfc.filter(F.col("count") > 15).count()
+    assert hot > 0  # the boilerplate shingles are hot...
+    # ...and the bounded join input excludes them entirely
+    kept_max = (dfc.filter(F.col("count") <= 15)
+                .agg(F.max("count")).first()[0])
+    assert kept_max <= 15 < n_docs
+
+
 def test_minhash_lsh_recall(spark, neardup_docs):
     """LSH candidates + exact verify: precision 1.0 by construction;
     recall ≥ 0.9 vs exact jaccard at the same threshold."""
@@ -134,21 +170,26 @@ def test_minhash_lsh_recall(spark, neardup_docs):
     assert recall >= 0.9, (recall, len(exact))
 
 
-def test_simhash_pairs(spark, neardup_docs):
+def test_simhash_pairs_exact_recall(spark, neardup_docs):
+    """Pigeonhole block bucketing finds EXACTLY the brute-force Hamming
+    pairs (recall 1.0, precision 1.0) — vs the pure-Python twin."""
     from dataflow_flex_templates_spark.operators.dedup import simhash_pairs
+    from dataflow_flex_templates_spark.testing.twins import (
+        simhash_pairs_twin,
+    )
 
     df = spark.createDataFrame(neardup_docs[["doc_id", "text"]])
-    got = simhash_pairs(df, max_hamming=10, prefix_bits=4).toPandas()
-    # same-cluster perturbed copies should dominate the pairs found
-    cl = dict(zip(neardup_docs["doc_id"], neardup_docs["cluster"]))
-    if len(got):
-        same = sum(1 for _, r in got.iterrows()
-                   if cl[r["id_a"]] == cl[r["id_b"]])
-        assert same / len(got) >= 0.8
+    for r in (3, 10):
+        got = sorted(tuple(row) for row in
+                     simhash_pairs(df, max_hamming=r).collect())
+        want = simhash_pairs_twin(
+            sorted(zip(neardup_docs["doc_id"], neardup_docs["text"])),
+            max_hamming=r)
+        assert got == want, (r, len(got), len(want))
     # hamming of identical docs is 0
     dup = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2], "text": ["same words here"] * 2}))
-    p = simhash_pairs(dup, max_hamming=0, prefix_bits=4).toPandas()
+    p = simhash_pairs(dup, max_hamming=0).toPandas()
     assert len(p) == 1 and p.iloc[0]["hamming"] == 0
 
 

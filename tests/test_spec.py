@@ -152,6 +152,24 @@ def test_validator_order_by_in_source_sql():
         validate_job_spec(spec, strict_order_by=True)
 
 
+def test_validator_strict_mode_unknown_options():
+    """strict=True restores InputValidator.java:175-184 hard-errors on
+    non-whitelisted job options (default: warning, since plain options
+    double as $token values here)."""
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT 1 AS a"}],
+        "targets": [{"node": {"source": "s", "name": "N",
+                              "mappings": {"labels": ["\"A\""],
+                                           "keys": ["a"]}}}],
+        "options": [{"mystery_knob": "7"}],
+    }))
+    warnings = validate_job_spec(spec)
+    assert any("mystery_knob" in w for w in warnings)
+    with pytest.raises(SpecValidationError, match="mystery_knob"):
+        validate_job_spec(spec, strict=True)
+
+
 def test_duplicate_mapping_rejected():
     from dataflow_flex_templates_spark.spec.parser import SpecParseError
     with pytest.raises(SpecParseError):

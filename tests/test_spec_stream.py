@@ -248,8 +248,19 @@ def test_kill_and_resume(spark, stream_env):
     while (not j1.tables["Clip"].committed_batches()
            and time.time() < deadline):
         time.sleep(0.5)
+    # kill: stop() interrupts the micro-batch thread; awaitTermination
+    # may surface the cancellation as a StreamingQueryException — that
+    # IS the kill, not a failure. Poll until every query is fully down
+    # before resuming on the same checkpoint.
     q.stop()
-    q.awaitTermination(60)
+    try:
+        q.awaitTermination(60)
+    except Exception:
+        pass
+    kill_deadline = time.time() + 120
+    while q.isActive and time.time() < kill_deadline:
+        time.sleep(0.2)
+    assert not q.isActive, "queries did not stop after kill"
     assert j1.tables["Clip"].committed_batches(), "no commit before kill"
 
     j2 = mk()
@@ -609,3 +620,41 @@ def test_w5_parallelism_knob_applied(spark, stream_env):
     for b in j.tables["ENCODED_AS"].committed_batches():
         info = j.tables["ENCODED_AS"].commit_info(b)
         assert len(info["partitions"]) <= 1, info
+
+
+def test_execute_after_name_streaming(spark, stream_env):
+    """D1 named barrier in the streaming runner: an execute_after_name
+    action fires after its target's table is fully committed and sees
+    the MERGED rows via the published target_<name> view."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    spec = _spec()
+    spec["targets"] = [t for t in spec["targets"]
+                       if "window" not in (t.get("transform") or {})]
+    spec["actions"] = [
+        {"name": "after_clip", "type": "cypher",
+         "execute_after": "node", "execute_after_name": "Clip",
+         "options": [{"cypher":
+                      "CREATE OR REPLACE TEMP VIEW stream_named_seen AS "
+                      "SELECT count(*) AS n FROM target_Clip"}]},
+        {"name": "tail", "type": "cypher", "execute_after": "loads",
+         "options": [{"cypher": "SELECT 1 AS one"}]},
+    ]
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_named"),
+        checkpoint_dir=os.path.join(root, "ckpt_named"),
+        max_files_per_trigger=3,
+        prepare_fn=_prepare,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    names = [r["name"] for r in j.action_results]
+    assert names == ["after_clip", "tail"]
+    # the named action observed the FULLY MERGED table (one row per key)
+    assert (spark.table("stream_named_seen").first()["n"]
+            == pdf["clip_id"].nunique())
