@@ -471,3 +471,56 @@ def test_bq_spec_verbatim_with_read_query_override(spark):
                res_inline.nodes.groupBy("label").count().collect()}
     assert b_nodes == i_nodes
     assert res_bq.relationships.count() == res_inline.relationships.count()
+
+
+def test_grouped_merge_typed_keys_still_dedup(spark):
+    """A grouped MERGE target whose key carries a type cast must keep
+    the LWW dedup: grouping runs on RAW strings, so ' 1', '1', '01'
+    are three groups that collapse to ONE typed key — without the
+    dedup the merge table would emit duplicate keys (the all-string
+    CSV ingest path)."""
+    import json
+
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    spark.createDataFrame(
+        [("1", "a"), (" 1", "b"), ("01", "c"), ("2", "d"), ("oops", "e")],
+        "k string, v string").createOrReplaceTempView("typed_key_base")
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT * FROM typed_key_base"}],
+        "targets": [{
+            "name": "T", "type": "node", "source": "s", "mode": "merge",
+            "transform": {"group": True},
+            "mappings": [
+                {"constant": "T", "role": "label"},
+                {"field": "k", "name": "key", "role": "key",
+                 "type": "Long"},
+            ],
+        }],
+    }))
+    out = run_job(spark, spec).target_frames["T"].toPandas()
+    # one row per POST-CAST key: 1, 2, and null (parse failure)
+    assert len(out) == 3, out
+    assert sorted(out["key"].fillna(-1)) == [-1, 1, 2]
+
+    # control: a cast-free key keeps the dedup-elision fast path and
+    # yields one row per raw group
+    spec2 = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT * FROM typed_key_base"}],
+        "targets": [{
+            "name": "T2", "type": "node", "source": "s", "mode": "merge",
+            "transform": {"group": True},
+            "mappings": [
+                {"constant": "T2", "role": "label"},
+                {"field": "k", "name": "key", "role": "key"},
+            ],
+        }],
+    }))
+    out2 = run_job(spark, spec2).target_frames["T2"]
+    assert out2.count() == 5
+    # the elision is real: no extra aggregate beyond the GROUP BY
+    plan = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate") == 1, plan
