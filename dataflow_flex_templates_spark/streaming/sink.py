@@ -58,7 +58,7 @@ class ExactlyOnceTable:
     def committed_batches(self) -> list[int]:
         return sorted(
             int(f.split(".")[0]) for f in os.listdir(self._commits_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and f.split(".")[0].isdigit()
         )
 
     def commit_info(self, batch_id: int) -> dict:
@@ -113,16 +113,112 @@ class ExactlyOnceTable:
         os.rename(tmp, self._commit_file(batch_id))  # atomic publish
         return record
 
+    # -- compaction (Iceberg rewrite_data_files analogue) ----------------
+
+    def _base_file(self) -> str:
+        return os.path.join(self._commits_dir, "_base.json")
+
+    def base_info(self) -> dict | None:
+        if os.path.exists(self._base_file()):
+            with open(self._base_file()) as f:
+                return json.load(f)
+        return None
+
+    def compact(self, spark: SparkSession, partitions: int = 8) -> dict:
+        """Fold every committed batch into one base snapshot.
+
+        At one commit per micro-batch per table, a long-running stream
+        accumulates O(batches x partitions) small files — the classic
+        read-amplification killer (a day at 5 s triggers is ~17k
+        commits). Compaction rewrites the committed data as a single
+        LWW-PRE-MERGED base (order column retained, so batches
+        committed AFTER the base still override per key at read time)
+        and deletes the covered batch directories. Commit markers are
+        kept: a restart replaying a covered batch_id still hits
+        ``is_committed`` and skips — exactly-once is unaffected. The
+        swap is crash-safe: the base is staged, published via the
+        atomic ``_base.json`` rename, and only then are covered batch
+        dirs removed (a crash in between leaves duplicates of already-
+        merged rows, which the LWW read collapses).
+
+        Maps to Iceberg's ``rewrite_data_files`` + snapshot expiry on
+        a real cluster. Returns the new base manifest.
+        """
+        batches = self.committed_batches()
+        if not batches:
+            raise ValueError(f"nothing to compact in {self.path}")
+        through = batches[-1]
+        df = self.read_appends(spark)
+        if self.key_cols:
+            from dataflow_flex_templates_spark.plans.compiler import (
+                lww_latest,
+            )
+
+            out_order = df.columns
+            df = lww_latest(df, self.key_cols, self.order_col,
+                            keep_order=True).select(*out_order)
+        staging = os.path.join(self._data_dir,
+                               f"_basestage_{uuid.uuid4().hex[:8]}")
+        df.repartition(partitions).write.mode("overwrite").parquet(staging)
+        prev = self.base_info()
+        base_dir = os.path.join(self._data_dir, f"base-{through}")
+        if os.path.isdir(base_dir):
+            import shutil
+            shutil.rmtree(base_dir)
+        os.rename(staging, base_dir)
+        manifest = {
+            "through": through,
+            "dir": f"base-{through}",
+            "columns": df.columns,
+            "partitions": _footer_part_counts(base_dir),
+            "compacted_at_unix": time.time(),
+        }
+        tmp = self._base_file() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._base_file())  # atomic publish
+        import shutil
+        for b in batches:  # covered data now lives in the base
+            shutil.rmtree(os.path.join(self._data_dir, f"batch={b}"),
+                          ignore_errors=True)
+        if prev and prev["dir"] != manifest["dir"]:
+            shutil.rmtree(os.path.join(self._data_dir, prev["dir"]),
+                          ignore_errors=True)
+        return manifest
+
     # -- read path -------------------------------------------------------
 
-    def read_appends(self, spark: SparkSession) -> DataFrame:
-        """All committed rows (no merge) — audit/lineage view."""
+    def _live_paths(self, batches: list[int],
+                    as_of: int | None = None) -> list[str]:
+        base = self.base_info()
+        paths: list[str] = []
+        floor = -1
+        if base is not None:
+            if as_of is not None and as_of < base["through"]:
+                raise ValueError(
+                    f"time travel to batch {as_of} is below the compaction "
+                    f"horizon {base['through']} (covered snapshots were "
+                    "rewritten; expire-aware readers must pin before "
+                    "compaction)")
+            paths.append(os.path.join(self._data_dir, base["dir"]))
+            floor = base["through"]
+        for b in batches:
+            if b <= floor or (as_of is not None and b > as_of):
+                continue
+            p = os.path.join(self._data_dir, f"batch={b}")
+            if os.path.isdir(p) and any(
+                    f.endswith(".parquet") for f in os.listdir(p)):
+                paths.append(p)
+        return paths
+
+    def read_appends(self, spark: SparkSession,
+                     as_of: int | None = None) -> DataFrame:
+        """All committed rows (no merge) — audit/lineage view.
+        ``as_of`` time-travels to the table state at that batch id."""
         batches = self.committed_batches()
         if not batches:
             raise ValueError(f"no committed batches in {self.path}")
-        paths = [p for p in
-                 (os.path.join(self._data_dir, f"batch={b}") for b in batches)
-                 if any(f.endswith(".parquet") for f in os.listdir(p))]
+        paths = self._live_paths(batches, as_of)
         if not paths:
             raise ValueError(f"all committed batches empty in {self.path}")
         df = spark.read.parquet(*paths)
@@ -134,6 +230,10 @@ class ExactlyOnceTable:
         # physical schema.
         cols: list[str] = []
         any_recorded = False
+        base = self.base_info()
+        if base and base.get("columns"):
+            any_recorded = True
+            cols.extend(base["columns"])
         for b in batches:
             rec = self.commit_info(b).get("columns")
             if rec:
@@ -143,14 +243,15 @@ class ExactlyOnceTable:
             df = df.select(*[c for c in cols if c in df.columns])
         return df
 
-    def read_merged(self, spark: SparkSession) -> DataFrame:
+    def read_merged(self, spark: SparkSession,
+                    as_of: int | None = None) -> DataFrame:
         """MERGE-on-read: last writer (highest sequence) wins per key.
 
         Hash-agg formulation (max over (seq, cols) structs) rather than
         a row_number window: map-side partial combine collapses
         duplicate keys before the shuffle and no sort is needed — the
         plan that survives a 100x scale-up."""
-        df = self.read_appends(spark)
+        df = self.read_appends(spark, as_of=as_of)
         if not self.key_cols:
             return df.drop(self.order_col)
         from dataflow_flex_templates_spark.plans.compiler import lww_latest

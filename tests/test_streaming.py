@@ -378,3 +378,69 @@ def test_late_rows_dropped_and_counted(spark, tmp_path):
         assert s["rows_dropped_by_watermark"] > 0, s
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_compaction_and_time_travel(spark, tmp_path):
+    """Small-file compaction (Iceberg rewrite_data_files analogue):
+    folding committed batches into one pre-merged base changes neither
+    the merged view nor exactly-once replay skipping; later batches
+    still override per key; time travel reads the table as of a batch;
+    travel below the compaction horizon is refused."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.streaming.sink import (
+        ExactlyOnceTable,
+    )
+
+    t = ExactlyOnceTable(str(tmp_path / "tbl"), key_cols=["k"],
+                         order_col="seq")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v string, seq long")
+
+    t.write_batch(batch([("a", "v0", 0), ("b", "v0", 1)]), 0)
+    t.write_batch(batch([("a", "v1", 10), ("c", "v1", 11)]), 1)
+    t.write_batch(batch([("b", "v2", 20)]), 2)
+
+    before = sorted(tuple(r) for r in t.read_merged(spark).collect())
+    asof1 = sorted(tuple(r) for r in
+                   t.read_merged(spark, as_of=1).collect())
+    assert asof1 == [("a", "v1"), ("b", "v0"), ("c", "v1")]
+
+    files_before = sum(
+        1 for _, _, fs in __import__("os").walk(t.path)
+        for f in fs if f.endswith(".parquet"))
+    manifest = t.compact(spark, partitions=1)
+    assert manifest["through"] == 2
+    files_after = sum(
+        1 for _, _, fs in __import__("os").walk(t.path)
+        for f in fs if f.endswith(".parquet"))
+    assert files_after < files_before
+
+    # merged view identical after compaction
+    assert sorted(tuple(r) for r in t.read_merged(spark).collect()) == before
+
+    # exactly-once replay of a covered batch id is still a no-op
+    rec = t.write_batch(batch([("a", "SHOULD_NOT_APPEAR", 99)]), 1)
+    assert rec["batch_id"] == 1  # returned the original commit record
+    assert sorted(tuple(r) for r in t.read_merged(spark).collect()) == before
+
+    # a genuinely new batch still overrides per key
+    t.write_batch(batch([("a", "v3", 30)]), 3)
+    got = dict((r["k"], r["v"]) for r in t.read_merged(spark).collect())
+    assert got == {"a": "v3", "b": "v2", "c": "v1"}
+
+    # time travel below the compaction horizon is refused loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        t.read_merged(spark, as_of=1)
+    # ...but at/above the horizon it works
+    asof3 = dict((r["k"], r["v"]) for r in
+                 t.read_merged(spark, as_of=3).collect())
+    assert asof3 == {"a": "v3", "b": "v2", "c": "v1"}
+
+    # second compaction folds the base + new batch
+    t.compact(spark, partitions=1)
+    assert t.base_info()["through"] == 3
+    got2 = dict((r["k"], r["v"]) for r in t.read_merged(spark).collect())
+    assert got2 == got
