@@ -374,10 +374,21 @@ class SpecStreamJob:
             queries.append(writer.start())
         for t in self._win_targets:
             stream = self.read_stream(spark)
-            if self.prepare_fn is not None:
-                stream = self.prepare_fn(stream)
-            plan, _keys = windowed_target_stream(
-                stream, t, self.event_time_col)
+            # Each windowed target is its own streaming query re-reading
+            # the source; running the shared prepare stage (vectorized
+            # PCM decode — the dominant cost) for a window that only
+            # aggregates RAW columns would decode every payload twice.
+            # DataFrame analysis is eager, so: build the plan against
+            # the raw stream first and fall back to the prepared stream
+            # only when a referenced column is missing.
+            try:
+                plan, _keys = windowed_target_stream(
+                    stream, t, self.event_time_col)
+            except Exception:
+                if self.prepare_fn is None:
+                    raise
+                plan, _keys = windowed_target_stream(
+                    self.prepare_fn(stream), t, self.event_time_col)
             table = self.tables[t.name]
 
             def sink(df, bid, table=table):

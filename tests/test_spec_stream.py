@@ -658,3 +658,71 @@ def test_execute_after_name_streaming(spark, stream_env):
     # the named action observed the FULLY MERGED table (one row per key)
     assert (spark.table("stream_named_seen").first()["n"]
             == pdf["clip_id"].nunique())
+
+
+def test_windowed_target_skips_prepare_when_raw_suffices(spark, stream_env):
+    """A windowed target aggregating only RAW input columns must not
+    pay the (decode-heavy) prepare stage in its own streaming query;
+    one that references prepared columns must."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    calls = []
+
+    def counting_prepare(df):
+        calls.append(1)
+        return _prepare(df)
+
+    # CodecWindow aggregates codec/dur_ms — raw columns: zero prepare
+    # calls beyond the row path's
+    spec = _spec()
+    spec["targets"] = [t for t in spec["targets"] if t["name"] != "ENCODED_AS"]
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_skipprep"),
+        checkpoint_dir=os.path.join(root, "ckpt_skipprep"),
+        max_files_per_trigger=6,
+        prepare_fn=counting_prepare,
+    )
+    q = j.start(spark, available_now=True)
+    calls_at_start = len(calls)
+    q.awaitTermination(600)
+    q.stop()
+    # plan-build phase: the windowed query analyzed against the raw
+    # stream (no prepare call); only the row path calls prepare, and it
+    # does so per micro-batch inside foreachBatch (after start)
+    assert calls_at_start == 0, calls_at_start
+    assert len(calls) >= 1  # row path's per-batch prepare ran
+
+    # a windowed target over a PREPARED column does invoke prepare at
+    # plan build
+    calls2 = []
+
+    def counting_prepare2(df):
+        calls2.append(1)
+        return _prepare(df)
+
+    spec2 = _spec()
+    spec2["targets"] = [t for t in spec2["targets"]
+                        if t["name"] == "CodecWindow"]
+    spec2["targets"][0]["transform"]["aggregations"] = [
+        {"expr": "count(*)", "field": "n_clips"},
+        {"expr": "sum(n_samples)", "field": "total_ms"},  # prepared col
+    ]
+    j2 = SpecStreamJob(
+        _parse(spec2),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_prep2"),
+        checkpoint_dir=os.path.join(root, "ckpt_prep2"),
+        max_files_per_trigger=6,
+        prepare_fn=counting_prepare2,
+    )
+    q2 = j2.start(spark, available_now=True)
+    assert len(calls2) >= 1  # fallback path engaged at plan build
+    q2.awaitTermination(600)
+    q2.stop()
