@@ -424,6 +424,20 @@ def _q_winnow_fingerprints(spark, sf_dir):
             .select("doc_id", F.explode("fingerprints").alias("fingerprint")))
 
 
+def _q_winnow_overlap(spark, sf_dir):
+    """Shared-winnowing-fingerprint near-dup pairs (MOSS): inverted
+    fingerprint index → pair counts ≥ 8. Oracle: the winnowing CTE +
+    the same self-join re-derived in SQL. min_shared=50 keeps the
+    pair set selective on the highly-templated synthetic corpus."""
+    from dataflow_flex_templates_spark.operators.text import (
+        winnow_overlap_pairs,
+    )
+
+    _load(spark, sf_dir)
+    return winnow_overlap_pairs(
+        spark.table("documents").filter("doc_id < 200"), min_shared=50)
+
+
 def _q_ivf_ann_topk(spark, sf_dir):
     """IVF-FLAT ANN (hash-seeded centroids + Lloyd refinement, nprobe
     cell search → exact re-rank). Approximation → rows-only driver
@@ -950,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
         "audio_decode_stats": _q_audio_decode_stats,
         "audio_resample_stats": _q_audio_resample_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
@@ -1012,6 +1027,54 @@ def _values_table(rows, cols: list[str]) -> str:
     body = ", ".join(
         "(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
     return f"(VALUES {body}) AS t({', '.join(cols)})"
+
+
+#: Shared winnowing CTE (doc_id < 200): k=5-gram polynomial rolling
+#: hash mod 2^64 folded to 61 bits over HUGEINT, window w=4 sliding
+#: min, robust positional dedup — the full algebra of
+#: operators/text.winnow_fingerprints_np re-derived in SQL.
+_WINNOW_SQL = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+      FROM documents WHERE doc_id < 200),
+    chars AS (SELECT doc_id, nt, length(nt) AS n FROM norm),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN n >= 5 THEN
+          list_transform(generate_series(1, n - 4),
+            i -> CAST(
+              ((((((((ord(substring(nt, i, 1)) & 65535)::HUGEINT
+                   * 1000003
+                 + (ord(substring(nt, i+1, 1)) & 65535))
+                   % 18446744073709551616) * 1000003
+                 + (ord(substring(nt, i+2, 1)) & 65535))
+                   % 18446744073709551616) * 1000003
+                 + (ord(substring(nt, i+3, 1)) & 65535))
+                   % 18446744073709551616) * 1000003
+                 + (ord(substring(nt, i+4, 1)) & 65535))
+                   % 18446744073709551616
+                   % 2305843009213693952 AS BIGINT))
+        ELSE [] END AS g
+      FROM chars),
+    winnowed AS (
+      SELECT doc_id,
+        CASE
+          WHEN len(g) = 0 THEN []
+          WHEN len(g) < 4 THEN [g[list_position(g, list_min(g))]]
+          ELSE (
+            list_transform(
+              list_filter(generate_series(1, len(g) - 3),
+                i -> i = 1 OR
+                  (i - 1 + list_position(g[i:i+3],
+                                         list_min(g[i:i+3]))) !=
+                  (i - 2 + list_position(g[i-1:i+2],
+                                         list_min(g[i-1:i+2])))),
+              i -> list_min(g[i:i+3]))
+          )
+        END AS fps
+      FROM grams)
+"""
 
 
 #: DuckDB twin of functions.audio.normalize_transcript (same op order:
@@ -1325,48 +1388,16 @@ def oracle_sql() -> dict[str, str]:
         # winnowing: the whole algebra (k=5-gram polynomial rolling hash
         # mod 2^64 folded to 61 bits, window w=4 min, robust positional
         # dedup) re-derived in SQL over HUGEINT — no pinned constants
-        "winnow_fingerprints": r"""
-            WITH norm AS (
-              SELECT doc_id,
-                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
-              FROM documents WHERE doc_id < 200),
-            chars AS (SELECT doc_id, nt, length(nt) AS n FROM norm),
-            grams AS (
-              SELECT doc_id,
-                CASE WHEN n >= 5 THEN
-                  list_transform(generate_series(1, n - 4),
-                    i -> CAST(
-                      ((((((((ord(substring(nt, i, 1)) & 65535)::HUGEINT
-                           * 1000003
-                         + (ord(substring(nt, i+1, 1)) & 65535))
-                           % 18446744073709551616) * 1000003
-                         + (ord(substring(nt, i+2, 1)) & 65535))
-                           % 18446744073709551616) * 1000003
-                         + (ord(substring(nt, i+3, 1)) & 65535))
-                           % 18446744073709551616) * 1000003
-                         + (ord(substring(nt, i+4, 1)) & 65535))
-                           % 18446744073709551616
-                           % 2305843009213693952 AS BIGINT))
-                ELSE [] END AS g
-              FROM chars),
-            winnowed AS (
-              SELECT doc_id,
-                CASE
-                  WHEN len(g) = 0 THEN []
-                  WHEN len(g) < 4 THEN [g[list_position(g, list_min(g))]]
-                  ELSE (
-                    list_transform(
-                      list_filter(generate_series(1, len(g) - 3),
-                        i -> i = 1 OR
-                          (i - 1 + list_position(g[i:i+3],
-                                                 list_min(g[i:i+3]))) !=
-                          (i - 2 + list_position(g[i-1:i+2],
-                                                 list_min(g[i-1:i+2])))),
-                      i -> list_min(g[i:i+3]))
-                  )
-                END AS fps
-              FROM grams)
+        "winnow_fingerprints": _WINNOW_SQL + """
             SELECT doc_id, unnest(fps) AS fingerprint FROM winnowed
+        """,
+        "winnow_overlap": _WINNOW_SQL + """
+            , fp AS (
+              SELECT DISTINCT doc_id AS id, unnest(fps) AS fp
+              FROM winnowed)
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fp
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 50
         """,
         # CEP automaton (non-overlapping, first-match-restart, span ≤
         # within) as a recursive CTE stepping every user one event per

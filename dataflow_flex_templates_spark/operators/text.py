@@ -155,6 +155,43 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     return df.withColumn("fingerprints", _fp(F.col(text_col)))
 
 
+def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 5,
+                         window: int = 4, min_shared: int = 2,
+                         max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by SHARED winnowing fingerprints — the MOSS
+    plagiarism-detection primitive: two documents sharing a fingerprint
+    share a ≥ k+window-1-char substring, so the shared count witnesses
+    copied content that whole-document hashing misses.
+
+    Inverted index on fingerprint (explode → equi-join → count), never
+    a cross join. ``max_df`` drops fingerprints appearing in more than
+    that many documents from the index — same hot-posting-list defense
+    as ngram_jaccard_pairs (boilerplate shared by half the corpus would
+    otherwise make its posting list quadratic); unlike Jaccard there is
+    no verify step because the shared COUNT over the bounded index is
+    itself the (conservative) output metric.
+
+    Returns (id_a, id_b, shared_fp) with shared_fp ≥ min_shared.
+    """
+    fp = (winnow_fingerprints(df, text_col, k, window)
+          .select(F.col(id_col).alias("id"),
+                  F.explode("fingerprints").alias("fp"))
+          .distinct())   # winnowing may emit one value at many positions
+    if max_df is not None:
+        rare = (fp.groupBy("fp").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("fp"))
+        fp = fp.join(rare, "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .agg(F.count("*").alias("shared_fp"))
+         .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
 #: GPT-2-style pre-tokenizer pattern (contractions, words, numbers,
 #: punctuation runs) — the "BPE-ish" token estimate. Java regex here;
 #: keep semantically aligned with the RE2 twin in the DuckDB oracle.

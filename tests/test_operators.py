@@ -404,3 +404,39 @@ def test_dedup_keep_filter(spark, neardup_docs):
             for r in cluster_duplicates(pairs).collect()}
     for x, rep in comp.items():
         assert (x in kept) == (x == rep)
+
+
+def test_winnow_overlap_pairs(spark, neardup_docs):
+    """Shared-fingerprint pair counts equal a pure-numpy recomputation;
+    max_df drops boilerplate fingerprints but same-cluster pairs keep
+    their rare shared substrings."""
+    from dataflow_flex_templates_spark.operators.text import (
+        winnow_fingerprints_np,
+        winnow_overlap_pairs,
+    )
+
+    pdf = neardup_docs
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    got = {(r["id_a"], r["id_b"]): r["shared_fp"]
+           for r in winnow_overlap_pairs(df, min_shared=2).collect()}
+
+    fps = {}
+    for _, r in pdf.iterrows():
+        norm = " ".join((r["text"] or "").lower().split())
+        fps[r["doc_id"]] = set(winnow_fingerprints_np(norm))
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(fps[a] & fps[b])
+            if n >= 2:
+                want[(a, b)] = n
+    assert got == want
+    assert len(want) > 0
+
+    # DF-bounded index: output is a subset with counts never larger
+    bounded = {(r["id_a"], r["id_b"]): r["shared_fp"]
+               for r in winnow_overlap_pairs(df, min_shared=2,
+                                             max_df=10).collect()}
+    assert set(bounded) <= set(want)
+    assert all(bounded[k] <= want[k] for k in bounded)
