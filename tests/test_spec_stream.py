@@ -726,3 +726,109 @@ def test_windowed_target_skips_prepare_when_raw_suffices(spark, stream_env):
     assert len(calls2) >= 1  # fallback path engaged at plan build
     q2.awaitTermination(600)
     q2.stop()
+
+
+def test_session_window_spec_target_matches_batch(spark, stream_env):
+    """A SESSION-window grouped target through SpecStreamJob (append
+    mode — each session emits once when the watermark closes it)
+    equals the batch session_window GROUP BY, given a far-future flush
+    row that closes every session."""
+    import duckdb
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    # append a flush file: one far-future row per codec pushes the
+    # watermark past every real event so all sessions close
+    far = pdf["event_time"].max() + timedelta(hours=2)
+    flush = pdf.drop_duplicates("codec").copy()
+    flush["event_time"] = far
+    flush["clip_id"] = "flush_" + flush["codec"]
+    inp2 = os.path.join(root, "input_sess")
+    import shutil as _sh
+    _sh.copytree(inp, inp2)
+    spark.createDataFrame(flush, schema=clips_spark_schema()) \
+        .coalesce(1).write.mode("append").parquet(inp2)
+
+    spec = {
+        "sources": [{"type": "bigquery", "name": "clips",
+                     "query": "SELECT 1"}],
+        "targets": [{
+            "name": "CodecSession", "type": "node", "source": "clips",
+            "mode": "merge",
+            "transform": {
+                "group": True,
+                "window": {"type": "session", "gap": "5 seconds"},
+                "aggregations": [
+                    {"expr": "count(*)", "field": "n_clips"},
+                    {"expr": "sum(dur_ms)", "field": "total_ms"},
+                ],
+            },
+            "mappings": [
+                {"constant": "CodecSession", "role": "label"},
+                {"field": "codec", "name": "codec", "role": "key",
+                 "type": "String"},
+                {"field": "n_clips", "name": "n_clips",
+                 "role": "property", "type": "Long"},
+                {"field": "total_ms", "name": "total_ms",
+                 "role": "property", "type": "Long"},
+            ],
+        }],
+    }
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp2,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_sess"),
+        checkpoint_dir=os.path.join(root, "ckpt_sess"),
+        watermark="60 seconds",
+        max_files_per_trigger=2,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    got = j.read_merged(spark, "CodecSession").toPandas()
+    got = got[~got["codec"].isna()]
+    if got["window_start"].dt.tz is None:
+        got["window_start"] = got["window_start"].dt.tz_localize("UTC")
+
+    # DuckDB session oracle over the REAL rows (flush rows excluded:
+    # they form their own sessions; drop them by timestamp)
+    oracle = duckdb.sql("""
+        WITH ordered AS (
+          SELECT codec, event_time, dur_ms,
+                 CASE WHEN event_time - lag(event_time) OVER w
+                           > INTERVAL 5 SECONDS
+                       OR lag(event_time) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM pdf WINDOW w AS (PARTITION BY codec ORDER BY event_time)),
+        sess AS (
+          SELECT codec, event_time, dur_ms,
+                 SUM(new_sess) OVER (PARTITION BY codec ORDER BY event_time
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM ordered)
+        SELECT MIN(event_time) AS ws, codec,
+               COUNT(*) AS n_clips, SUM(dur_ms) AS total_ms
+        FROM sess GROUP BY codec, sid
+    """).df()
+    om = {}
+    for _, r in oracle.iterrows():
+        ws = r["ws"]
+        if ws.tz is None:
+            ws = ws.tz_localize("UTC")
+        om[(ws, r["codec"])] = (r["n_clips"], r["total_ms"])
+    real = got[got["window_start"] < pd_far(far)]
+    assert len(real) == len(om), (len(real), len(om))
+    for _, r in real.iterrows():
+        assert (r["n_clips"], r["total_ms"]) == om[
+            (r["window_start"], r["codec"])]
+
+
+def pd_far(ts):
+    import pandas as pd
+
+    t = pd.Timestamp(ts)
+    return t.tz_localize("UTC") if t.tz is None else t
