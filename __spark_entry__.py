@@ -888,6 +888,37 @@ def _q_actions_pipeline(spark, sf_dir):
         "partkey", F.round("qty", 4).alias("qty"))
 
 
+def _q_training_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline composed from the operator
+    library: Gopher quality filter → exact dedup (keep min-id per
+    fingerprint) → token budgeting, rolled up per source. The whole
+    chain is one declarative plan (filter → hash-agg keeper join →
+    projection → final agg) and has a single-SQL oracle."""
+    from dataflow_flex_templates_spark.operators.dedup import exact_dedup
+    from dataflow_flex_templates_spark.operators.text import (
+        bpe_token_count,
+        gopher_flags,
+        token_count,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    kept = gopher_flags(docs).filter(F.col("keep")) \
+        .select("doc_id", "text", "source")
+    keepers = exact_dedup(kept).select(
+        F.col("keeper_id").alias("doc_id"))
+    deduped = kept.join(keepers, "doc_id")
+    return (deduped
+            .select("source",
+                    token_count(F.col("text")).alias("ws"),
+                    bpe_token_count(F.col("text")).alias("bpe"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws").alias("ws_tokens"),
+                 F.sum("bpe").alias("bpe_tokens"))
+            .orderBy("source"))
+
+
 def _q_drop_empty_rows(spark, sf_dir):
     """P6 drop-all-null rows (transforms/DeleteEmptyRowsFn.java:12-29)."""
     from dataflow_flex_templates_spark.graph.build import drop_empty_rows
@@ -976,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_substitution": _q_token_substitution,
         "actions_pipeline": _q_actions_pipeline,
         "actions_named_barrier": _q_actions_named_barrier,
+        "training_pipeline": _q_training_pipeline,
         "drop_empty_rows": _q_drop_empty_rows,
         "frame_sample_plan": _q_frame_sample_plan,
         "media_features": _q_media_features,
@@ -1384,6 +1416,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_parts, round(SUM(qty), 4) AS total_qty
             FROM (SELECT l_partkey, SUM(l_quantity) AS qty
                   FROM lineitem GROUP BY 1)
+        """,
+        "training_pipeline": rf"""
+            WITH t AS (
+              SELECT doc_id, text, source,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            m AS (
+              SELECT *, string_split(nt, ' ') AS toks,
+                     len(string_split(nt, ' ')) AS n_tok
+              FROM t),
+            f AS (
+              SELECT doc_id, text, source, nt,
+                     n_tok < 5 AS f1,
+                     (list_sum(list_transform(toks, x -> length(x)))
+                      / greatest(n_tok, 1)) AS mean_len,
+                     (length(text) - length(regexp_replace(
+                        text, '[#@~^*+=|<>]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE AS sym_ratio,
+                     ((length(text) - length(replace(text, '...', ''))) / 3)
+                       * 10.0 AS ell10,
+                     n_tok,
+                     len(list_filter(toks,
+                         x -> list_contains({_STOPWORDS_SQL}, x))) AS stops
+              FROM m),
+            kept AS (
+              SELECT doc_id, text, source, md5(nt) AS fp
+              FROM f
+              WHERE NOT (f1 OR mean_len < 2.0 OR mean_len > 12.0
+                         OR sym_ratio > 0.10 OR ell10 > n_tok
+                         OR stops = 0)),
+            dedup AS (
+              SELECT * FROM kept
+              WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fp))
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END) AS ws_tokens,
+                   SUM(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')))
+                     AS bpe_tokens
+            FROM dedup GROUP BY source ORDER BY source
         """,
         # winnowing: the whole algebra (k=5-gram polynomial rolling hash
         # mod 2^64 folded to 61 bits, window w=4 min, robust positional

@@ -832,3 +832,69 @@ def pd_far(ts):
 
     t = pd.Timestamp(ts)
     return t.tz_localize("UTC") if t.tz is None else t
+
+
+def test_sliding_window_spec_target_matches_batch(spark, stream_env):
+    """A SLIDING-window grouped target through SpecStreamJob (update
+    mode + arrival LWW) equals the batch sliding GROUP BY per
+    (window_start, codec)."""
+    import duckdb
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    spec = {
+        "sources": [{"type": "bigquery", "name": "clips",
+                     "query": "SELECT 1"}],
+        "targets": [{
+            "name": "CodecSlide", "type": "node", "source": "clips",
+            "mode": "merge",
+            "transform": {
+                "group": True,
+                "window": {"type": "sliding", "duration": "20 seconds",
+                           "slide": "10 seconds"},
+                "aggregations": [
+                    {"expr": "count(*)", "field": "n_clips"},
+                ],
+            },
+            "mappings": [
+                {"constant": "CodecSlide", "role": "label"},
+                {"field": "codec", "name": "codec", "role": "key",
+                 "type": "String"},
+                {"field": "n_clips", "name": "n_clips",
+                 "role": "property", "type": "Long"},
+            ],
+        }],
+    }
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_slide"),
+        checkpoint_dir=os.path.join(root, "ckpt_slide"),
+        watermark="60 seconds",
+        max_files_per_trigger=2,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    got = j.read_merged(spark, "CodecSlide").toPandas()
+    if got["window_start"].dt.tz is None:
+        got["window_start"] = got["window_start"].dt.tz_localize("UTC")
+    oracle = duckdb.sql("""
+        WITH offs AS (SELECT 0 AS o UNION ALL SELECT 1),
+        win AS (
+          SELECT time_bucket(INTERVAL 10 SECONDS, event_time)
+                 - o * INTERVAL 10 SECONDS AS ws, codec
+          FROM pdf, offs)
+        SELECT ws, codec, COUNT(*) AS n FROM win GROUP BY 1, 2
+    """).df()
+    om = {}
+    for _, r in oracle.iterrows():
+        ws = r["ws"]
+        if ws.tz is None:
+            ws = ws.tz_localize("UTC")
+        om[(ws, r["codec"])] = r["n"]
+    assert len(got) == len(om), (len(got), len(om))
+    for _, r in got.iterrows():
+        assert r["n_clips"] == om[(r["window_start"], r["codec"])]
