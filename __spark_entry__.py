@@ -439,15 +439,19 @@ def _q_winnow_overlap(spark, sf_dir):
 
 
 def _q_ivf_ann_topk(spark, sf_dir):
-    """IVF-FLAT ANN (hash-seeded centroids + Lloyd refinement, nprobe
-    cell search → exact re-rank). Approximation → rows-only driver
-    check; recall vs exact is pytest-verified."""
+    """IVF-FLAT ANN, deterministic variant (lloyd_iters=0: hash-seeded
+    centroids + sequential-fold distances — bit-reproducible outside
+    the engine). Oracle: cell candidates pinned from the pure-Python
+    IVF twin + exact SQL cosine re-rank. The Lloyd-refined variant
+    (distributed float means, engine-dependent) keeps its recall
+    pytest instead."""
     from dataflow_flex_templates_spark.operators.similarity import ivf_topk
 
     _load(spark, sf_dir)
     vecs = spark.table("embeddings").filter("vec_id < 300")
     qs = spark.table("embeddings").filter("vec_id < 12")
-    return ivf_topk(vecs, qs, k=5, n_centroids=12, nprobe=4)
+    return ivf_topk(vecs, qs, k=5, n_centroids=12, nprobe=4,
+                    lloyd_iters=0)
 
 
 def _q_audio_decode_stats(spark, sf_dir):
@@ -1666,10 +1670,29 @@ def oracle_sql() -> dict[str, str]:
                {base_norm} AS transcript_norm
         FROM documents WHERE doc_id < 200
     """
-    # ivf_ann_topk: intentionally no SQL oracle — Lloyd-refined
-    # centroids depend on distributed float-sum order, so candidates
-    # are not reproducible outside the engine; recall vs exact top-k
-    # is pytest-verified instead.
+    # IVF ANN top-k (lloyd_iters=0 deterministic index): twin cell
+    # candidates + exact SQL cosine re-rank
+    ivf_cand = _values_table(const["ivf_candidates"],
+                             ["query_id", "neighbor_id"])
+    out["ivf_ann_topk"] = f"""
+        WITH cand AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(neighbor_id AS BIGINT) AS neighbor_id
+          FROM {ivf_cand}),
+        sc AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              v.embedding::DOUBLE[]), 6)
+                   AS cosine
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings v ON v.vec_id = c.neighbor_id),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM sc)
+        SELECT query_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 5
+    """
     return out
 
 

@@ -210,9 +210,62 @@ def lsh_query_candidates(
     return sorted(out)
 
 
+# ------------------------------------------------------------ IVF-FLAT
+
+def ivf_seed_centroids(vecs: list[tuple[int, list[float]]],
+                       n_centroids: int) -> list[tuple[int, list[float]]]:
+    """Twin of similarity.ivf_centroids with lloyd_iters=0: the seed
+    centroids are the n vectors with the smallest xxhash64(vec_id)
+    (LongType path), centroid ids assigned in hash order."""
+    seeds = sorted(vecs, key=lambda iv: xxh64_long(iv[0]))[:n_centroids]
+    return [(i, [float(x) for x in v]) for i, (_, v) in enumerate(seeds)]
+
+
+def _sqdist_fold(v: list[float], c: list[float]) -> float:
+    # same IEEE op sequence as similarity._sqdist: per-element
+    # (x-y)*(x-y) then a sequential left fold of additions
+    acc = 0.0
+    for x, y in zip(v, c):
+        d = float(x) - y
+        acc = acc + d * d
+    return acc
+
+
+def ivf_cell_order(v: list[float],
+                   cents: list[tuple[int, list[float]]],
+                   n: int) -> list[int]:
+    """Twin of similarity._argmin_centroids: centroids sorted by
+    (distance, cid) — matches array_sort over struct<d, cid>."""
+    scored = sorted((( _sqdist_fold(v, cv), cid) for cid, cv in cents))
+    return [cid for _, cid in scored[:n]]
+
+
+def ivf_candidates(
+    vecs: list[tuple[int, list[float]]],
+    queries: list[tuple[int, list[float]]],
+    n_centroids: int,
+    nprobe: int,
+) -> list[tuple[int, int]]:
+    """(query_id, neighbor_id) candidate pairs of the lloyd_iters=0
+    IVF index: every vector in any of the query's nprobe nearest
+    cells, self-matches excluded."""
+    cents = ivf_seed_centroids(vecs, n_centroids)
+    by_cell: dict[int, list[int]] = {}
+    for vid, v in vecs:
+        by_cell.setdefault(ivf_cell_order(v, cents, 1)[0], []).append(vid)
+    out = set()
+    for qid, qv in queries:
+        for cid in ivf_cell_order(qv, cents, nprobe):
+            for nid in by_cell.get(cid, ()):
+                if nid != qid:
+                    out.add((qid, nid))
+    return sorted(out)
+
+
 __all__ = [
     "norm_text_py", "simhash_twin", "hamming64", "simhash_pairs_twin",
     "shingles_py", "minhash_sigs_twin", "minhash_band_candidates",
     "lsh_table_sigs", "lsh_pair_candidates", "lsh_query_candidates",
+    "ivf_seed_centroids", "ivf_cell_order", "ivf_candidates",
     "xxh64", "xxh64_long", "xxh64_signed",
 ]

@@ -90,6 +90,14 @@ def main() -> None:
         list(p) for p in lsh_query_candidates(vecs, qvecs, dim, n_planes=3,
                                               n_tables=16)
     ]
+    # ivf_ann_topk candidates (lloyd_iters=0 deterministic index;
+    # n_centroids=12, nprobe=4)
+    from dataflow_flex_templates_spark.testing.twins import ivf_candidates
+
+    out["ivf_candidates"] = [
+        list(p) for p in ivf_candidates(vecs, qvecs, n_centroids=12,
+                                        nprobe=4)
+    ]
 
     # ---- audio stats twins (no Spark, no DataFrames) -------------------
     from dataflow_flex_templates_spark.functions.audio import (

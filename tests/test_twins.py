@@ -94,6 +94,34 @@ def test_lsh_sig_twin_matches_operator(spark, sf_dir):
     assert got == lsh_pair_candidates(vecs, dim, n_planes=4, n_tables=4)
 
 
+def test_ivf_twin_matches_operator(spark, sf_dir):
+    """lloyd_iters=0 IVF: seed centroids, cell assignment, and probe
+    order are bit-exact between Spark and the twin."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.similarity import (
+        _argmin_centroids,
+        ivf_centroids,
+    )
+    from dataflow_flex_templates_spark.testing.twins import (
+        ivf_cell_order,
+        ivf_seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter("vec_id < 120")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in rows]
+    cents = ivf_centroids(emb, n_centroids=8, lloyd_iters=0)
+    assert cents == ivf_seed_centroids(vecs, 8)
+    dvec = F.col("embedding").cast("array<double>")
+    got = {r["vec_id"]: list(r["p"]) for r in emb.select(
+        "vec_id", _argmin_centroids(dvec, cents, 3).alias("p")).collect()}
+    for vid, v in vecs:
+        assert got[vid] == ivf_cell_order(v, cents, 3), vid
+
+
 def test_oracle_constants_fresh(sf_dir):
     """The pinned oracle constants must match a live twin recomputation
     for a spot-checked slice (guards against stale constants after a
@@ -114,8 +142,8 @@ def test_oracle_constants_fresh(sf_dir):
 
 
 def test_oracle_sql_coverage():
-    """Every queries() entry except the documented engine-dependent ones
-    ships an oracle."""
+    """EVERY queries() entry ships an oracle (ivf_ann_topk joined the
+    board via the deterministic lloyd_iters=0 index)."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -123,4 +151,4 @@ def test_oracle_sql_coverage():
     import __spark_entry__ as entry
 
     no_oracle = set(entry.queries()) - set(entry.oracle_sql())
-    assert no_oracle == {"ivf_ann_topk"}, no_oracle
+    assert no_oracle == set(), no_oracle
