@@ -749,7 +749,7 @@ def test_session_window_spec_target_matches_batch(spark, stream_env):
     flush = pdf.drop_duplicates("codec").copy()
     flush["event_time"] = far
     flush["clip_id"] = "flush_" + flush["codec"]
-    inp2 = os.path.join(root, "input_sess")
+    inp2 = os.path.join(root, "input_sess_full")
     import shutil as _sh
     _sh.copytree(inp, inp2)
     spark.createDataFrame(flush, schema=clips_spark_schema()) \
@@ -784,8 +784,8 @@ def test_session_window_spec_target_matches_batch(spark, stream_env):
         _parse(spec),
         input_dir=inp2,
         input_schema=clips_spark_schema(),
-        output_dir=os.path.join(root, "out_sess"),
-        checkpoint_dir=os.path.join(root, "ckpt_sess"),
+        output_dir=os.path.join(root, "out_sess_full"),
+        checkpoint_dir=os.path.join(root, "ckpt_sess_full"),
         watermark="60 seconds",
         max_files_per_trigger=2,
     )
