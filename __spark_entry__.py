@@ -489,6 +489,27 @@ def _q_audio_resample_stats(spark, sf_dir):
             .orderBy("sr_hz"))
 
 
+def _q_audio_spectral_stats(spark, sf_dir):
+    """Decode → FFT → spectral summary (centroid/bandwidth/rolloff/
+    flatness) in one Arrow pass per clip, rolled up per codec. Oracle:
+    single-process numpy-twin aggregates pinned as a VALUES table."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        spectral_features,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    sf = spectral_features(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    return (clips.withColumn("__sf__", sf)
+            .groupBy("codec")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("__sf__.centroid_hz"), 3).alias("avg_centroid"),
+                 F.round(F.avg("__sf__.bandwidth_hz"), 3).alias("avg_bandwidth"),
+                 F.round(F.avg("__sf__.rolloff_hz"), 3).alias("avg_rolloff"),
+                 F.round(F.avg("__sf__.flatness"), 4).alias("avg_flatness"))
+            .orderBy("codec"))
+
+
 def _q_streaming_clip_graph(spark, sf_dir):
     """End-to-end streaming job (exactly-once sink, LWW merge) run to
     completion on a DOCUMENT-DERIVED clip stream: every clip column is
@@ -1002,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "audio_decode_stats": _q_audio_decode_stats,
         "audio_resample_stats": _q_audio_resample_stats,
+        "audio_spectral_stats": _q_audio_spectral_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
@@ -1678,6 +1700,19 @@ def oracle_sql() -> dict[str, str]:
                             ["sr_hz", "n", "total_out_samples", "avg_rms"])}
         ORDER BY sr_hz
     """
+    if "audio_spectral_stats" in const:
+        out["audio_spectral_stats"] = f"""
+            SELECT codec, CAST(n AS BIGINT) AS n,
+                   CAST(avg_centroid AS DOUBLE) AS avg_centroid,
+                   CAST(avg_bandwidth AS DOUBLE) AS avg_bandwidth,
+                   CAST(avg_rolloff AS DOUBLE) AS avg_rolloff,
+                   CAST(avg_flatness AS DOUBLE) AS avg_flatness
+            FROM {_values_table(const["audio_spectral_stats"],
+                                ["codec", "n", "avg_centroid",
+                                 "avg_bandwidth", "avg_rolloff",
+                                 "avg_flatness"])}
+            ORDER BY codec
+        """
     # IVF ANN top-k (lloyd_iters=0 deterministic index): twin cell
     # candidates + exact SQL cosine re-rank
     ivf_cand = _values_table(const["ivf_candidates"],

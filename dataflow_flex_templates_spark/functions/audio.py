@@ -182,24 +182,106 @@ def resample_linear_np(wave: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
                      wave.astype(np.float64)).astype(np.float32)
 
 
+def resample_sinc_np(wave: np.ndarray, sr_in: int, sr_out: int,
+                     taps: int = 32, beta: float = 8.6) -> np.ndarray:
+    """Kaiser-windowed-sinc resampling — the quality path behind the
+    same signature as :func:`resample_linear_np` (which it beats by
+    >15 dB on speech-band tones; see tests). Fully vectorized: one
+    (n_out × taps) gather + weighted sum, float64 accumulation,
+    anti-alias cutoff at the lower Nyquist for downsampling."""
+    if sr_in == sr_out or len(wave) == 0:
+        return wave.astype(np.float32, copy=False)
+    ratio = sr_out / sr_in
+    n_out = max(int(round(len(wave) * ratio)), 1)
+    pos = np.arange(n_out, dtype=np.float64) / ratio     # in input samples
+    fc = min(1.0, ratio)                                 # anti-alias cutoff
+    # ``taps`` counts sinc zero-crossings per side; at cutoff fc the
+    # kernel span must widen by 1/fc or the filter truncates inside its
+    # main lobes (a 32-tap kernel at fc=0.18 is ~3 crossings — useless)
+    half = int(np.ceil((taps / 2) / fc))
+    n_taps = 2 * half
+    left = np.floor(pos).astype(np.int64) - (half - 1)
+    k = np.arange(n_taps)
+    idx = left[:, None] + k[None, :]                     # (n_out, n_taps)
+    frac = idx.astype(np.float64) - pos[:, None]
+    h = fc * np.sinc(fc * frac)
+    x = frac / half
+    inside = np.abs(x) <= 1.0
+    w = np.zeros_like(h)
+    w[inside] = np.i0(beta * np.sqrt(1.0 - x[inside] ** 2)) / np.i0(beta)
+    h *= w
+    h /= h.sum(axis=1, keepdims=True)                    # unity DC gain
+    padded = np.pad(wave.astype(np.float64), (n_taps, n_taps))
+    y = (padded[idx + n_taps] * h).sum(axis=1)
+    return y.astype(np.float32)
+
+
+def spectral_features_np(wave: np.ndarray, sr_hz: int) -> tuple:
+    """Spectral summary of one clip (training-data audio features):
+    centroid (Hz), bandwidth (Hz), 85% rolloff (Hz), flatness
+    (geometric/arithmetic magnitude mean). One rfft, float64."""
+    n = len(wave)
+    if n == 0:
+        return 0.0, 0.0, 0.0, 0.0
+    mag = np.abs(np.fft.rfft(wave.astype(np.float64)))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr_hz)
+    p = mag * mag
+    total = p.sum()
+    if total <= 0.0:
+        return 0.0, 0.0, 0.0, 0.0
+    centroid = float((freqs * p).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * p).sum() / total))
+    csum = np.cumsum(p)
+    rolloff = float(freqs[np.searchsorted(csum, 0.85 * total)])
+    eps = 1e-12
+    flatness = float(np.exp(np.mean(np.log(mag + eps)))
+                     / (np.mean(mag) + eps))
+    return centroid, bandwidth, rolloff, flatness
+
+
+_SPECTRAL_SCHEMA = T.StructType([
+    T.StructField("centroid_hz", T.DoubleType()),
+    T.StructField("bandwidth_hz", T.DoubleType()),
+    T.StructField("rolloff_hz", T.DoubleType()),
+    T.StructField("flatness", T.DoubleType()),
+])
+
+
+@pandas_udf(_SPECTRAL_SCHEMA)
+def spectral_features(bytes_col: pd.Series, codec: pd.Series,
+                      sr: pd.Series) -> pd.DataFrame:
+    """Decode + FFT + summarize in one Arrow pass (no waveform column
+    ever materializes through a shuffle)."""
+    rows = []
+    for b, c, s in zip(bytes_col, codec, sr):
+        w = decode_pcm_np(b, c) if b is not None else np.zeros(0, np.float32)
+        rows.append(spectral_features_np(w, int(s)))
+    return pd.DataFrame(rows, columns=["centroid_hz", "bandwidth_hz",
+                                       "rolloff_hz", "flatness"])
+
+
 _RESAMPLE_SCHEMA = T.StructType([
     T.StructField("n_samples_out", T.LongType()),
     T.StructField("rms_out", T.DoubleType()),
 ])
 
 
-def resample_stats(target_sr: int):
+def resample_stats(target_sr: int, kernel: str = "linear"):
     """Factory: pandas UDF decoding + resampling each clip to
     ``target_sr`` in one Arrow pass, returning output length + RMS
     (decode → transform → summarize without materializing waveforms
-    through a shuffle)."""
+    through a shuffle). ``kernel``: 'linear' (cheap, ~-40 dB alias
+    floor) or 'sinc' (Kaiser-windowed, >80 dB — see tests)."""
+    resample = (resample_sinc_np if kernel == "sinc"
+                else resample_linear_np)
+
     @pandas_udf(_RESAMPLE_SCHEMA)
     def _rs(bytes_col: pd.Series, codec: pd.Series, sr: pd.Series
             ) -> pd.DataFrame:
         n_out, rms = [], []
         for b, c, s in zip(bytes_col, codec, sr):
             w = decode_pcm_np(b, c) if b is not None else np.zeros(0, np.float32)
-            r = resample_linear_np(w, int(s), target_sr)
+            r = resample(w, int(s), target_sr)
             n_out.append(len(r))
             rms.append(math.sqrt(float(np.dot(r, r)) / len(r)) if len(r) else 0.0)
         return pd.DataFrame({"n_samples_out": n_out, "rms_out": rms})

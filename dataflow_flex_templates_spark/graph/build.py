@@ -115,7 +115,10 @@ def schema_manifest(spec: JobSpec) -> list[dict]:
             if m.unique:
                 out.append({"kind": "unique", "labels": labels,
                             "property": name, "target": t.name})
-            if m.indexed and m.role != RoleType.key:
+            # index_all_properties promotes every property to indexed
+            # (ModelUtils.java:385: key || indexed || indexAllProperties)
+            if ((m.indexed or spec.config.index_all_properties)
+                    and m.role != RoleType.key):
                 out.append({"kind": "index", "labels": labels,
                             "property": name, "target": t.name})
             if m.mandatory:

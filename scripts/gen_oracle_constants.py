@@ -103,14 +103,18 @@ def main() -> None:
     from dataflow_flex_templates_spark.functions.audio import (
         decode_pcm_np,
         resample_linear_np,
+        spectral_features_np,
     )
     from dataflow_flex_templates_spark.testing.clips import make_clips_pdf
 
     clips = make_clips_pdf(300, seed=42)
     by_codec: dict[str, list[tuple[float, float]]] = {}
     by_sr: dict[int, list[tuple[int, float]]] = {}
+    spec_by_codec: dict[str, list[tuple]] = {}
     for _, r in clips.iterrows():
         w = decode_pcm_np(r["bytes"], r["codec"])
+        spec_by_codec.setdefault(r["codec"], []).append(
+            spectral_features_np(w, int(r["sr_hz"])))
         n = len(w)
         rms = math.sqrt(float(np.dot(w, w)) / n) if n else 0.0
         sb = np.signbit(w)
@@ -132,6 +136,14 @@ def main() -> None:
         [sr, len(v), int(sum(n for n, _ in v)),
          _assert_not_knife_edge(sum(r for _, r in v) / len(v))]
         for sr, v in sorted(by_sr.items())
+    ]
+    out["audio_spectral_stats"] = [
+        [codec, len(v),
+         _assert_not_knife_edge(sum(x[0] for x in v) / len(v), 3),
+         _assert_not_knife_edge(sum(x[1] for x in v) / len(v), 3),
+         _assert_not_knife_edge(sum(x[2] for x in v) / len(v), 3),
+         _assert_not_knife_edge(sum(x[3] for x in v) / len(v), 4)]
+        for codec, v in sorted(spec_by_codec.items())
     ]
 
     with open(OUT, "w") as f:

@@ -133,3 +133,93 @@ def test_resample_stats_udf(spark):
     expect = (out["dur_ms"] / 1000.0 * 16000).round()
     assert (abs(out["n_out"] - expect) <= out["sr_hz"].map(lambda s: 16000 // s + 2)).all()
     assert (out["rms_out"] > 0).all()
+
+
+def test_sinc_resampler_beats_linear():
+    """Kaiser-windowed-sinc resampling reconstructs in-band tones
+    >40 dB better than linear interpolation in up-, down-, and
+    fractional-rate conversion."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        resample_linear_np,
+        resample_sinc_np,
+        snr_db,
+    )
+
+    for sr_in, sr_out, f in [(44100, 8000, 3000.0), (8000, 16000, 3000.0),
+                             (22050, 16000, 5000.0)]:
+        t_in = np.arange(int(sr_in * 0.5)) / sr_in
+        w = (0.8 * np.sin(2 * np.pi * f * t_in)).astype(np.float32)
+        lin = resample_linear_np(w, sr_in, sr_out)
+        snc = resample_sinc_np(w, sr_in, sr_out)
+        n = min(len(lin), len(snc))
+        ideal = (0.8 * np.sin(2 * np.pi * f * np.arange(n) / sr_out)
+                 ).astype(np.float32)
+        sl = slice(200, n - 200)
+        s_lin = snr_db(ideal[sl], lin[sl])
+        s_snc = snr_db(ideal[sl], snc[sl])
+        assert s_snc > 80, (sr_in, sr_out, s_snc)
+        assert s_snc > s_lin + 40, (sr_in, sr_out, s_lin, s_snc)
+    # identity passthrough
+    w = np.ones(100, np.float32)
+    assert (resample_sinc_np(w, 8000, 8000) == w).all()
+    assert len(resample_sinc_np(np.zeros(0, np.float32), 8000, 16000)) == 0
+
+
+def test_spectral_features_tone_and_udf(spark):
+    """A pure tone's spectral centroid/rolloff land on the tone
+    frequency with near-zero bandwidth and flatness; the Arrow UDF
+    returns the same values as the numpy kernel."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        encode_pcm_np,
+        decode_pcm_np,
+        spectral_features,
+        spectral_features_np,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.7 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    noise = np.random.default_rng(3).uniform(-0.5, 0.5, sr).astype(np.float32)
+    c_t, b_t, r_t, f_t = spectral_features_np(tone, sr)
+    assert abs(c_t - 440.0) < 2.0 and b_t < 10.0 and abs(r_t - 440.0) < 5.0
+    c_n, b_n, r_n, f_n = spectral_features_np(noise, sr)
+    assert f_n > 10 * f_t          # white noise is spectrally flat
+    assert b_n > 1000.0            # and broad
+
+    rows = [("tone", encode_pcm_np(tone, "pcm_s16le"), "pcm_s16le", sr),
+            ("noise", encode_pcm_np(noise, "pcm_f32le"), "pcm_f32le", sr)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    sf = spectral_features(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    got = {r["clip_id"]: r for r in
+           df.withColumn("f", sf).select("clip_id", "f.*").collect()}
+    # UDF == numpy kernel on the DECODED (quantized) waveform
+    want_t = spectral_features_np(
+        decode_pcm_np(rows[0][1], "pcm_s16le"), sr)
+    assert abs(got["tone"]["centroid_hz"] - want_t[0]) < 1e-9
+    assert abs(got["noise"]["flatness"] - f_n) < 1e-9
+
+
+def test_resample_stats_sinc_kernel(spark):
+    """resample_stats(kernel='sinc') runs the quality path through the
+    same Arrow plumbing."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import resample_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 20, seed=5, dup_rate=0.0, late_rate=0.0,
+                          max_dur_ms=300)
+    rs = resample_stats(16000, kernel="sinc")
+    out = (clips.withColumn("r", rs(F.col("bytes"), F.col("codec"),
+                                    F.col("sr_hz")))
+           .select("clip_id", "sr_hz", "dur_ms", "r.*").collect())
+    for r in out:
+        want = int(round(r["sr_hz"] * r["dur_ms"] / 1000.0) * 16000 / r["sr_hz"])
+        assert abs(r["n_samples_out"] - want) <= 1
+        assert 0.0 < r["rms_out"] < 1.0

@@ -227,6 +227,15 @@ def test_schema_manifest_w6():
     assert ("unique", "email") in kinds
     assert ("index", "name") in kinds
     assert ("not_null", "name") in kinds
+    # un-flagged property is NOT indexed by default...
+    assert ("index", "email") not in kinds
+
+    # ...but index_all_properties promotes every property
+    # (ModelUtils.java:385: key || indexed || indexAllProperties)
+    spec.config.index_all_properties = True
+    kinds_all = {(e["kind"], e["property"])
+                 for e in schema_manifest(spec)}
+    assert ("index", "email") in kinds_all
 
 
 def test_runtime_read_query_override(tmp_path):
