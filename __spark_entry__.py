@@ -993,6 +993,54 @@ def _q_media_features(spark, sf_dir):
         "media_id", "format", "n_bytes")
 
 
+def _q_image_decode_stats(spark, sf_dir):
+    """REAL image decode (PPM/PGM/BMP byte parsing, numpy-only) over
+    document-derived synthetic images → per-channel means. Oracle:
+    every pixel is closed-form arithmetic over (doc_id, x, y), so the
+    channel means are re-derived in pure SQL — the decode path itself
+    is what the check exercises."""
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        image_stats,
+    )
+    from dataflow_flex_templates_spark.testing.images import (
+        make_doc_images_df,
+    )
+
+    _load(spark, sf_dir)
+    media = make_doc_images_df(
+        spark, spark.table("documents").filter("doc_id < 300"))
+    return image_stats(media).select(
+        "media_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+def _q_image_resize_stats(spark, sf_dir):
+    """Decode → nearest-neighbour resize to 8×4 → channel means in the
+    same Arrow pass. Oracle: the resize index map (src = (i*in)//out)
+    is integer arithmetic, so the resized means are SQL-derivable."""
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        image_stats,
+    )
+    from dataflow_flex_templates_spark.testing.images import (
+        make_doc_images_df,
+    )
+
+    _load(spark, sf_dir)
+    media = make_doc_images_df(
+        spark, spark.table("documents").filter("doc_id < 300"))
+    return image_stats(media, resize_to=(8, 4)).select(
+        "media_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jobspec_customer_nodes": _q_jobspec_customer_nodes,
@@ -1037,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_empty_rows": _q_drop_empty_rows,
         "frame_sample_plan": _q_frame_sample_plan,
         "media_features": _q_media_features,
+        "image_decode_stats": _q_image_decode_stats,
+        "image_resize_stats": _q_image_resize_stats,
     }
 
 
@@ -1442,6 +1492,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_parts, round(SUM(qty), 4) AS total_qty
             FROM (SELECT l_partkey, SUM(l_quantity) AS qty
                   FROM lineitem GROUP BY 1)
+        """,
+        # document-derived images: pixels are closed-form arithmetic
+        # over (doc_id, x, y), so the channel means of the REAL decoded
+        # PPM/PGM/BMP bytes are re-derived in pure SQL
+        "image_decode_stats": """
+            WITH d AS (
+              SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+                     ['ppm', 'bmp', 'pgm'][doc_id % 3 + 1] AS fmt
+              FROM documents WHERE doc_id < 300),
+            m AS (
+              SELECT doc_id, w, h, fmt,
+                list_sum(list_transform(generate_series(0, w - 1),
+                         x -> (x * 255) // (w - 1)))
+                  / CAST(w AS DOUBLE) AS mr,
+                list_sum(list_transform(generate_series(0, h - 1),
+                         y -> (y * 255) // (h - 1)))
+                  / CAST(h AS DOUBLE) AS mg,
+                (w - 1) / 2.0 + (h - 1) / 2.0 AS mb
+              FROM d)
+            SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                     AS media_id,
+                   fmt AS format,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   round(mr, 6) AS mean_r,
+                   round(CASE WHEN fmt = 'pgm' THEN mr ELSE mg END, 6)
+                     AS mean_g,
+                   round(CASE WHEN fmt = 'pgm' THEN mr ELSE mb END, 6)
+                     AS mean_b
+            FROM m
+        """,
+        "image_resize_stats": """
+            WITH d AS (
+              SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+                     ['ppm', 'bmp', 'pgm'][doc_id % 3 + 1] AS fmt
+              FROM documents WHERE doc_id < 300),
+            m AS (
+              SELECT doc_id, w, h, fmt,
+                list_sum(list_transform(generate_series(0, 7),
+                         xo -> (((xo * w) // 8) * 255) // (w - 1)))
+                  / 8.0 AS mr,
+                list_sum(list_transform(generate_series(0, 3),
+                         yo -> (((yo * h) // 4) * 255) // (h - 1)))
+                  / 4.0 AS mg,
+                list_sum(list_transform(generate_series(0, 7),
+                         xo -> (xo * w) // 8)) / 8.0
+                + list_sum(list_transform(generate_series(0, 3),
+                           yo -> (yo * h) // 4)) / 4.0 AS mb
+              FROM d)
+            SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                     AS media_id,
+                   fmt AS format,
+                   CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+                   round(mr, 6) AS mean_r,
+                   round(CASE WHEN fmt = 'pgm' THEN mr ELSE mg END, 6)
+                     AS mean_g,
+                   round(CASE WHEN fmt = 'pgm' THEN mr ELSE mb END, 6)
+                     AS mean_b
+            FROM m
         """,
         "training_pipeline": rf"""
             WITH t AS (

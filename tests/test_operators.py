@@ -440,3 +440,45 @@ def test_winnow_overlap_pairs(spark, neardup_docs):
                                              max_df=10).collect()}
     assert set(bounded) <= set(want)
     assert all(bounded[k] <= want[k] for k in bounded)
+
+
+def test_image_codecs_roundtrip_and_stats(spark):
+    """Real uncompressed-image path: encode→decode identity for
+    PPM/PGM/BMP (incl. BMP row padding at w%4≠0), nearest resize
+    matches direct index math, poison rows yield nulls not failures."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        decode_image_np,
+        encode_bmp,
+        encode_pgm,
+        encode_ppm,
+        image_stats,
+        resize_nearest_np,
+    )
+    from dataflow_flex_templates_spark.testing.images import doc_image_np
+
+    rng = np.random.default_rng(9)
+    for w, h in [(16, 8), (17, 9), (18, 10), (31, 15)]:  # padding cases
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_image_np(encode_ppm(img), "ppm") == img).all()
+        assert (decode_image_np(encode_bmp(img), "bmp") == img).all()
+        gray = img[:, :, 0]
+        dec = decode_image_np(encode_pgm(gray), "pgm")
+        assert (dec[:, :, 0] == gray).all() and (dec[:, :, 2] == gray).all()
+
+    img, w, h, _ = doc_image_np(7)
+    small = resize_nearest_np(img, 8, 4)
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(8) * w) // 8
+    assert (small == img[ys[:, None], xs[None, :]]).all()
+
+    rows = [("good", encode_ppm(img), "ppm"),
+            ("poison", b"NOT AN IMAGE", "ppm"),
+            ("compressed", b"\x89PNG...", "png")]
+    out = {r["media_id"]: r for r in image_stats(
+        spark.createDataFrame(
+            rows, "media_id string, bytes binary, format string")).collect()}
+    assert out["good"]["mean_r"] is not None
+    assert out["poison"]["mean_r"] is None
+    assert out["compressed"]["mean_r"] is None  # no codec → null, no crash
