@@ -72,6 +72,15 @@ class ExactlyOnceTable:
         """Idempotent batch write. Returns the commit record (or the
         previously committed one on replay)."""
         if self.is_committed(batch_id):
+            # Restart replay: the TABLE write is skipped (exactly-once),
+            # but the batch must still be fully PROCESSED — Spark 4
+            # validates that every stateful operator's state stores
+            # commit for the replayed batch (an early return raises
+            # STATE_STORE_COMMIT_VALIDATION_FAILED and kills the
+            # query), and downstream batches need the recomputed state
+            # lineage anyway. A noop-format write consumes every
+            # partition without producing output.
+            df.write.format("noop").mode("overwrite").save()
             return self.commit_info(batch_id)
 
         batch_dir = os.path.join(self._data_dir, f"batch={batch_id}")
@@ -308,6 +317,10 @@ def write_batch_multi(
     column list, which ``read_appends`` projects back out.
     """
     if all(tables[k].is_committed(batch_id) for k in frames):
+        # replayed batch: consume every frame so stateful operators
+        # commit their stores (see write_batch's replay note)
+        for df in frames.values():
+            df.write.format("noop").mode("overwrite").save()
         return
     names = list(frames)
     order = commit_order or names

@@ -280,7 +280,11 @@ class SpecStreamJob:
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if all(t.is_committed(batch_id) for t in self.tables.values()):
-            return  # restart replay — exactly-once skip
+            # restart replay — exactly-once skip of the table writes,
+            # but the batch itself must still be consumed (Spark 4
+            # state-store commit validation; see sink.write_batch)
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         prepared = self.prepare_batch(batch_df).persist()
         try:
             if self.audit_dir:  # W7 audit tee (GcsLogTransform.java:38-67)
