@@ -1041,6 +1041,28 @@ def _q_image_resize_stats(spark, sf_dir):
         F.round("mean_b", 6).alias("mean_b"))
 
 
+def _q_video_frame_stats(spark, sf_dir):
+    """REAL raw-video frame extraction (offset math over concatenated
+    grayscale frames) sampled every 2nd frame → per-frame mean +
+    motion-vs-previous-sample, one Arrow pass. Oracle: pixels are
+    closed-form over (doc_id, frame, x, y), so both statistics are
+    re-derived in pure SQL."""
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        video_frame_stats,
+    )
+    from dataflow_flex_templates_spark.testing.images import (
+        make_doc_videos_df,
+    )
+
+    _load(spark, sf_dir)
+    media = make_doc_videos_df(
+        spark, spark.table("documents").filter("doc_id < 300"))
+    return video_frame_stats(media, every_n=2).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("motion", 6).alias("motion"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "jobspec_customer_nodes": _q_jobspec_customer_nodes,
@@ -1087,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "image_decode_stats": _q_image_decode_stats,
         "image_resize_stats": _q_image_resize_stats,
+        "video_frame_stats": _q_video_frame_stats,
     }
 
 
@@ -1605,6 +1628,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fp
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
             GROUP BY 1, 2 HAVING COUNT(*) >= 50
+        """,
+        "video_frame_stats": """
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+                     4 + doc_id % 5 AS nf
+              FROM documents WHERE doc_id < 300),
+            fr AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(0, nf - 1)) AS k
+              FROM d)
+            SELECT 'vid_' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                     AS media_id,
+                   CAST(k AS BIGINT) AS frame_idx,
+                   round((w - 1) / 2.0 + k * (h - 1) / 2.0, 6) AS mean_v,
+                   round(CASE WHEN k = 0 THEN 0.0
+                              ELSE 2 * (h - 1) / 2.0 END, 6) AS motion
+            FROM fr WHERE k % 2 = 0
         """,
         # CEP automaton (non-overlapping, first-match-restart, span ≤
         # within) as a recursive CTE stepping every user one event per

@@ -230,6 +230,63 @@ def image_stats(df: DataFrame, resize_to: tuple[int, int] | None = None
     return df.mapInPandas(fn, schema=IMAGE_STATS_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("mean_v", T.DoubleType()),
+    T.StructField("motion", T.DoubleType()),
+])
+
+
+def decode_video_frame_np(buf: bytes, w: int, h: int, frame: int
+                          ) -> np.ndarray:
+    """REAL raw-video frame extraction: the payload is concatenated
+    8-bit grayscale frames (the 'rawvideo' layout), so frame k lives at
+    byte offset k*w*h — pure offset math, no codec."""
+    off = frame * w * h
+    if off + w * h > len(buf):
+        raise ValueError(f"frame {frame} beyond payload "
+                         f"({len(buf)} bytes, {w}x{h})")
+    return np.frombuffer(buf, np.uint8, w * h, off).reshape(h, w)
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Frame-sampled video statistics in one Arrow pass: decode every
+    ``every_n``-th frame (offset math over the rawvideo layout), emit
+    per sampled frame its mean value and the motion metric (mean
+    absolute difference vs the previously SAMPLED frame; first sample
+    → 0). Input columns: (media_id, bytes, width, height, n_frames).
+
+    The production shape for compressed video swaps the offset-math
+    decode for an ffmpeg seek at the same per-frame granularity;
+    everything else — sampling plan, Arrow batching, stats — is
+    unchanged."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf, w, h, nf in zip(
+                    pdf["media_id"], pdf["bytes"], pdf["width"],
+                    pdf["height"], pdf["n_frames"]):
+                try:
+                    w, h, nf = int(w), int(h), int(nf)
+                    prev = None
+                    for k in range(0, nf, max(every_n, 1)):
+                        fr = decode_video_frame_np(buf, w, h, k)
+                        mean_v = float(fr.mean(dtype=np.float64))
+                        motion = (0.0 if prev is None else float(
+                            np.abs(fr.astype(np.int16)
+                                   - prev.astype(np.int16))
+                            .mean(dtype=np.float64)))
+                        rows.append((mid, k, mean_v, motion))
+                        prev = fr
+                except Exception:
+                    rows.append((mid, -1, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              VIDEO_FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes the frame indices to decode
     per clip from metadata only (no codec needed) — the cheap pre-pass

@@ -72,3 +72,42 @@ def make_doc_images_df(spark, docs_df):
 #: SQL fragments shared with the driver oracle (DuckDB `//` = integer
 #: division, matching the numpy construction exactly).
 IMG_DIMS_SQL = "16 + doc_id % 16"  # w ; h = 8 + doc_id % 8
+
+
+# ------------------------------------------------------------------
+# Document-derived raw videos: concatenated 8-bit grayscale frames,
+# every pixel closed-form over (doc_id, frame, x, y) — no value wraps
+# (max 56 < 256), so per-frame means and motion are SQL-derivable:
+#   w = 8 + doc_id % 8,  h = 4 + doc_id % 4,  n_frames = 4 + doc_id % 5
+#   gray[f][y][x] = x + y*f
+#   frame mean   = (w-1)/2 + f*(h-1)/2
+#   motion(f←f') = (f-f') * (h-1)/2
+# ------------------------------------------------------------------
+
+def doc_video_np(doc_id: int) -> tuple[np.ndarray, int, int, int]:
+    w = 8 + doc_id % 8
+    h = 4 + doc_id % 4
+    nf = 4 + doc_id % 5
+    x = np.arange(w)[None, None, :]
+    y = np.arange(h)[None, :, None]
+    f = np.arange(nf)[:, None, None]
+    return (x + y * f).astype(np.uint8), w, h, nf
+
+
+def make_doc_videos_pdf(doc_ids) -> pd.DataFrame:
+    rows = []
+    for d in doc_ids:
+        d = int(d)
+        vid, w, h, nf = doc_video_np(d)
+        rows.append((f"vid_{d:06d}", vid.tobytes(), w, h, nf))
+    return pd.DataFrame(rows, columns=["media_id", "bytes", "width",
+                                       "height", "n_frames"])
+
+
+def make_doc_videos_df(spark, docs_df):
+    ids = [r["doc_id"] for r in
+           docs_df.select("doc_id").orderBy("doc_id").collect()]
+    return spark.createDataFrame(
+        make_doc_videos_pdf(ids),
+        "media_id string, bytes binary, width int, height int, "
+        "n_frames int")

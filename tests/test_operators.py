@@ -482,3 +482,36 @@ def test_image_codecs_roundtrip_and_stats(spark):
     assert out["good"]["mean_r"] is not None
     assert out["poison"]["mean_r"] is None
     assert out["compressed"]["mean_r"] is None  # no codec → null, no crash
+
+
+def test_video_frame_extraction(spark):
+    """Raw-video offset math: extracted frames are pixel-exact; the
+    stats op emits correct means/motion and flags truncated payloads
+    as poison rows."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        decode_video_frame_np,
+        video_frame_stats,
+    )
+    from dataflow_flex_templates_spark.testing.images import doc_video_np
+
+    vid, w, h, nf = doc_video_np(11)
+    buf = vid.tobytes()
+    for k in range(nf):
+        assert (decode_video_frame_np(buf, w, h, k) == vid[k]).all()
+
+    rows = [("v", buf, w, h, nf),
+            ("truncated", buf[: w * h * 2 - 5], w, h, nf)]
+    df = spark.createDataFrame(
+        rows, "media_id string, bytes binary, width int, height int, "
+              "n_frames int")
+    out = video_frame_stats(df, every_n=1).collect()
+    good = sorted((r["frame_idx"], r["mean_v"], r["motion"])
+                  for r in out if r["media_id"] == "v")
+    assert len(good) == nf
+    for k, mean_v, motion in good:
+        assert abs(mean_v - ((w - 1) / 2 + k * (h - 1) / 2)) < 1e-9
+        assert abs(motion - (0.0 if k == 0 else (h - 1) / 2)) < 1e-9
+    poison = [r for r in out if r["media_id"] == "truncated"]
+    assert len(poison) >= 1 and poison[-1]["mean_v"] is None
