@@ -109,6 +109,11 @@ class IcebergMergeSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if self.is_committed(spark, batch_id):
+            # replayed batch: skip the MERGE but still consume the
+            # DataFrame — Spark 4 validates that stateful operators
+            # commit their state stores for every executed batch
+            # (see sink.ExactlyOnceTable.write_batch)
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         view = f"__merge_src_{int(batch_id)}"
         batch_df.createOrReplaceTempView(view)
