@@ -181,8 +181,20 @@ def extract_media_features(df: DataFrame,
                                       widths, heights):
                 sizes.append(len(buf) if buf is not None else 0)
                 try:
-                    feats.append(
-                        _decode_image_stub(buf, fmt, w, h).tolist())
+                    # real decoders first (ppm/pgm/bmp); compressed or
+                    # unknown formats fall back to the labeled stub
+                    try:
+                        img = decode_image_np(buf, fmt)
+                        ih, iw = img.shape[:2]
+                        m = img.reshape(-1, 3).mean(axis=0,
+                                                    dtype=np.float64)
+                        feats.append([float(m[0]), float(m[1]),
+                                      float(m[2]), float(img.std()),
+                                      float(iw * ih), float(iw),
+                                      float(ih), float(img[0, 0, 0])])
+                    except ValueError:
+                        feats.append(
+                            _decode_image_stub(buf, fmt, w, h).tolist())
                 except Exception:
                     feats.append(None)
             yield pd.DataFrame({"media_id": pdf["media_id"].values,
