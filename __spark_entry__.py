@@ -1167,7 +1167,7 @@ def _values_table(rows, cols: list[str]) -> str:
 _WINNOW_SQL = r"""
     WITH norm AS (
       SELECT doc_id,
-             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+             lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g')) AS nt
       FROM documents WHERE doc_id < 200),
     chars AS (SELECT doc_id, nt, length(nt) AS n FROM norm),
     grams AS (
@@ -1211,8 +1211,8 @@ _WINNOW_SQL = r"""
 #: DuckDB twin of functions.audio.normalize_transcript (same op order:
 #: lower/trim → strip non-letter/digit/apostrophe → collapse ws → trim).
 def _norm_transcript_sql(col: str) -> str:
-    return ("trim(regexp_replace(regexp_replace(lower(trim(" + col + ")), "
-            r"'[^\p{L}\p{N}'' ]+', ' ', 'g'), '\s+', ' ', 'g'))")
+    return ("trim(regexp_replace(regexp_replace(lower(trim(" + col + ", ' ')), "
+            r"'[^\p{L}\p{N}'' ]+', ' ', 'g'), '\s+', ' ', 'g'), ' ')")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1299,8 +1299,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile": f"""
             WITH t AS (
-              SELECT *, trim(text) AS tt,
-                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+              SELECT *, trim(text, ' ') AS tt,
+                     lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS nt
               FROM documents),
             tok AS (
               SELECT *,
@@ -1328,7 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": rf"""
             WITH t AS (
               SELECT doc_id, text,
-                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g')) AS nt
               FROM documents),
             m AS (
               SELECT doc_id, text, nt,
@@ -1362,8 +1362,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text, ' '), '\s+'))
                    END AS ws_tokens,
                    len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
@@ -1371,14 +1371,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "exact_dedup": """
-            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+            SELECT md5(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))) AS fp,
                    MIN(doc_id) AS keeper_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY 1
         """,
         "ngram_jaccard": """
             WITH norm AS (
               SELECT doc_id AS id,
-                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+                     lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS nt
               FROM documents WHERE doc_id < 120),
             sh AS (
               SELECT id, list_distinct(list_transform(
@@ -1398,7 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": """
             WITH RECURSIVE norm AS (
               SELECT doc_id AS id,
-                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+                     lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS nt
               FROM documents WHERE doc_id < 120),
             sh AS (
               SELECT id, list_distinct(list_transform(
@@ -1426,7 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep": """
             WITH RECURSIVE norm AS (
               SELECT doc_id AS id,
-                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+                     lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS nt
               FROM documents WHERE doc_id < 120),
             sh AS (
               SELECT id, list_distinct(list_transform(
@@ -1577,7 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "training_pipeline": rf"""
             WITH t AS (
               SELECT doc_id, text, source,
-                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g')) AS nt
               FROM documents),
             m AS (
               SELECT *, string_split(nt, ' ') AS toks,
@@ -1607,8 +1607,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM kept
               WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fp))
             SELECT source, COUNT(*) AS n_docs,
-                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   SUM(CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text, ' '), '\s+'))
                        END) AS ws_tokens,
                    SUM(len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')))
@@ -1772,7 +1772,7 @@ def oracle_sql() -> dict[str, str]:
           FROM {mh_cand}),
         norm AS (
           SELECT doc_id AS id,
-                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+                 lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g')) AS nt
           FROM documents WHERE doc_id < 120),
         sh AS (
           SELECT id, list_distinct(list_transform(

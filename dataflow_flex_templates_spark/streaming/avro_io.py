@@ -209,7 +209,9 @@ def read_avro_file(path: str) -> pd.DataFrame:
         for _ in range(count):
             rows.append([_decode_value(buf, t) for t in types])
         assert buf.read(16) == sync, f"sync marker mismatch in {path}"
-    return pd.DataFrame(rows, columns=cols)
+    # object dtype: a long column containing nulls must NOT collapse to
+    # float64 (2^53+ values would silently lose precision)
+    return pd.DataFrame(rows, columns=cols, dtype=object)
 
 
 # ---------------------------------------------------------- spark-level
