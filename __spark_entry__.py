@@ -783,7 +783,11 @@ def _q_actions_named_barrier(spark, sf_dir):
     out = run_job(spark, spec)
     # named action fired at its target's barrier, before the phase action
     assert [r["name"] for r in out.action_results] == ["audit_part", "post"]
-    return spark.table("named_part_audit")
+    # snapshot the 1-row audit view: a later query's run_job may
+    # republish target_Part (the flagship also names a Part target),
+    # and the driver may evaluate frames lazily
+    audit = spark.table("named_part_audit")
+    return spark.createDataFrame(audit.collect(), audit.schema)
 
 
 def _q_text_source_csv(spark, sf_dir):
