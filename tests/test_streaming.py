@@ -444,3 +444,29 @@ def test_compaction_and_time_travel(spark, tmp_path):
     assert t.base_info()["through"] == 3
     got2 = dict((r["k"], r["v"]) for r in t.read_merged(spark).collect())
     assert got2 == got
+
+
+def test_lineage_surface(spark, tmp_path):
+    """Per-partition lineage is queryable: one row per (batch,
+    partition), row counts summing to the committed totals."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.streaming.sink import (
+        ExactlyOnceTable,
+    )
+
+    t = ExactlyOnceTable(str(tmp_path / "lt"), key_cols=["k"],
+                         order_col="seq")
+    t.write_batch(spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, seq long")
+        .repartition(2), 0)
+    t.write_batch(spark.createDataFrame(
+        [("d", 4)], "k string, seq long"), 1)
+    lin = t.lineage(spark)
+    pdf = lin.toPandas()
+    assert set(pdf["batch_id"]) == {0, 1}
+    assert pdf["rows"].sum() == 4
+    per_batch = pdf.groupby("batch_id")["rows"].sum().to_dict()
+    assert per_batch == {0: 3, 1: 1}
+    assert (lin.groupBy("batch_id").agg(F.sum("rows").alias("n"))
+            .filter("n <= 0").count() == 0)
