@@ -219,6 +219,7 @@ class SpecStreamJob:
         self.state_dedup_key = state_dedup_key
         self.http_fn = http_fn
         self.action_results: list[dict] = []
+        self._recorder = None
         #: Optional second stream (transcripts): the north_rule's
         #: stateful clip↔transcript stream-stream join keyed on clip_id
         #: runs UPSTREAM of the target pipeline — joined rows flow into
@@ -344,9 +345,24 @@ class SpecStreamJob:
             df = df.withWatermark(self.event_time_col, self.watermark)
         return df
 
+    def metrics_summary(self) -> dict | None:
+        """Per-batch metrics summary (latency percentiles, input rows,
+        late rows dropped by the watermark) — populated once the job
+        has started; None before that."""
+        return self._recorder.summary() if self._recorder else None
+
     def start(self, spark: SparkSession, available_now: bool = True
               ) -> "MultiQuery":
         from dataflow_flex_templates_spark.graph.actions import run_actions
+        from dataflow_flex_templates_spark.streaming.metrics import (
+            ProgressRecorder,
+        )
+
+        # Metrics listener: latency + late-drop accounting for every
+        # query this job launches (the progress events also drive the
+        # silent-data-loss warning in run_to_completion).
+        self._recorder = ProgressRecorder()
+        spark.streams.addListener(self._recorder)
 
         # D1 preload phases before any query launches
         # (GcpToNeo4j.run:173; JobSpec.getPreloadActions:81-89).
@@ -429,6 +445,27 @@ class SpecStreamJob:
         q = self.start(spark, available_now=True)
         q.awaitTermination(timeout_s)
         q.stop()
+        try:
+            spark.streams.removeListener(self._recorder)
+        except Exception:
+            pass
+        # Silent data loss is the #1 streaming footgun: if the watermark
+        # dropped a meaningful share of input rows (out-of-order input
+        # beyond the configured delay), say so loudly instead of
+        # committing a quietly-short windowed table.
+        s = self.metrics_summary()
+        if s and s["input_rows"]:
+            frac = s["rows_dropped_by_watermark"] / s["input_rows"]
+            if frac > 0.01:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "SpecStreamJob: watermark dropped %d of %d input "
+                    "rows (%.1f%%) as late — the input's event-time "
+                    "disorder exceeds the '%s' watermark; windowed "
+                    "targets are under-counted",
+                    s["rows_dropped_by_watermark"], s["input_rows"],
+                    100 * frac, self.watermark)
         # D1 named barriers: in a drained availableNow run every target
         # is complete; publish each merged table as a temp view and fire
         # its execute_after_name actions in D2 order (nodes first — the

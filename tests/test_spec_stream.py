@@ -898,3 +898,47 @@ def test_sliding_window_spec_target_matches_batch(spark, stream_env):
     assert len(got) == len(om), (len(got), len(om))
     for _, r in got.iterrows():
         assert r["n_clips"] == om[(r["window_start"], r["codec"])]
+
+
+def test_metrics_summary_and_late_warning(spark, stream_env, caplog):
+    """SpecStreamJob surfaces per-batch metrics (input rows, late
+    drops, latency percentiles) and warns loudly when the watermark
+    silently drops a meaningful share of rows."""
+    import logging
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    # 20% far-late rows against a tight 10 s watermark on a windowed
+    # target → heavy late-drop
+    late_pdf = make_clips_pdf(200, seed=33, dup_rate=0.0, late_rate=0.2,
+                              watermark_s=30, max_step_ms=2000,
+                              max_dur_ms=300)
+    inp2 = os.path.join(root, "input_late")
+    chunk = len(late_pdf) // 5 + 1
+    for i in range(0, len(late_pdf), chunk):
+        spark.createDataFrame(late_pdf.iloc[i:i + chunk],
+                              schema=clips_spark_schema()) \
+            .coalesce(1).write.mode("append").parquet(inp2)
+    spec = _spec()
+    spec["targets"] = [t for t in spec["targets"]
+                       if t["name"] == "CodecWindow"]
+    j = SpecStreamJob(
+        _parse(spec),
+        input_dir=inp2,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_late"),
+        checkpoint_dir=os.path.join(root, "ckpt_late"),
+        watermark="10 seconds",
+        max_files_per_trigger=1,
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="dataflow_flex_templates_spark"
+                                ".streaming.spec_stream"):
+        j.run_to_completion(spark, timeout_s=900)
+    s = j.metrics_summary()
+    assert s is not None and s["input_rows"] > 0
+    assert s["rows_dropped_by_watermark"] > 0, s
+    assert any("watermark dropped" in r.message for r in caplog.records)
