@@ -445,6 +445,18 @@ class SpecStreamJob:
         q = self.start(spark, available_now=True)
         q.awaitTermination(timeout_s)
         q.stop()
+        # listener events are delivered asynchronously — wait for the
+        # progress stream to settle before detaching and summarizing
+        import time as _time
+
+        seen = -1
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            n = len(self._recorder.progress)
+            if n == seen and n > 0:
+                break
+            seen = n
+            _time.sleep(0.5)
         try:
             spark.streams.removeListener(self._recorder)
         except Exception:
