@@ -917,6 +917,33 @@ def _q_actions_pipeline(spark, sf_dir):
         "partkey", F.round("qty", 4).alias("qty"))
 
 
+def _q_automap_nodes(spark, sf_dir):
+    """automap=true: every unmapped source column auto-becomes a
+    property (the reference parses this flag but never implemented it
+    — TargetMapper.java:64, roadmap docs/README.md:183; live and
+    opt-in here)."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    _load(spark, sf_dir)
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "s",
+                     "query": "SELECT n_nationkey, n_name, n_regionkey "
+                              "FROM nation"}],
+        "targets": [{
+            "name": "Nation", "type": "node", "source": "s",
+            "mode": "append", "automap": True,
+            "mappings": [
+                {"constant": "Nation", "role": "label"},
+                {"field": "n_nationkey", "name": "nationkey",
+                 "role": "key", "type": "Long"},
+            ],
+        }],
+    }))
+    return run_job(spark, spec).target_frames["Nation"].select(
+        "nationkey", "n_name", "n_regionkey")
+
+
 def _q_training_pipeline(spark, sf_dir):
     """End-to-end training-data pipeline composed from the operator
     library: Gopher quality filter → exact dedup (keep min-id per
@@ -1107,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_substitution": _q_token_substitution,
         "actions_pipeline": _q_actions_pipeline,
         "actions_named_barrier": _q_actions_named_barrier,
+        "automap_nodes": _q_automap_nodes,
         "training_pipeline": _q_training_pipeline,
         "drop_empty_rows": _q_drop_empty_rows,
         "frame_sample_plan": _q_frame_sample_plan,
@@ -1519,6 +1547,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_parts, round(SUM(qty), 4) AS total_qty
             FROM (SELECT l_partkey, SUM(l_quantity) AS qty
                   FROM lineitem GROUP BY 1)
+        """,
+        "automap_nodes": """
+            SELECT n_nationkey AS nationkey, n_name, n_regionkey
+            FROM nation
         """,
         # document-derived images: pixels are closed-form arithmetic
         # over (doc_id, x, y), so the channel means of the REAL decoded

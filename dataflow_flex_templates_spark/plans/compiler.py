@@ -238,6 +238,28 @@ def apply_target(
     Returns a DataFrame whose columns are the sanitized graph property
     names — the engine's canonical per-target relation.
     """
+    # automap: auto-generate a property mapping for every source column
+    # not already mapped. The reference PARSES this flag but never
+    # implemented it (model/helpers/TargetMapper.java:64 assigns it,
+    # docs/README.md:183 lists "Implement automap" as roadmap) — here
+    # it is live, so it is opt-in (automap: true) rather than the
+    # reference parser's dead-code default. Ignored for grouped
+    # targets, where auto-added columns would silently change the
+    # GROUP BY set.
+    tr0 = target.transform
+    if target.automap and not (tr0.group or tr0.aggregations):
+        from dataclasses import replace as _dc_replace
+
+        mapped = {m.field for m in target.mappings if m.field}
+        extras = [
+            Mapping(role=RoleType.property, field=c, name=c)
+            for c in source_df.columns
+            if c not in mapped and c != ORDINAL_COL
+        ]
+        if extras:
+            target = _dc_replace(target,
+                                 mappings=list(target.mappings) + extras)
+
     ct = compile_target(target, source_df.columns)
 
     view = f"tgt_{make_valid_identifier(target.name)}_{id(source_df) & 0xFFFF}"

@@ -524,3 +524,53 @@ def test_grouped_merge_typed_keys_still_dedup(spark):
     # the elision is real: no extra aggregate beyond the GROUP BY
     plan = out2._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("aggregate") == 1, plan
+
+
+def test_automap_generates_properties(spark):
+    """automap=true auto-maps every unmapped source column as a
+    property (completing the reference's parsed-but-unimplemented
+    roadmap flag, TargetMapper.java:64 / docs/README.md:183); grouped
+    targets ignore it (auto columns would change the GROUP BY set)."""
+    import json
+
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    spark.createDataFrame(
+        [("1", "alice", "x@y.z", "7"), ("2", "bob", "b@y.z", "9")],
+        "uid string, uname string, email string, score string",
+    ).createOrReplaceTempView("automap_base")
+
+    def spec(extra_target=None):
+        tgt = {"name": "U", "type": "node", "source": "s",
+               "mode": "append", "automap": True,
+               "mappings": [
+                   {"constant": "User", "role": "label"},
+                   {"field": "uid", "name": "user_id", "role": "key",
+                    "type": "Long"}]}
+        if extra_target:
+            tgt.update(extra_target)
+        return parse_job_spec(json.dumps({
+            "sources": [{"type": "bigquery", "name": "s",
+                         "query": "SELECT * FROM automap_base"}],
+            "targets": [tgt],
+        }))
+
+    out = run_job(spark, spec()).target_frames["U"]
+    # uid is consumed by the explicit user_id mapping; the three
+    # unmapped columns are auto-added as string properties
+    assert sorted(out.columns) == ["email", "score", "uname", "user_id"]
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[1]["email"] == "x@y.z" and rows[2]["uname"] == "bob"
+
+    # grouped target: automap is ignored (GROUP BY set unchanged)
+    grouped = spec({"transform": {
+        "group": True,
+        "aggregations": [{"expr": "count(*)", "field": "n"}]},
+        "mappings": [
+            {"constant": "User", "role": "label"},
+            {"field": "uid", "name": "user_id", "role": "key"},
+            {"field": "n", "name": "n", "role": "property",
+             "type": "Long"}]})
+    gout = run_job(spark, grouped).target_frames["U"]
+    assert sorted(gout.columns) == ["n", "user_id"]
