@@ -230,7 +230,10 @@ class ExactlyOnceTable:
         paths = self._live_paths(batches, as_of)
         if not paths:
             raise ValueError(f"all committed batches empty in {self.path}")
-        df = spark.read.parquet(*paths)
+        # mergeSchema: spec evolution adds columns over a table's life;
+        # without it Spark infers the schema from ONE batch's footer and
+        # silently drops columns the other batches carry
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
         # multi-table commits null-pad to the union schema; project back
         # to the union of every commit's recorded column list (first-
         # appearance order) so a table written by both write_batch and

@@ -942,3 +942,65 @@ def test_metrics_summary_and_late_warning(spark, stream_env, caplog):
     assert s is not None and s["input_rows"] > 0
     assert s["rows_dropped_by_watermark"] > 0, s
     assert any("watermark dropped" in r.message for r in caplog.records)
+
+
+def test_schema_evolution_across_restart(spark, stream_env):
+    """Operational reality at 10^12 scale: specs evolve. Adding a
+    property mapping on a checkpoint resume must work — new batches
+    carry the new column, old committed rows read back as null for it,
+    and the LWW merge still yields one row per key."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+
+    def mk(with_extra):
+        spec = _spec()
+        spec["targets"] = [t for t in spec["targets"]
+                           if t["name"] == "Clip"]
+        if not with_extra:
+            spec["targets"][0]["mappings"] = [
+                m for m in spec["targets"][0]["mappings"]
+                if m.get("name") != "n_samples"]
+        return SpecStreamJob(
+            _parse(spec),
+            input_dir=inp,
+            input_schema=clips_spark_schema(),
+            output_dir=os.path.join(root, "out_evolve"),
+            checkpoint_dir=os.path.join(root, "ckpt_evolve"),
+            max_files_per_trigger=1,
+            prepare_fn=_prepare,
+        )
+
+    import time
+
+    # phase 1: run WITHOUT n_samples until a couple of commits land
+    j1 = mk(with_extra=False)
+    q = j1.start(spark, available_now=True)
+    deadline = time.time() + 300
+    while (len(j1.tables["Clip"].committed_batches()) < 2
+           and time.time() < deadline):
+        time.sleep(0.5)
+    q.stop()
+    try:
+        q.awaitTermination(60)
+    except Exception:
+        pass
+    while q.isActive:
+        time.sleep(0.2)
+    n_before = len(j1.tables["Clip"].committed_batches())
+    assert n_before >= 1
+
+    # phase 2: resume from the same checkpoint WITH n_samples added
+    j2 = mk(with_extra=True)
+    j2.run_to_completion(spark, timeout_s=900)
+    assert len(j2.tables["Clip"].committed_batches()) > n_before
+
+    merged = j2.read_merged(spark, "Clip")
+    assert "n_samples" in merged.columns
+    got = merged.toPandas()
+    assert len(got) == pdf["clip_id"].nunique()
+    # rows whose LWW winner was committed before the evolution read
+    # back null; rows committed after carry real sample counts
+    assert got["n_samples"].notna().any()
