@@ -682,10 +682,16 @@ def _q_stream_stream_join(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="entry_ssj_")
     # one base row per clip on each side (no rev2 duplicates: both join
     # legs carry the clip's event_time, so LWW between two joined
-    # transcript versions would tie on the order key)
-    base = make_doc_clips_df(
-        spark, spark.table("documents").filter("doc_id < 200")) \
-        .dropDuplicates(["clip_id"])
+    # transcript versions would tie on the order key). The base row is
+    # selected deterministically as min(event_time) per clip_id — the
+    # rev2 row is always 1 s later — rather than dropDuplicates, which
+    # keeps an arbitrary row per key and only matched the oracle while
+    # insertion order happened to survive the local partitioning.
+    raw = make_doc_clips_df(
+        spark, spark.table("documents").filter("doc_id < 200"))
+    base = raw.join(
+        raw.groupBy("clip_id").agg(F.min("event_time").alias("event_time")),
+        ["clip_id", "event_time"])
     base.persist()
     clips_side = base.drop("transcript")
     scripts_side = base.select("clip_id", "transcript", "event_time")
@@ -1643,12 +1649,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM kept
               WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fp))
             SELECT source, COUNT(*) AS n_docs,
-                   SUM(CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                   CAST(SUM(CASE WHEN length(trim(text, ' ')) = 0 THEN 0
                        ELSE len(regexp_split_to_array(trim(text, ' '), '\s+'))
-                       END) AS ws_tokens,
-                   SUM(len(regexp_extract_all(text,
+                       END) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')))
-                     AS bpe_tokens
+                     AS BIGINT) AS bpe_tokens
             FROM dedup GROUP BY source ORDER BY source
         """,
         # winnowing: the whole algebra (k=5-gram polynomial rolling hash

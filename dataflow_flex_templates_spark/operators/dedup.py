@@ -321,12 +321,21 @@ def cluster_duplicates(
 
     The dedup group assignment every pipeline needs after pair
     generation: each component's representative is its MINIMUM id
-    (deterministic keeper). Iterative min-label propagation — each
-    round joins current labels across edges and keeps the smaller
-    label; converges in O(component diameter) rounds, checked by an
-    aggregate (no collect of the data itself). Each round is one
-    shuffle on id; frames are localCheckpoint()ed to cut lineage so
-    round N's plan doesn't replay rounds 1..N-1.
+    (deterministic keeper). Min-label propagation WITH per-round
+    pointer jumping (rep <- rep(rep), the large-star/small-star /
+    path-compression idea): one edge-hop plus one jump per round
+    reaches the component minimum over distance ~2^k after k rounds,
+    so convergence is O(log diameter) — a crawl-mirror duplicate
+    chain of diameter 100 closes in ~7 rounds where plain propagation
+    needs 100. Convergence is checked by an aggregate (no collect of
+    the data itself); each round is a bounded number of shuffles on
+    id, and frames are localCheckpoint()ed to cut lineage so round
+    N's plan doesn't replay rounds 1..N-1.
+
+    Correctness of the jump step: labels start at own-id, are always
+    the id of some node in the same component, and only decrease
+    (least of component ids ≥ component min). At the fixpoint rep is
+    constant per component and equals the minimum id.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     sym = edges.union(edges.select(F.col("b").alias("a"),
@@ -344,6 +353,17 @@ def cluster_duplicates(
                       .select(F.col("id"),
                               F.least(F.col("rep"),
                                       F.coalesce(F.col("nrep"),
+                                                 F.col("rep"))).alias("rep")))
+        # pointer jumping: rep <- min(rep, rep(rep)). Every rep is a
+        # node id, so the self-join resolves; doubling the pointer
+        # distance each round is what makes the loop O(log diameter).
+        reps = new_labels.select(F.col("id").alias("rid"),
+                                 F.col("rep").alias("rrep"))
+        new_labels = (new_labels
+                      .join(reps, new_labels["rep"] == reps["rid"], "left")
+                      .select(F.col("id"),
+                              F.least(F.col("rep"),
+                                      F.coalesce(F.col("rrep"),
                                                  F.col("rep"))).alias("rep")))
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")

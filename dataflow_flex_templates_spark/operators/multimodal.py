@@ -9,8 +9,11 @@ fully specified byte layouts decodable with numpy alone
 channel statistics, all in one Arrow pass. Compressed codecs
 (JPEG/PNG-class) still need external libraries that are not installed
 here, so those fall back to the clearly-labeled deterministic stub
-behind the same Spark plumbing — swap `_decode_image_stub` for a PIL
-call on a real cluster and nothing else changes.
+behind the same Spark plumbing — on a real cluster
+:func:`register_codec` plugs a PIL/libjpeg decoder into
+:func:`image_stats` / :func:`extract_media_features` (one line, see
+the registry docs; contract-tested with an injected fake decoder) and
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -60,17 +63,49 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + bytes(body)
 
 
-def decode_image_np(buf: bytes, fmt: str) -> np.ndarray:
-    """Decode an uncompressed image payload → (h, w, 3) uint8 RGB.
+#: Pluggable compressed-codec registry — THE swap point for JPEG/PNG
+#: on a cluster with codec libs installed. Each entry maps a lowercase
+#: format name to ``fn(buf: bytes) -> (h, w, 3) uint8 RGB ndarray``::
+#:
+#:     from PIL import Image
+#:     register_codec("jpeg", lambda b: np.asarray(
+#:         Image.open(io.BytesIO(b)).convert("RGB")))
+#:
+#: Nothing is pre-registered in this sandbox (no PIL/libjpeg).
+#: IMPORTANT: registration must happen on the DRIVER before building
+#: the plan — image_stats/extract_media_features snapshot the registry
+#: into their mapInPandas closure so it ships to Python workers (a
+#: module global alone would be empty in the worker processes).
+_CODECS: dict = {}
+
+
+def register_codec(fmt: str, fn) -> None:
+    _CODECS[fmt.lower()] = fn
+
+
+def unregister_codec(fmt: str) -> None:
+    _CODECS.pop(fmt.lower(), None)
+
+
+def decode_image_np(buf: bytes, fmt: str,
+                    codecs: dict | None = None) -> np.ndarray:
+    """Decode an image payload → (h, w, 3) uint8 RGB.
 
     Real decoders for ppm/pgm/bmp (grayscale is replicated across
-    channels); raises ValueError for anything else — compressed
-    formats route to the stub fallback in extract_media_features."""
+    channels); ``codecs`` (a registry snapshot) supplies compressed
+    decoders; raises ValueError for anything else — unknown formats
+    route to the stub fallback in extract_media_features."""
     import struct
 
     if not buf:
         raise ValueError("empty media payload")
     fmt = (fmt or "").lower()
+    reg = _CODECS if codecs is None else codecs
+    if fmt in reg:
+        img = np.asarray(reg[fmt](buf))
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img.astype(np.uint8, copy=False)
     if fmt in ("ppm", "pgm"):
         magic_want = b"P6" if fmt == "ppm" else b"P5"
         # header: magic, whitespace-separated w, h, maxval, single ws
@@ -168,6 +203,8 @@ def extract_media_features(df: DataFrame,
     decode kernel; bad rows are skipped (null feat) rather than failing
     the task — at 10^12-row scale a poison payload must not kill the
     stage."""
+    codecs = dict(_CODECS)  # driver-side snapshot, shipped in closure
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, sizes = [], []
@@ -181,10 +218,11 @@ def extract_media_features(df: DataFrame,
                                       widths, heights):
                 sizes.append(len(buf) if buf is not None else 0)
                 try:
-                    # real decoders first (ppm/pgm/bmp); compressed or
-                    # unknown formats fall back to the labeled stub
+                    # real decoders first (ppm/pgm/bmp + registered
+                    # compressed codecs); unknown formats fall back to
+                    # the labeled stub
                     try:
-                        img = decode_image_np(buf, fmt)
+                        img = decode_image_np(buf, fmt, codecs)
                         ih, iw = img.shape[:2]
                         m = img.reshape(-1, 3).mean(axis=0,
                                                     dtype=np.float64)
@@ -221,13 +259,15 @@ def image_stats(df: DataFrame, resize_to: tuple[int, int] | None = None
     means, one Arrow pass per partition. Input columns: (media_id,
     bytes, format). Bad/unsupported payloads yield null means rather
     than failing the task (poison-row tolerance at scale)."""
+    codecs = dict(_CODECS)  # driver-side snapshot, shipped in closure
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, buf, fmt in zip(pdf["media_id"], pdf["bytes"],
                                      pdf["format"]):
                 try:
-                    img = decode_image_np(buf, fmt)
+                    img = decode_image_np(buf, fmt, codecs)
                     if resize_to is not None:
                         img = resize_nearest_np(img, *resize_to)
                     h, w = img.shape[:2]

@@ -193,6 +193,10 @@ def read_avro_file(path: str) -> pd.DataFrame:
     meta = {}
     n = _read_long(buf)
     while n != 0:
+        if n < 0:
+            # Avro spec: a negative block count is followed by the
+            # block's byte size (fast-skip aid) before the entries.
+            _read_long(buf)
         for _ in range(abs(n)):
             k = _read_bytes(buf).decode()
             meta[k] = _read_bytes(buf)
@@ -235,9 +239,13 @@ def write_avro_dir(df, path: str) -> int:
                else pd.DataFrame())
         n = 0
         if len(pdf):
-            fn = os.path.join(path,
-                              f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
-            n = write_avro_file(fn, pdf, schema)
+            # Deterministic final name + atomic rename: a Spark task
+            # retry (or speculative duplicate) replaces the partition's
+            # file instead of appending a second uuid-named copy.
+            fn = os.path.join(path, f"part-{pid:05d}.avro")
+            tmp = fn + f".tmp-{uuid.uuid4().hex[:8]}"
+            n = write_avro_file(tmp, pdf, schema)
+            os.replace(tmp, fn)
         yield pd.DataFrame({"n": [n]})
 
     counts = df.mapInPandas(writer, "n long")

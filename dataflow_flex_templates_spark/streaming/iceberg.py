@@ -21,11 +21,19 @@ every matched row re-writes its own values. That argument REQUIRES
 ``order_col``: without it a replay still re-applies the same values
 (benign when the batch content is deterministic) but carries no
 ordering defense against recomputation drift, so production use should
-always pass the deterministic ordinal. (A single-commit variant —
-batch_id stamped as a snapshot property of the MERGE commit itself,
-``spark.wap`` style — removes the window entirely; the log-table form
-is kept here because it is testable without an Iceberg catalog and its
-replay semantics are equivalent under the guard.)
+always pass the deterministic ordinal.
+
+``protocol="wap"`` selects the SINGLE-commit variant and removes the
+window entirely: the batch id is stamped into the snapshot summary of
+the MERGE commit itself via Iceberg's write-audit-publish hook
+(``spark.wap.id`` — any commit made while the conf is set carries
+``wap.id`` in its summary), and replay detection reads the
+``<table>.snapshots`` metadata table instead of a side log. Data and
+commit marker are then one atomic Iceberg snapshot; there is no state
+in which data is visible but the batch unrecorded. The log-table form
+remains the default because the WAP path needs a real Iceberg catalog
+to observe snapshots, while the two-commit replay semantics are
+independently provable under the guard.
 
 Mapping to the reference: W2 node merge (CypherGenerator.java:63-71
 ``MERGE (n {keys}) SET n += props``) and W3 edge merge (:38-48) both
@@ -83,12 +91,18 @@ class IcebergMergeSink:
 
     def __init__(self, table: str, key_cols: list[str],
                  order_col: str | None = None,
-                 log_table: str | None = None):
+                 log_table: str | None = None,
+                 protocol: str = "log_table"):
+        if protocol not in ("log_table", "wap"):
+            raise ValueError(
+                f"protocol must be 'log_table' or 'wap', got {protocol!r}")
         self.table = table
         self.key_cols = key_cols
         self.order_col = order_col
+        self.protocol = protocol
         #: batch-id commit log table (created on first use):
-        #: (batch_id BIGINT) — queried to skip replays.
+        #: (batch_id BIGINT) — queried to skip replays (log_table
+        #: protocol only).
         self.log_table = log_table or f"{table}_commits"
 
     # commit-log protocol -------------------------------------------------
@@ -99,6 +113,14 @@ class IcebergMergeSink:
             "(batch_id BIGINT, committed_at TIMESTAMP) USING iceberg")
 
     def is_committed(self, spark: SparkSession, batch_id: int) -> bool:
+        if self.protocol == "wap":
+            # single-commit: the batch id lives in the snapshot summary
+            # of the MERGE commit itself (wap.id), read back from the
+            # Iceberg snapshots metadata table.
+            return (spark.sql(
+                f"SELECT 1 FROM {self.table}.snapshots "
+                f"WHERE summary['wap.id'] = '{int(batch_id)}'"
+            ).limit(1).count() > 0)
         self._ensure_log(spark)
         return (spark.sql(
             f"SELECT 1 FROM {self.log_table} WHERE batch_id = {int(batch_id)}"
@@ -119,8 +141,19 @@ class IcebergMergeSink:
         batch_df.createOrReplaceTempView(view)
         value_cols = [c for c in batch_df.columns
                       if c not in self.key_cols]
-        spark.sql(merge_into_sql(self.table, view, self.key_cols,
-                                 value_cols, self.order_col))
+        merge = merge_into_sql(self.table, view, self.key_cols,
+                               value_cols, self.order_col)
+        if self.protocol == "wap":
+            # stamp wap.id into the MERGE's own snapshot summary: data
+            # and replay marker publish in ONE atomic Iceberg commit —
+            # no crash window between them.
+            spark.conf.set("spark.wap.id", str(int(batch_id)))
+            try:
+                spark.sql(merge)
+            finally:
+                spark.conf.unset("spark.wap.id")
+            return
+        spark.sql(merge)
         spark.sql(
             f"INSERT INTO {self.log_table} "
             f"VALUES ({int(batch_id)}, current_timestamp())")

@@ -55,27 +55,41 @@ class ProgressRecorder(StreamingQueryListener):
         pass
 
     # analysis -------------------------------------------------------------
-    def batch_latencies_ms(self) -> list[float]:
+    def _events(self, run_ids: set | None = None) -> list[dict]:
+        """Progress events, optionally restricted to a set of query
+        runIds. The listener is session-global and delivery is async,
+        so without the filter a recorder attached moments after another
+        query stopped can receive that query's in-flight events — a
+        job's summary must count only its OWN runs."""
+        with self._lock:
+            evts = list(self.progress)
+        if run_ids is None:
+            return evts
+        ids = {str(r) for r in run_ids}
+        return [p for p in evts if str(p.get("runId")) in ids]
+
+    def batch_latencies_ms(self, run_ids: set | None = None) -> list[float]:
         out = []
-        for p in self.progress:
+        for p in self._events(run_ids):
             d = p.get("durationMs", {})
             v = d.get("triggerExecution")
             if v is not None and p.get("numInputRows", 0) > 0:
                 out.append(float(v))
         return out
 
-    def summary(self) -> dict:
-        lat = self.batch_latencies_ms()
-        rows = sum(p.get("numInputRows", 0) for p in self.progress)
+    def summary(self, run_ids: set | None = None) -> dict:
+        evts = self._events(run_ids)
+        lat = self.batch_latencies_ms(run_ids)
+        rows = sum(p.get("numInputRows", 0) for p in evts)
         # late rows dropped by the watermark (north_rule: "late rows
         # dropped + counted") — reported per stateful operator
         dropped = sum(
             op.get("numRowsDroppedByWatermark", 0)
-            for p in self.progress
+            for p in evts
             for op in (p.get("stateOperators") or [])
         )
         return {
-            "batches": len(self.progress),
+            "batches": len(evts),
             "input_rows": int(rows),
             "rows_dropped_by_watermark": int(dropped),
             "latency_ms_p50": percentile(lat, 0.50),

@@ -28,8 +28,10 @@ Skew: hot codec/sr_hz keys are spread by salted repartition before the
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -165,6 +167,15 @@ class SpecStreamJob:
         per-target plans (e.g. vectorized PCM decode + transcript
         normalization). The reference's shared-source reuse
         (GcpToNeo4j.java:197-202).
+    prepare_preserves:
+        Caller's declaration of which RAW input columns ``prepare_fn``
+        passes through with values unchanged (``"*"`` = every surviving
+        input column; dropping columns is fine, rewriting them in place
+        is not). A windowed target may then skip the prepare stage
+        (and its decode cost) when every column it references is
+        preserved. Default ``()`` — never skip: a prepare_fn that
+        rewrites a column in place (same name, new values) must not be
+        silently bypassed by a column-presence heuristic.
     event_time_col:
         When present, LWW ordering is event-time-dominant (see
         ``event_time_ordinal``); otherwise arrival order per batch.
@@ -184,6 +195,7 @@ class SpecStreamJob:
         salt_buckets: int = 0,
         salt_cols: tuple[str, ...] = (),
         prepare_fn: Callable[[DataFrame], DataFrame] | None = None,
+        prepare_preserves: tuple[str, ...] | str = (),
         audit_dir: str | None = None,
         runtime_tokens: dict[str, str] | None = None,
         state_dedup_key: str | None = None,
@@ -206,6 +218,7 @@ class SpecStreamJob:
         self.salt_buckets = salt_buckets
         self.salt_cols = salt_cols
         self.prepare_fn = prepare_fn
+        self.prepare_preserves = prepare_preserves
         self.audit_dir = audit_dir
         #: When set, compose the watermark-evicted keyed LWW state op
         #: (dedup_state.lww_dedup_stream, north_rule's "dedup state is a
@@ -220,6 +233,7 @@ class SpecStreamJob:
         self.http_fn = http_fn
         self.action_results: list[dict] = []
         self._recorder = None
+        self._run_ids: set[str] = set()
         #: Optional second stream (transcripts): the north_rule's
         #: stateful clip↔transcript stream-stream join keyed on clip_id
         #: runs UPSTREAM of the target pipeline — joined rows flow into
@@ -264,6 +278,26 @@ class SpecStreamJob:
 
     # -- per-micro-batch ---------------------------------------------------
 
+    def _raw_plan_safe(self, target: Target, raw_cols: list[str]) -> bool:
+        """May this windowed target's plan read the RAW stream instead
+        of prepare_fn's output?  True only when every raw column the
+        target could reference (mapped fields, WHERE tokens, aggregate
+        expression tokens) is declared preserved by the caller.  Token
+        matching is conservative: a false positive (e.g. a SQL keyword
+        that happens to name a raw column) merely forces the prepared
+        path, never the unsafe one."""
+        import re
+
+        preserved = (set(raw_cols) if self.prepare_preserves == "*"
+                     else set(self.prepare_preserves))
+        tr = target.transform
+        refs: set[str] = set(target.mapped_fields)
+        for a in tr.aggregations:
+            refs |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", a.expr))
+        if tr.where:
+            refs |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", tr.where))
+        return (refs & set(raw_cols)) <= preserved
+
     def prepare_batch(self, batch_df: DataFrame) -> DataFrame:
         df = batch_df
         if self.salt_buckets > 1:
@@ -294,10 +328,14 @@ class SpecStreamJob:
                 if self.spec.config.audit_format == "avro":
                     # avro_type=avro (GcsLogTransform.java:51) — public
                     # Avro container format, one file per partition.
+                    # Idempotence: a foreachBatch retry must replace the
+                    # batch dir, not append to it (the parquet branch
+                    # gets this from mode('overwrite') + the committer).
                     from dataflow_flex_templates_spark.streaming.avro_io import (
                         write_avro_dir,
                     )
 
+                    shutil.rmtree(audit_path, ignore_errors=True)
                     write_avro_dir(prepared, audit_path)
                 else:
                     prepared.write.mode("overwrite").parquet(audit_path)
@@ -348,8 +386,13 @@ class SpecStreamJob:
     def metrics_summary(self) -> dict | None:
         """Per-batch metrics summary (latency percentiles, input rows,
         late rows dropped by the watermark) — populated once the job
-        has started; None before that."""
-        return self._recorder.summary() if self._recorder else None
+        has started; None before that. Restricted to THIS job's query
+        runs: the listener is session-global and event delivery is
+        async, so another job's (or a prior run's) in-flight events
+        must not leak into this job's accounting."""
+        if self._recorder is None:
+            return None
+        return self._recorder.summary(run_ids=self._run_ids or None)
 
     def start(self, spark: SparkSession, available_now: bool = True
               ) -> "MultiQuery":
@@ -398,17 +441,23 @@ class SpecStreamJob:
             # the source; running the shared prepare stage (vectorized
             # PCM decode — the dominant cost) for a window that only
             # aggregates RAW columns would decode every payload twice.
-            # DataFrame analysis is eager, so: build the plan against
-            # the raw stream first and fall back to the prepared stream
-            # only when a referenced column is missing.
-            try:
-                plan, _keys = windowed_target_stream(
-                    stream, t, self.event_time_col)
-            except Exception:
-                if self.prepare_fn is None:
-                    raise
+            # The shortcut is gated on `prepare_preserves` (the caller's
+            # guarantee those raw values survive prepare_fn unchanged) —
+            # column PRESENCE alone cannot detect an in-place rewrite.
+            if self.prepare_fn is not None and not self._raw_plan_safe(
+                    t, stream.columns):
                 plan, _keys = windowed_target_stream(
                     self.prepare_fn(stream), t, self.event_time_col)
+            else:
+                try:
+                    plan, _keys = windowed_target_stream(
+                        stream, t, self.event_time_col)
+                except AnalysisException:
+                    # a referenced column exists only post-prepare
+                    if self.prepare_fn is None:
+                        raise
+                    plan, _keys = windowed_target_stream(
+                        self.prepare_fn(stream), t, self.event_time_col)
             table = self.tables[t.name]
 
             def sink(df, bid, table=table):
@@ -431,6 +480,7 @@ class SpecStreamJob:
             if available_now:
                 writer = writer.trigger(availableNow=True)
             queries.append(writer.start())
+        self._run_ids = {str(q.runId) for q in queries}
         return MultiQuery(queries)
 
     def run_to_completion(self, spark: SparkSession, timeout_s: int = 600):

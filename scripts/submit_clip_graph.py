@@ -94,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
             watermark=args.watermark,
             max_files_per_trigger=args.max_files_per_trigger,
             prepare_fn=prepare,
+            prepare_preserves="*",
             audit_dir=args.audit_dir,
             state_dedup_key=args.state_dedup_key,
         )

@@ -322,6 +322,28 @@ def test_winnow_fingerprints(spark, docs):
     assert a & b and not (a & c)
 
 
+def test_cluster_duplicates_log_diameter_convergence(spark, caplog):
+    """Pointer jumping makes convergence O(log diameter): a path
+    component of diameter 100 (the crawl-mirror duplicate-chain shape)
+    must converge well inside 10 rounds — plain min-label propagation
+    would need 100 and trip the non-convergence warning."""
+    import logging
+
+    from dataflow_flex_templates_spark.operators.dedup import (
+        cluster_duplicates,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id_a long, id_b long")
+    with caplog.at_level(
+            logging.WARNING,
+            logger="dataflow_flex_templates_spark.operators.dedup"):
+        got = cluster_duplicates(pairs, max_iters=10).collect()
+    assert not any("did NOT converge" in r.message for r in caplog.records)
+    assert len(got) == 101
+    assert all(r["cluster_rep"] == 0 for r in got)
+
+
 def test_cluster_duplicates_union_find_oracle(spark, neardup_docs):
     """Connected-components dedup grouping == python union-find over the
     same exact-jaccard pairs."""
@@ -482,6 +504,55 @@ def test_image_codecs_roundtrip_and_stats(spark):
     assert out["good"]["mean_r"] is not None
     assert out["poison"]["mean_r"] is None
     assert out["compressed"]["mean_r"] is None  # no codec → null, no crash
+
+
+def test_compressed_codec_swap_point_contract(spark):
+    """The documented one-line swap for JPEG/PNG on a real cluster:
+    register_codec() plugs a decoder into image_stats /
+    extract_media_features via the closure-captured registry snapshot,
+    and the stats flow through unchanged — proven here with a fake
+    'jpeg' decoder (payload = raw RGB with a 4-byte w,h header) since
+    the sandbox has no codec libs."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.operators.multimodal import (
+        extract_media_features,
+        image_stats,
+        register_codec,
+        unregister_codec,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    payload = (img.shape[1].to_bytes(2, "big")
+               + img.shape[0].to_bytes(2, "big") + img.tobytes())
+
+    def fake_jpeg(buf: bytes) -> np.ndarray:
+        w = int.from_bytes(buf[:2], "big")
+        h = int.from_bytes(buf[2:4], "big")
+        return np.frombuffer(buf, np.uint8, w * h * 3, 4).reshape(h, w, 3)
+
+    rows = [("j", payload, "jpeg")]
+    schema = "media_id string, bytes binary, format string"
+
+    register_codec("JPEG", fake_jpeg)  # case-insensitive registration
+    try:
+        got = image_stats(
+            spark.createDataFrame(rows, schema)).collect()[0]
+        assert (got["width"], got["height"]) == (9, 6)
+        m = img.reshape(-1, 3).mean(axis=0)
+        assert abs(got["mean_r"] - m[0]) < 1e-9
+        assert abs(got["mean_b"] - m[2]) < 1e-9
+        feat = extract_media_features(
+            spark.createDataFrame(rows, schema)).collect()[0]["feat"]
+        assert feat[5] == 9.0 and feat[6] == 6.0  # real decode, not stub
+    finally:
+        unregister_codec("jpeg")
+
+    # after unregistration the same payload is a poison row again
+    # (null stats) — the stub/fallback path is unchanged
+    got2 = image_stats(spark.createDataFrame(rows, schema)).collect()[0]
+    assert got2["mean_r"] is None
 
 
 def test_video_frame_extraction(spark):

@@ -128,7 +128,7 @@ def stream_env(spark):
         max_files_per_trigger=2,
         salt_buckets=8,
         salt_cols=("codec",),
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
         audit_dir=os.path.join(root, "audit"),
     )
     job.run_to_completion(spark, timeout_s=900)
@@ -239,7 +239,7 @@ def test_kill_and_resume(spark, stream_env):
             checkpoint_dir=os.path.join(root, "ckpt_resume"),
             watermark="60 seconds",
             max_files_per_trigger=1,
-            prepare_fn=_prepare,
+            prepare_fn=_prepare, prepare_preserves="*",
         )
 
     j1 = mk()
@@ -292,7 +292,7 @@ def test_reset_w8(spark, stream_env):
         output_dir=os.path.join(root, "out_reset"),
         checkpoint_dir=os.path.join(root, "ckpt_reset"),
         max_files_per_trigger=3,
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
     )
     j.run_to_completion(spark, timeout_s=900)
     assert j.tables["Clip"].committed_batches()
@@ -334,7 +334,7 @@ def test_state_dedup_same_final_table(spark, stream_env):
         checkpoint_dir=os.path.join(root, "ckpt_sd"),
         watermark="60 seconds",
         max_files_per_trigger=2,
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
         state_dedup_key="clip_id",
     )
     j.run_to_completion(spark, timeout_s=900)
@@ -372,7 +372,7 @@ def test_actions_phases_in_stream(spark, stream_env):
         output_dir=os.path.join(root, "out_act"),
         checkpoint_dir=os.path.join(root, "ckpt_act"),
         max_files_per_trigger=3,
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
     )
     j.run_to_completion(spark, timeout_s=900)
     assert [r["name"] for r in j.action_results] == ["pre", "post"]
@@ -479,7 +479,7 @@ def test_continuous_mode_incremental_files(spark, stream_env):
         output_dir=os.path.join(root, "out_cont"),
         checkpoint_dir=os.path.join(root, "ckpt_cont"),
         max_files_per_trigger=4,
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
     )
     q = j.start(spark, available_now=False)
     try:
@@ -549,7 +549,7 @@ def test_joined_two_stream_pipeline(spark, stream_env):
         checkpoint_dir=os.path.join(root, "ckpt_join"),
         watermark="60 seconds",
         max_files_per_trigger=2,
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
         join_input_dir=script_dir,
         join_schema=script_schema,
         join_window="5 minutes",
@@ -611,7 +611,7 @@ def test_w5_parallelism_knob_applied(spark, stream_env):
         output_dir=os.path.join(root, "out_w5"),
         checkpoint_dir=os.path.join(root, "ckpt_w5"),
         max_files_per_trigger=6,
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
     )
     j.run_to_completion(spark, timeout_s=900)
     for b in j.tables["Clip"].committed_batches():
@@ -650,7 +650,7 @@ def test_execute_after_name_streaming(spark, stream_env):
         output_dir=os.path.join(root, "out_named"),
         checkpoint_dir=os.path.join(root, "ckpt_named"),
         max_files_per_trigger=3,
-        prepare_fn=_prepare,
+        prepare_fn=_prepare, prepare_preserves="*",
     )
     j.run_to_completion(spark, timeout_s=900)
     names = [r["name"] for r in j.action_results]
@@ -675,10 +675,14 @@ def test_windowed_target_skips_prepare_when_raw_suffices(spark, stream_env):
         calls.append(1)
         return _prepare(df)
 
-    # CodecWindow aggregates codec/dur_ms — raw columns: zero prepare
-    # calls beyond the row path's
+    # CodecWindow aggregates codec/dur_ms — raw columns. With the
+    # caller's prepare_preserves="*" guarantee and no row-level target
+    # in the spec, prepare must never run at all (windowed-only spec:
+    # a row path would legitimately call prepare per micro-batch and
+    # race this assertion — the round-2 flake).
     spec = _spec()
-    spec["targets"] = [t for t in spec["targets"] if t["name"] != "ENCODED_AS"]
+    spec["targets"] = [t for t in spec["targets"]
+                       if t["name"] == "CodecWindow"]
     j = SpecStreamJob(
         _parse(spec),
         input_dir=inp,
@@ -687,16 +691,12 @@ def test_windowed_target_skips_prepare_when_raw_suffices(spark, stream_env):
         checkpoint_dir=os.path.join(root, "ckpt_skipprep"),
         max_files_per_trigger=6,
         prepare_fn=counting_prepare,
+        prepare_preserves="*",
     )
     q = j.start(spark, available_now=True)
-    calls_at_start = len(calls)
     q.awaitTermination(600)
     q.stop()
-    # plan-build phase: the windowed query analyzed against the raw
-    # stream (no prepare call); only the row path calls prepare, and it
-    # does so per micro-batch inside foreachBatch (after start)
-    assert calls_at_start == 0, calls_at_start
-    assert len(calls) >= 1  # row path's per-batch prepare ran
+    assert len(calls) == 0, f"raw-only windowed target ran prepare: {calls}"
 
     # a windowed target over a PREPARED column does invoke prepare at
     # plan build
@@ -726,6 +726,33 @@ def test_windowed_target_skips_prepare_when_raw_suffices(spark, stream_env):
     assert len(calls2) >= 1  # fallback path engaged at plan build
     q2.awaitTermination(600)
     q2.stop()
+
+    # WITHOUT a prepare_preserves declaration the shortcut must not
+    # engage, even for a raw-columns-only target: prepare_fn could be
+    # rewriting those columns in place (same name, new values), which
+    # column presence cannot detect (round-2 ADVICE).
+    calls3 = []
+
+    def counting_prepare3(df):
+        calls3.append(1)
+        return _prepare(df)
+
+    spec3 = _spec()
+    spec3["targets"] = [t for t in spec3["targets"]
+                        if t["name"] == "CodecWindow"]
+    j3 = SpecStreamJob(
+        _parse(spec3),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_prep3"),
+        checkpoint_dir=os.path.join(root, "ckpt_prep3"),
+        max_files_per_trigger=6,
+        prepare_fn=counting_prepare3,
+    )
+    q3 = j3.start(spark, available_now=True)
+    assert len(calls3) >= 1, "default must run prepare at plan build"
+    q3.awaitTermination(600)
+    q3.stop()
 
 
 def test_session_window_spec_target_matches_batch(spark, stream_env):
@@ -910,38 +937,65 @@ def test_metrics_summary_and_late_warning(spark, stream_env, caplog):
         SpecStreamJob,
     )
 
+    import pandas as pd
+
     root, inp, pdf, job = stream_env
-    # 20% far-late rows against a tight 10 s watermark on a windowed
-    # target → heavy late-drop
-    late_pdf = make_clips_pdf(200, seed=33, dup_rate=0.0, late_rate=0.2,
-                              watermark_s=30, max_step_ms=2000,
-                              max_dur_ms=300)
+    # Round-2 flake: a single run over 5 chunk files relied on the
+    # file source separating on-time and late rows into distinct
+    # micro-batches; under suite load the chunks coalesced, the late
+    # rows arrived WITH their watermark-advancing peers, and nothing
+    # was dropped. Deterministic form: run the on-time rows to
+    # completion first (the watermark is then COMMITTED to the
+    # checkpoint), append rows an hour older than it, and resume —
+    # every appended row is late regardless of batching.
+    ontime = make_clips_pdf(150, seed=33, dup_rate=0.0, late_rate=0.0,
+                            max_step_ms=2000, max_dur_ms=300)
     inp2 = os.path.join(root, "input_late")
-    chunk = len(late_pdf) // 5 + 1
-    for i in range(0, len(late_pdf), chunk):
-        spark.createDataFrame(late_pdf.iloc[i:i + chunk],
-                              schema=clips_spark_schema()) \
-            .coalesce(1).write.mode("append").parquet(inp2)
+    spark.createDataFrame(ontime, schema=clips_spark_schema()) \
+        .coalesce(1).write.mode("append").parquet(inp2)
     spec = _spec()
     spec["targets"] = [t for t in spec["targets"]
                        if t["name"] == "CodecWindow"]
-    j = SpecStreamJob(
-        _parse(spec),
-        input_dir=inp2,
-        input_schema=clips_spark_schema(),
-        output_dir=os.path.join(root, "out_late"),
-        checkpoint_dir=os.path.join(root, "ckpt_late"),
-        watermark="10 seconds",
-        max_files_per_trigger=1,
-    )
+
+    def mk():
+        return SpecStreamJob(
+            _parse(spec),
+            input_dir=inp2,
+            input_schema=clips_spark_schema(),
+            output_dir=os.path.join(root, "out_late"),
+            checkpoint_dir=os.path.join(root, "ckpt_late"),
+            watermark="10 seconds",
+            max_files_per_trigger=1,
+        )
+
+    mk().run_to_completion(spark, timeout_s=900)
+
+    n_late = 40
+    late = ontime.iloc[:n_late].copy()
+    late["clip_id"] = [f"late_{i:06d}" for i in range(n_late)]
+    late["event_time"] = late["event_time"] - pd.Timedelta(hours=1)
+    spark.createDataFrame(late, schema=clips_spark_schema()) \
+        .coalesce(1).write.mode("append").parquet(inp2)
+
+    j = mk()
     with caplog.at_level(logging.WARNING,
                          logger="dataflow_flex_templates_spark"
                                 ".streaming.spec_stream"):
         j.run_to_completion(spark, timeout_s=900)
     s = j.metrics_summary()
-    assert s is not None and s["input_rows"] > 0
-    assert s["rows_dropped_by_watermark"] > 0, s
+    assert s is not None and s["input_rows"] == n_late, s
+    # numRowsDroppedByWatermark counts rows reaching the STATE operator
+    # — i.e. post-partial-aggregation (window, codec) groups, not raw
+    # input rows — so it lands in (0, n_late]; every group formed from
+    # the hour-late rows must have been dropped, which the output
+    # check below pins exactly.
+    assert 0 < s["rows_dropped_by_watermark"] <= n_late, s
     assert any("watermark dropped" in r.message for r in caplog.records)
+    # and none of the late rows leaked into the merged windowed table:
+    # their windows all end an hour before the committed watermark
+    got = j.read_merged(spark, "CodecWindow")
+    cutoff = ontime["event_time"].min() - pd.Timedelta(minutes=30)
+    assert got.filter(f"window_start < timestamp'{cutoff}'").count() == 0
 
 
 def test_schema_evolution_across_restart(spark, stream_env):
@@ -970,7 +1024,7 @@ def test_schema_evolution_across_restart(spark, stream_env):
             output_dir=os.path.join(root, "out_evolve"),
             checkpoint_dir=os.path.join(root, "ckpt_evolve"),
             max_files_per_trigger=1,
-            prepare_fn=_prepare,
+            prepare_fn=_prepare, prepare_preserves="*",
         )
 
     import time

@@ -304,6 +304,152 @@ def test_iceberg_merge_sql_generation():
     assert "WHEN MATCHED THEN UPDATE SET t.`c` = s.`c`" in plain
 
 
+class _FakeDF:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def limit(self, n):
+        return _FakeDF(self._rows[:n])
+
+    def count(self):
+        return len(self._rows)
+
+
+class _FakeConf:
+    def __init__(self, log):
+        self._log = log
+
+    def set(self, k, v):
+        self._log.append(("conf_set", k, v))
+
+    def unset(self, k):
+        self._log.append(("conf_unset", k))
+
+
+class _FakeSparkWapCatalog:
+    """Just enough of a SparkSession + Iceberg catalog to observe the
+    single-commit protocol: MERGE while spark.wap.id is set records a
+    snapshot carrying wap.id in its summary; `<table>.snapshots` with
+    the summary['wap.id'] predicate replays those records."""
+
+    def __init__(self):
+        self.log: list = []
+        self.conf = _FakeConf(self.log)
+        self.snapshots: list[str] = []  # committed wap ids
+        self._wap: str | None = None
+
+    def sql(self, q: str):
+        self.log.append(("sql", q))
+        if "FROM cat.db.nodes.snapshots" in q:
+            import re
+
+            m = re.search(r"summary\['wap\.id'\] = '(\d+)'", q)
+            hit = m and m.group(1) in self.snapshots
+            return _FakeDF([1] if hit else [])
+        if q.startswith("MERGE INTO"):
+            # the commit inherits the session's current wap id
+            cur = [e for e in self.log if e[0] == "conf_set"
+                   and e[1] == "spark.wap.id"]
+            unset = [e for e in self.log if e[0] == "conf_unset"]
+            assert len(cur) > len(unset), \
+                "MERGE must run while spark.wap.id is set"
+            self.snapshots.append(cur[-1][2])
+            return _FakeDF([])
+        raise AssertionError(f"unexpected SQL in wap protocol: {q}")
+
+
+def test_iceberg_wap_single_commit_protocol():
+    """protocol='wap': one atomic MERGE carries the batch id in its own
+    snapshot summary — no log INSERT, no crash window — and a replayed
+    batch id is detected from the snapshots metadata table."""
+    from dataflow_flex_templates_spark.streaming.iceberg import (
+        IcebergMergeSink,
+    )
+
+    sink = IcebergMergeSink("cat.db.nodes", ["clip_id"],
+                            order_col="__seq__", protocol="wap")
+    fake = _FakeSparkWapCatalog()
+
+    class _BatchDF:
+        sparkSession = fake
+        columns = ["clip_id", "codec", "__seq__"]
+
+        def createOrReplaceTempView(self, name):
+            fake.log.append(("view", name))
+
+    sink(_BatchDF(), 7)
+    sqls = [q for op, q in [e[:2] for e in fake.log] if op == "sql"]
+    assert len([q for q in sqls if q.startswith("MERGE INTO")]) == 1
+    assert not any("INSERT INTO" in q for q in sqls), \
+        "single-commit protocol must not write a side log"
+    assert fake.snapshots == ["7"]
+    # conf hygiene: wap.id unset after the commit
+    assert ("conf_unset", "spark.wap.id") in fake.log
+
+    # replay: batch 7 is found in the snapshot summaries and skipped
+    class _ReplayDF(_BatchDF):
+        class _W:
+            def format(self, f):
+                fake.log.append(("noop_write", f))
+                return self
+
+            def mode(self, m):
+                return self
+
+            def save(self):
+                return None
+
+        write = _W()
+
+    sink(_ReplayDF(), 7)
+    assert fake.snapshots == ["7"], "replay must not re-MERGE"
+    assert ("noop_write", "noop") in fake.log
+
+
+def test_exactly_once_crash_between_data_and_commit(spark, tmp_path):
+    """Kill window in the filesystem sink: crash AFTER the batch data
+    write but BEFORE the atomic commit-record publish. On retry the
+    batch dir is clobbered (mode=overwrite) and committed once — the
+    merged table equals the clean run's, with a single commit record."""
+    import os
+
+    from dataflow_flex_templates_spark.streaming.sink import (
+        ExactlyOnceTable,
+    )
+
+    rows = [("k1", "a", 1), ("k2", "b", 2), ("k1", "c", 3)]
+    df = spark.createDataFrame(rows, "k string, v string, __seq__ long")
+
+    t = ExactlyOnceTable(str(tmp_path / "t"), key_cols=["k"],
+                         order_col="__seq__")
+
+    real_rename = os.rename
+    boom = {"armed": True}
+
+    def crashing_rename(src, dst):
+        if boom["armed"] and "_commits" in dst:
+            boom["armed"] = False
+            raise OSError("injected crash before commit publish")
+        return real_rename(src, dst)
+
+    os.rename = crashing_rename
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            t.write_batch(df, 0)
+    finally:
+        os.rename = real_rename
+
+    # data landed but the batch is NOT committed — exactly the window
+    assert not t.is_committed(0)
+    assert os.path.isdir(str(tmp_path / "t" / "data" / "batch=0"))
+
+    # foreachBatch retry re-runs the same batch id
+    t.write_batch(df, 0)
+    assert t.committed_batches() == [0]
+    got = {r["k"]: r["v"] for r in t.read_merged(spark).collect()}
+    assert got == {"k1": "c", "k2": "b"}
+
+
 def test_salted_repartition_spreads_skewed_file_layout(spark, tmp_path):
     """Skew knob (north_rule): a single-file input (the degenerate
     hot-partition layout) decodes in ~1 task without salting; with
