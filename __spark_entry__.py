@@ -259,6 +259,17 @@ def _q_text_profile(spark, sf_dir):
         "quality", "lang_pred")
 
 
+def _q_lang_id_ngram(spark, sf_dir):
+    """N-gram (character-trigram profile) language ID over documents —
+    the multi-language upgrade of text_profile's lang_pred: per-language
+    trigram occurrence counts via pure replace() arithmetic (JVM
+    whole-stage codegen), argmax with fixed tie-break priority."""
+    from dataflow_flex_templates_spark.operators.text import lang_id_ngram
+
+    _load(spark, sf_dir)
+    return lang_id_ngram(spark.table("documents"))
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-rules-style quality flags + keep decision (one scan,
     all-JVM expressions)."""
@@ -468,6 +479,26 @@ def _q_audio_decode_stats(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("rms"), 4).alias("avg_rms"),
                  F.round(F.avg("zcr"), 4).alias("avg_zcr"))
+            .orderBy("codec"))
+
+
+def _q_audio_vad_stats(spark, sf_dir):
+    """Energy-gate VAD segmentation (decode → 20 ms frame energies →
+    voiced-run counting) in one Arrow pass per clip; per-codec integer
+    aggregates make the numpy-twin VALUES oracle EXACT (no float
+    rounding anywhere)."""
+    from dataflow_flex_templates_spark.functions.audio import vad_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    v = vad_stats()
+    return (clips.withColumn("__v__", v(F.col("bytes"), F.col("codec"),
+                                        F.col("sr_hz")))
+            .groupBy("codec")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__v__.n_frames").alias("total_frames"),
+                 F.sum("__v__.voiced_frames").alias("total_voiced"),
+                 F.sum("__v__.n_segments").alias("total_segments"))
             .orderBy("codec"))
 
 
@@ -1112,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "text_profile": _q_text_profile,
+        "lang_id_ngram": _q_lang_id_ngram,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "gopher_quality": _q_gopher_quality,
@@ -1130,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "audio_decode_stats": _q_audio_decode_stats,
         "audio_resample_stats": _q_audio_resample_stats,
+        "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
@@ -1254,7 +1287,27 @@ def _norm_transcript_sql(col: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dataflow_flex_templates_spark.operators.text import lang_trigram_sql
+
+    _lt = lang_trigram_sql("text")
+    _lang_id_sql = f"""
+        WITH t AS (SELECT doc_id, {_lt['__norm__']} AS nt FROM documents),
+        s AS (SELECT doc_id,
+                     {_lt['en']} AS score_en, {_lt['de']} AS score_de,
+                     {_lt['fr']} AS score_fr, {_lt['es']} AS score_es
+              FROM t)
+        SELECT doc_id, score_en, score_de, score_fr, score_es,
+               CASE WHEN score_en >= score_de AND score_en >= score_fr
+                         AND score_en >= score_es AND score_en > 0 THEN 'en'
+                    WHEN score_de >= score_fr AND score_de >= score_es
+                         AND score_de > 0 THEN 'de'
+                    WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+                    WHEN score_es > 0 THEN 'es'
+                    ELSE 'unk' END AS lang
+        FROM s
+    """
     out = {
+        "lang_id_ngram": _lang_id_sql,
         "jobspec_customer_nodes": """
             SELECT c_custkey AS custkey, c_name AS name,
                    c_mktsegment AS mktsegment
@@ -1880,6 +1933,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(avg_zcr AS DOUBLE) AS avg_zcr
         FROM {_values_table(const["audio_decode_stats"],
                             ["codec", "n", "avg_rms", "avg_zcr"])}
+        ORDER BY codec
+    """
+    out["audio_vad_stats"] = f"""
+        SELECT codec, CAST(n AS BIGINT) AS n,
+               CAST(total_frames AS BIGINT) AS total_frames,
+               CAST(total_voiced AS BIGINT) AS total_voiced,
+               CAST(total_segments AS BIGINT) AS total_segments
+        FROM {_values_table(const["audio_vad_stats"],
+                            ["codec", "n", "total_frames",
+                             "total_voiced", "total_segments"])}
         ORDER BY codec
     """
     out["audio_resample_stats"] = f"""

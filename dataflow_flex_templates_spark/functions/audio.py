@@ -266,6 +266,56 @@ _RESAMPLE_SCHEMA = T.StructType([
 ])
 
 
+def vad_segments_np(wave: np.ndarray, sr_hz: int, frame_ms: int = 20,
+                    threshold: float = 0.02) -> tuple[int, int, int]:
+    """Energy-gate voice-activity segmentation over one clip.
+
+    Non-overlapping ``frame_ms`` frames; a frame is VOICED when its
+    RMS exceeds ``threshold``; a segment is a maximal run of voiced
+    frames. Returns (n_frames, voiced_frames, n_segments) — all
+    integers, so the oracle comparison is exact (no float rounding).
+    Frame energies accumulate in float64 via a row-wise einsum (no
+    float64 copy of the waveform)."""
+    n = len(wave)
+    flen = max(int(sr_hz * frame_ms / 1000), 1)
+    n_frames = n // flen
+    if n_frames == 0:
+        return 0, 0, 0
+    w = wave[: n_frames * flen].reshape(n_frames, flen)
+    e = np.sqrt(np.einsum("ij,ij->i", w, w, dtype=np.float64) / flen)
+    voiced = e > threshold
+    nv = int(np.count_nonzero(voiced))
+    nseg = (int(np.count_nonzero(voiced[1:] & ~voiced[:-1]))
+            + int(voiced[0]))
+    return n_frames, nv, nseg
+
+
+_VAD_SCHEMA = T.StructType([
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("voiced_frames", T.LongType()),
+    T.StructField("n_segments", T.LongType()),
+])
+
+
+def vad_stats(frame_ms: int = 20, threshold: float = 0.02):
+    """Factory: pandas UDF decoding + energy-gate VAD per clip in one
+    Arrow pass (decode → frame energies → segment runs, nothing
+    materialized through a shuffle)."""
+
+    @pandas_udf(_VAD_SCHEMA)
+    def _vad(bytes_col: pd.Series, codec: pd.Series, sr: pd.Series
+             ) -> pd.DataFrame:
+        rows = []
+        for b, c, s in zip(bytes_col, codec, sr):
+            w = (decode_pcm_np(b, c) if b is not None
+                 else np.zeros(0, np.float32))
+            rows.append(vad_segments_np(w, int(s), frame_ms, threshold))
+        return pd.DataFrame(
+            rows, columns=["n_frames", "voiced_frames", "n_segments"])
+
+    return _vad
+
+
 def resample_stats(target_sr: int, kernel: str = "linear"):
     """Factory: pandas UDF decoding + resampling each clip to
     ``target_sr`` in one Arrow pass, returning output length + RMS

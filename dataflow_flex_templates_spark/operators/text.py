@@ -76,6 +76,81 @@ def lang_id(col: Column) -> Column:
     return F.when((hits >= 2) & (ratio >= 0.15), F.lit("en")).otherwise(F.lit("unk"))
 
 
+#: Character-trigram profiles for the n-gram language-ID heuristic.
+#: All trigrams are length-3 ASCII (space = word boundary in the
+#: normalized text) so occurrence counting via replace() arithmetic is
+#: exact and identical in Spark and DuckDB. Profiles overlap across
+#: languages (they do in reality too); ties break by the fixed
+#: priority en > de > fr > es. Keep in sync with the oracle SQL
+#: rendered by :func:`lang_trigram_sql`.
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", "ing", " an", "and", "nd ", " of",
+           "of ", "ion", "ed ", " to", "to ", "er ", "at "],
+    "de": [" de", "der", "ich", "sch", "ein", "cht", "und", " un",
+           "gen", "ung", " di", "die", "ver", "ite", "rde"],
+    "fr": [" le", "les", "ent", "que", " qu", "ue ", "ait", "eur",
+           " la", "ons", "oir", "ais", "une", " un", "res"],
+    "es": [" de", "de ", "os ", " la", "la ", "que", " qu", "ado",
+           "los", " lo", "ien", " el", "el ", "nte", "cio"],
+}
+
+LANGS = list(LANG_TRIGRAMS)  # priority order for tie-breaks
+
+
+def lang_trigram_scores(col: Column) -> dict:
+    """Per-language trigram occurrence counts over the normalized text.
+
+    count(t in s) = (len(s) - len(replace(s, t, ''))) / 3 — pure JVM
+    string arithmetic, whole-stage codegen, one projection for all
+    four languages (60 replace terms)."""
+    s = norm_text(col)
+    out = {}
+    for lang, grams in LANG_TRIGRAMS.items():
+        total = None
+        for g in grams:
+            c = (F.length(s) - F.length(F.replace(s, F.lit(g), F.lit("")))
+                 ) / F.lit(3)
+            total = c if total is None else total + c
+        out[lang] = total.cast("long")
+    return out
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """N-gram language ID: (id, score_en..score_es, lang).
+
+    lang = highest-scoring profile (priority order on ties), 'unk'
+    when no profile trigram occurs at all. Counts are raw integers —
+    deterministic and hash-stable across engines."""
+    sc = lang_trigram_scores(F.col(text_col))
+    e, d, f_, s_ = (sc[lang] for lang in LANGS)
+    best = (F.when((e >= d) & (e >= f_) & (e >= s_) & (e > 0), "en")
+            .when((d >= f_) & (d >= s_) & (d > 0), "de")
+            .when((f_ >= s_) & (f_ > 0), "fr")
+            .when(s_ > 0, "es")
+            .otherwise("unk"))
+    return df.select(
+        id_col,
+        *[sc[lang].alias(f"score_{lang}") for lang in LANGS],
+        best.alias("lang"),
+    )
+
+
+def lang_trigram_sql(text_expr: str = "text") -> dict[str, str]:
+    """Render the DuckDB twin of :func:`lang_trigram_scores`: one SQL
+    expression per language over the SAME normalized text, from the
+    same LANG_TRIGRAMS source of truth."""
+    norm = (f"lower(regexp_replace(trim({text_expr}, ' '), "
+            f"'\\s+', ' ', 'g'))")
+    out = {}
+    for lang, grams in LANG_TRIGRAMS.items():
+        terms = [f"(length(nt) - length(replace(nt, '{g}', ''))) / 3"
+                 for g in grams]
+        out[lang] = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    out["__norm__"] = norm
+    return out
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis columns in one projection (one scan, no shuffle)."""
     c = F.col(text_col)

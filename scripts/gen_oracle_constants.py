@@ -104,6 +104,7 @@ def main() -> None:
         decode_pcm_np,
         resample_linear_np,
         spectral_features_np,
+        vad_segments_np,
     )
     from dataflow_flex_templates_spark.testing.clips import make_clips_pdf
 
@@ -111,10 +112,13 @@ def main() -> None:
     by_codec: dict[str, list[tuple[float, float]]] = {}
     by_sr: dict[int, list[tuple[int, float]]] = {}
     spec_by_codec: dict[str, list[tuple]] = {}
+    vad_by_codec: dict[str, list[tuple[int, int, int]]] = {}
     for _, r in clips.iterrows():
         w = decode_pcm_np(r["bytes"], r["codec"])
         spec_by_codec.setdefault(r["codec"], []).append(
             spectral_features_np(w, int(r["sr_hz"])))
+        vad_by_codec.setdefault(r["codec"], []).append(
+            vad_segments_np(w, int(r["sr_hz"])))
         n = len(w)
         rms = math.sqrt(float(np.dot(w, w)) / n) if n else 0.0
         sb = np.signbit(w)
@@ -144,6 +148,14 @@ def main() -> None:
          _assert_not_knife_edge(sum(x[2] for x in v) / len(v), 3),
          _assert_not_knife_edge(sum(x[3] for x in v) / len(v), 4)]
         for codec, v in sorted(spec_by_codec.items())
+    ]
+
+    out["audio_vad_stats"] = [
+        [codec, len(v),
+         int(sum(x[0] for x in v)),   # frames
+         int(sum(x[1] for x in v)),   # voiced frames
+         int(sum(x[2] for x in v))]   # segments — all exact integers
+        for codec, v in sorted(vad_by_codec.items())
     ]
 
     with open(OUT, "w") as f:

@@ -223,3 +223,64 @@ def test_resample_stats_sinc_kernel(spark):
         want = int(round(r["sr_hz"] * r["dur_ms"] / 1000.0) * 16000 / r["sr_hz"])
         assert abs(r["n_samples_out"] - want) <= 1
         assert 0.0 < r["rms_out"] < 1.0
+
+
+def test_vad_segments_np_closed_form():
+    """Energy-gate VAD on constructed waveforms with known voiced
+    runs: segment/frame counts are exact."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        vad_segments_np,
+    )
+
+    sr, frame_ms = 1000, 20          # frame = 20 samples
+    fl = 20
+
+    def frames(pattern):
+        # pattern: 1 = loud frame (rms 0.5), 0 = silent frame (rms 0)
+        return np.concatenate([
+            np.full(fl, 0.5 if p else 0.0, dtype=np.float32)
+            for p in pattern])
+
+    # three voiced runs: 1,1 | 1 | 1  → segments 3
+    w = frames([1, 1, 0, 1, 0, 0, 1])
+    assert vad_segments_np(w, sr, frame_ms) == (7, 4, 3)
+    # leading + trailing voiced, all voiced, all silent, empty
+    assert vad_segments_np(frames([1, 0, 1]), sr, frame_ms) == (3, 2, 2)
+    assert vad_segments_np(frames([1, 1, 1]), sr, frame_ms) == (3, 3, 1)
+    assert vad_segments_np(frames([0, 0]), sr, frame_ms) == (2, 0, 0)
+    assert vad_segments_np(np.zeros(0, np.float32), sr, frame_ms) == (0, 0, 0)
+    # tail shorter than a frame is ignored
+    assert vad_segments_np(frames([1])[:30], sr, frame_ms) == (1, 1, 1)
+    # threshold boundary: frame rms exactly at threshold is NOT voiced
+    w = np.full(fl, 0.02, dtype=np.float32)
+    assert vad_segments_np(w, sr, frame_ms, threshold=0.02)[1] == 0
+
+
+def test_vad_stats_udf_matches_numpy_twin(spark):
+    """The Arrow-batched vad_stats UDF equals the single-process twin
+    per clip over the synthetic table."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm_np,
+        vad_segments_np,
+        vad_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        make_clips_pdf,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = make_clips_pdf(60, seed=5, max_dur_ms=400)
+    df = spark.createDataFrame(pdf, schema=clips_spark_schema())
+    v = vad_stats()
+    got = {r["clip_id"]: r for r in
+           df.withColumn("__v__", v(F.col("bytes"), F.col("codec"),
+                                    F.col("sr_hz")))
+             .select("clip_id", "__v__.*").collect()}
+    for _, r in pdf.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        want = vad_segments_np(w, int(r["sr_hz"]))
+        g = got[r["clip_id"]]
+        assert (g["n_frames"], g["voiced_frames"], g["n_segments"]) == want

@@ -322,6 +322,42 @@ def test_winnow_fingerprints(spark, docs):
     assert a & b and not (a & c)
 
 
+def test_lang_id_ngram_profiles(spark):
+    """Trigram-profile language ID: classifies short samples of each
+    profiled language, falls back to 'unk' with zero trigram hits, and
+    the per-language scores equal a direct Python count (the DuckDB
+    oracle re-derives the same arithmetic on the driver board)."""
+    from dataflow_flex_templates_spark.operators.text import (
+        LANG_TRIGRAMS,
+        lang_id_ngram,
+    )
+
+    rows = [
+        (0, "the king and the queen are singing of the morning"),
+        (1, "der richter und die leute verstehen die rechnung nicht"),
+        (2, "les autres questions restent une affaire pour la cour"),
+        (3, "los abogados de la corte piden que el juicio pare"),
+        (4, "zzz qqq xxx"),
+        (5, ""),
+    ]
+    got = {r["doc_id"]: r for r in lang_id_ngram(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got[0]["lang"] == "en"
+    assert got[1]["lang"] == "de"
+    assert got[2]["lang"] == "fr"
+    assert got[3]["lang"] == "es"
+    assert got[4]["lang"] == "unk" and got[5]["lang"] == "unk"
+
+    # score twin: python occurrence count over the same normalization
+    import re
+
+    for doc_id, text in rows:
+        nt = re.sub(r"\s+", " ", text.strip()).lower()
+        for lang, grams in LANG_TRIGRAMS.items():
+            want = sum(nt.count(g) for g in grams)
+            assert got[doc_id][f"score_{lang}"] == want, (doc_id, lang)
+
+
 def test_cluster_duplicates_log_diameter_convergence(spark, caplog):
     """Pointer jumping makes convergence O(log diameter): a path
     component of diameter 100 (the crawl-mirror duplicate-chain shape)
