@@ -270,6 +270,25 @@ def _q_lang_id_ngram(spark, sf_dir):
     return lang_id_ngram(spark.table("documents"))
 
 
+_SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (the training-mix knob):
+    membership = md5-prefix threshold on doc_id — a pure function of
+    the key, identical across engines/partitionings/retries, so the
+    DuckDB oracle recomputes the same predicate from the same
+    fractions (operators/sampling.py)."""
+    from dataflow_flex_templates_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    _load(spark, sf_dir)
+    return stratified_sample(
+        spark.table("documents"), _SAMPLE_FRACTIONS,
+        default_fraction=0.25).select("doc_id", "source")
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-rules-style quality flags + keep decision (one scan,
     all-JVM expressions)."""
@@ -1144,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": _q_session_window,
         "text_profile": _q_text_profile,
         "lang_id_ngram": _q_lang_id_ngram,
+        "stratified_sample": _q_stratified_sample,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "gopher_quality": _q_gopher_quality,
@@ -1306,8 +1326,17 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'unk' END AS lang
         FROM s
     """
+    from dataflow_flex_templates_spark.operators.sampling import (
+        stratified_sample_sql,
+    )
+
+    _sample_pred = stratified_sample_sql(_SAMPLE_FRACTIONS,
+                                         default_fraction=0.25)
     out = {
         "lang_id_ngram": _lang_id_sql,
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM documents WHERE {_sample_pred}
+        """,
         "jobspec_customer_nodes": """
             SELECT c_custkey AS custkey, c_name AS name,
                    c_mktsegment AS mktsegment

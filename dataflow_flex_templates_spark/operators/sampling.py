@@ -1,0 +1,90 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is seed-dependent per partitioning and irreproducible
+across engines; at corpus scale a sample must be a PURE FUNCTION of
+the row key so that (a) re-runs, retries, and different cluster sizes
+select the same rows, (b) samples are consistent across joined tables
+(sample the same doc_ids everywhere), and (c) an oracle can recompute
+membership exactly. The selector here is an md5-prefix threshold —
+md5 is md5 in every engine, so the DuckDB twin is the same SQL
+expression, no pinned constants.
+
+selector(id) = substr(md5(cast(id AS string)), 1, 8) < threshold_hex
+
+The 8-hex-digit prefix is uniform on [0, 16^8); a fraction f maps to
+threshold_hex = hex(floor(f * 16^8)) zero-padded to 8 digits.
+Stratified sampling applies a per-stratum fraction (e.g. per source:
+keep 100% of wiki, 10% of crawl) — the standard training-mix knob.
+
+All expressions are JVM-side Catalyst (one scan, no shuffle, no UDF);
+`sample_fraction` pushes the filter straight onto the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_SPACE = 16 ** 8  # 8 hex digits
+
+
+def fraction_to_hex_threshold(fraction: float) -> str:
+    """Map a sampling fraction in [0, 1] to the 8-hex-digit threshold
+    whose lexicographic comparison realizes it."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _PREFIX_SPACE), _PREFIX_SPACE - 1),
+                  "08x")
+
+
+def sample_selector(id_col: Column, fraction: float) -> Column:
+    """Boolean membership column: stable across engines, partitions,
+    retries, and cluster sizes."""
+    prefix = F.substring(F.md5(id_col.cast("string")), 1, 8)
+    return prefix < F.lit(fraction_to_hex_threshold(fraction))
+
+
+def sample_fraction(df: DataFrame, fraction: float,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~fraction sample keyed on ``id_col``."""
+    return df.filter(sample_selector(F.col(id_col), fraction))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      stratum_col: str = "source",
+                      id_col: str = "doc_id",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix knob
+    (keep 100% of one source, 10% of another). Strata absent from
+    ``fractions`` get ``default_fraction``."""
+    sel = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = ((F.col(stratum_col) == stratum)
+                & sample_selector(F.col(id_col), frac))
+        sel = cond if sel is None else sel | cond
+    others = ~F.col(stratum_col).isin(list(fractions)) \
+        & sample_selector(F.col(id_col), default_fraction)
+    sel = others if sel is None else sel | others
+    return df.filter(sel)
+
+
+def stratified_sample_sql(fractions: dict[str, float],
+                          stratum_col: str = "source",
+                          id_col: str = "doc_id",
+                          default_fraction: float = 0.0) -> str:
+    """DuckDB twin of the membership predicate, rendered from the same
+    fractions — one source of truth, no pinned constants."""
+    def pred(frac: float) -> str:
+        thr = fraction_to_hex_threshold(frac)
+        return (f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)"
+                f" < '{thr}'")
+
+    clauses = [
+        f"({stratum_col} = '{s}' AND {pred(f)})"
+        for s, f in sorted(fractions.items())
+    ]
+    strata = ", ".join(f"'{s}'" for s in fractions)
+    clauses.append(
+        f"({stratum_col} NOT IN ({strata}) AND {pred(default_fraction)})"
+        if fractions else pred(default_fraction))
+    return " OR ".join(clauses)

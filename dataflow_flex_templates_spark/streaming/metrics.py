@@ -46,6 +46,13 @@ class ProgressRecorder(StreamingQueryListener):
         except Exception:
             return
         with self._lock:
+            # (runId, batchId) dedup: a drained run may have absorb()ed
+            # this batch from the query handle before the listener bus
+            # got around to delivering it
+            k = (p.get("runId"), p.get("batchId"))
+            if any((q.get("runId"), q.get("batchId")) == k
+                   for q in self.progress):
+                return
             self.progress.append(p)
 
     def onQueryIdle(self, event):
@@ -53,6 +60,21 @@ class ProgressRecorder(StreamingQueryListener):
 
     def onQueryTerminated(self, event):
         pass
+
+    def absorb(self, events: list[dict]) -> None:
+        """Merge progress events harvested synchronously from query
+        handles (StreamingQuery.recentProgress) with whatever the async
+        listener already delivered, deduplicating on (runId, batchId).
+        Drained runs call this so their summaries never depend on
+        listener-bus delivery timing."""
+        with self._lock:
+            seen = {(p.get("runId"), p.get("batchId"))
+                    for p in self.progress}
+            for p in events:
+                k = (p.get("runId"), p.get("batchId"))
+                if k not in seen:
+                    seen.add(k)
+                    self.progress.append(p)
 
     # analysis -------------------------------------------------------------
     def _events(self, run_ids: set | None = None) -> list[dict]:

@@ -495,18 +495,24 @@ class SpecStreamJob:
         q = self.start(spark, available_now=True)
         q.awaitTermination(timeout_s)
         q.stop()
-        # listener events are delivered asynchronously — wait for the
-        # progress stream to settle before detaching and summarizing
-        import time as _time
+        # Listener events are delivered asynchronously and can lag
+        # arbitrarily under load (a 15 s settle wait was observed to
+        # miss a whole run's events). The query handles' recentProgress
+        # is populated synchronously by the micro-batch thread, so
+        # harvest it directly — the summary no longer depends on
+        # listener-bus timing at all; the listener stays attached for
+        # continuous (non-drained) monitoring use.
+        import json as _json
 
-        seen = -1
-        deadline = _time.monotonic() + 15
-        while _time.monotonic() < deadline:
-            n = len(self._recorder.progress)
-            if n == seen and n > 0:
-                break
-            seen = n
-            _time.sleep(0.5)
+        harvested = []
+        for q_ in q.queries:
+            for j in q_.recentProgress:
+                try:
+                    harvested.append(
+                        _json.loads(getattr(j, "json", None) or j))
+                except Exception:
+                    pass
+        self._recorder.absorb(harvested)
         try:
             spark.streams.removeListener(self._recorder)
         except Exception:

@@ -322,6 +322,44 @@ def test_winnow_fingerprints(spark, docs):
     assert a & b and not (a & c)
 
 
+def test_deterministic_sampling(spark):
+    """md5-prefix sampling: membership is a pure function of the key
+    (identical across partitionings and engines), fractions land near
+    target, strata compose, and edge fractions are exact."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from dataflow_flex_templates_spark.operators.sampling import (
+        fraction_to_hex_threshold,
+        sample_fraction,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"] for r in sample_fraction(df, 0.3).collect()}
+    # python twin of the same predicate
+    thr = fraction_to_hex_threshold(0.3)
+    want = {i for i in range(2000)
+            if hashlib.md5(str(i).encode()).hexdigest()[:8] < thr}
+    assert got == want
+    assert 0.25 < len(got) / 2000 < 0.35
+    # partitioning-independence
+    got2 = {r["doc_id"]
+            for r in sample_fraction(df.repartition(13), 0.3).collect()}
+    assert got2 == got
+    # exact edges
+    assert sample_fraction(df, 0.0).count() == 0
+    assert sample_fraction(df, 1.0).count() == 2000
+
+    strat = df.withColumn(
+        "source",
+        F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string")))
+    out = stratified_sample(strat, {"s0": 1.0, "s1": 0.0})
+    rows = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in rows} == {"s0": 1000}
+
+
 def test_lang_id_ngram_profiles(spark):
     """Trigram-profile language ID: classifies short samples of each
     profiled language, falls back to 'unk' with zero trigram hits, and
