@@ -98,11 +98,16 @@ def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
 
 @pandas_udf(T.ArrayType(T.FloatType()))
 def decode_pcm(bytes_col: pd.Series, codec: pd.Series) -> pd.Series:
-    """bytes+codec → float32 waveform (Arrow-batched; SURVEY.md §2.9)."""
-    return pd.Series(
-        [decode_pcm_np(b, c).tolist() if b is not None else []
-         for b, c in zip(bytes_col, codec)]
-    )
+    """bytes+codec → float32 waveform (Arrow-batched; SURVEY.md §2.9).
+    Poison rows (truncated payload, unknown codec) decode to null."""
+    out = []
+    for b, c in zip(bytes_col, codec):
+        try:
+            out.append(decode_pcm_np(b, c).tolist() if b is not None
+                       else [])
+        except Exception:
+            out.append(None)
+    return pd.Series(out)
 
 
 _FEATURE_SCHEMA = T.StructType([
@@ -120,7 +125,17 @@ def audio_features(bytes_col: pd.Series, codec: pd.Series) -> pd.DataFrame:
     zero-crossing rate."""
     n_s, rms, peak, zcr = [], [], [], []
     for b, c in zip(bytes_col, codec):
-        w = decode_pcm_np(b, c) if b is not None else np.zeros(0, np.float32)
+        try:
+            w = (decode_pcm_np(b, c) if b is not None
+                 else np.zeros(0, np.float32))
+        except Exception:
+            # poison row (truncated payload, unknown codec): null
+            # features instead of a task failure — at 10^12 rows one
+            # corrupt clip must not kill the stream. Distinguishable
+            # from an EMPTY payload, which yields n_samples=0.
+            n_s.append(None)
+            rms.append(None); peak.append(None); zcr.append(None)
+            continue
         n = len(w)
         n_s.append(n)
         if n:
@@ -254,8 +269,12 @@ def spectral_features(bytes_col: pd.Series, codec: pd.Series,
     ever materializes through a shuffle)."""
     rows = []
     for b, c, s in zip(bytes_col, codec, sr):
-        w = decode_pcm_np(b, c) if b is not None else np.zeros(0, np.float32)
-        rows.append(spectral_features_np(w, int(s)))
+        try:
+            w = (decode_pcm_np(b, c) if b is not None
+                 else np.zeros(0, np.float32))
+            rows.append(spectral_features_np(w, int(s)))
+        except Exception:
+            rows.append((None, None, None, None))  # poison row → nulls
     return pd.DataFrame(rows, columns=["centroid_hz", "bandwidth_hz",
                                        "rolloff_hz", "flatness"])
 
@@ -307,9 +326,13 @@ def vad_stats(frame_ms: int = 20, threshold: float = 0.02):
              ) -> pd.DataFrame:
         rows = []
         for b, c, s in zip(bytes_col, codec, sr):
-            w = (decode_pcm_np(b, c) if b is not None
-                 else np.zeros(0, np.float32))
-            rows.append(vad_segments_np(w, int(s), frame_ms, threshold))
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                rows.append(vad_segments_np(w, int(s), frame_ms,
+                                            threshold))
+            except Exception:
+                rows.append((None, None, None))  # poison row → nulls
         return pd.DataFrame(
             rows, columns=["n_frames", "voiced_frames", "n_segments"])
 
@@ -330,8 +353,13 @@ def resample_stats(target_sr: int, kernel: str = "linear"):
             ) -> pd.DataFrame:
         n_out, rms = [], []
         for b, c, s in zip(bytes_col, codec, sr):
-            w = decode_pcm_np(b, c) if b is not None else np.zeros(0, np.float32)
-            r = resample(w, int(s), target_sr)
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                r = resample(w, int(s), target_sr)
+            except Exception:
+                n_out.append(None); rms.append(None)  # poison → nulls
+                continue
             n_out.append(len(r))
             rms.append(math.sqrt(float(np.dot(r, r)) / len(r)) if len(r) else 0.0)
         return pd.DataFrame({"n_samples_out": n_out, "rms_out": rms})

@@ -196,6 +196,7 @@ class SpecStreamJob:
         salt_cols: tuple[str, ...] = (),
         prepare_fn: Callable[[DataFrame], DataFrame] | None = None,
         prepare_preserves: tuple[str, ...] | str = (),
+        compact_every: int = 0,
         audit_dir: str | None = None,
         runtime_tokens: dict[str, str] | None = None,
         state_dedup_key: str | None = None,
@@ -219,6 +220,13 @@ class SpecStreamJob:
         self.salt_cols = salt_cols
         self.prepare_fn = prepare_fn
         self.prepare_preserves = prepare_preserves
+        #: When > 0, fold the row-path tables' committed micro-batch
+        #: files into the LWW-pre-merged base every N batches (the
+        #: Iceberg rewrite_data_files cadence): a day of 5 s triggers
+        #: is ~17k commits, and without periodic compaction read
+        #: amplification grows O(batches). compact() is crash-safe and
+        #: keeps commit markers, so exactly-once replay is unaffected.
+        self.compact_every = compact_every
         self.audit_dir = audit_dir
         #: When set, compose the watermark-evicted keyed LWW state op
         #: (dedup_state.lww_dedup_stream, north_rule's "dedup state is a
@@ -354,6 +362,17 @@ class SpecStreamJob:
                 if cfg.wants(key) and par > 0:
                     out = out.repartition(par)
                 self.tables[t.name].write_batch(out, batch_id)
+            if (self.compact_every > 0
+                    and (batch_id + 1) % self.compact_every == 0):
+                for t in self._targets:
+                    tbl = self.tables[t.name]
+                    base = tbl.base_info()
+                    # only when new batches accumulated past the base
+                    if tbl.committed_batches() and (
+                            base is None
+                            or tbl.committed_batches()[-1]
+                            > base["through"]):
+                        tbl.compact(spark)
         finally:
             prepared.unpersist()
 

@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=32)
     ap.add_argument("--audit-dir", default=None)
     ap.add_argument("--state-dedup-key", default=None)
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="fold row-table micro-batch files into the "
+                         "base every N batches (0 = never)")
     ap.add_argument("--continuous", action="store_true",
                     help="run until killed (default: availableNow drain)")
     ap.add_argument("--timeout-s", type=int, default=24 * 3600)
@@ -97,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             prepare_preserves="*",
             audit_dir=args.audit_dir,
             state_dedup_key=args.state_dedup_key,
+            compact_every=args.compact_every,
         )
         q = job.start(spark, available_now=not args.continuous)
     else:

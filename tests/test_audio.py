@@ -284,3 +284,61 @@ def test_vad_stats_udf_matches_numpy_twin(spark):
         want = vad_segments_np(w, int(r["sr_hz"]))
         g = got[r["clip_id"]]
         assert (g["n_frames"], g["voiced_frames"], g["n_segments"]) == want
+
+
+def test_poison_rows_yield_nulls_not_task_failures(spark):
+    """A truncated payload or unknown codec must degrade to null
+    features, never kill the task — at 10^12 rows one corrupt clip
+    must not take down the stream. Empty payloads stay distinguishable
+    (n_samples=0, rms=0.0, not null)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm,
+        resample_stats,
+        spectral_features,
+        vad_stats,
+        with_audio_features,
+    )
+
+    rows = [
+        ("ok", b"\x00\x01" * 200, 8000, "pcm_s16le"),
+        ("trunc_s16", b"\x00\x01\x02", 8000, "pcm_s16le"),
+        ("trunc_f32", b"\x00\x01\x02", 8000, "pcm_f32le"),
+        ("bad_codec", b"\x00\x01\x02\x03", 8000, "opus"),
+        ("empty", b"", 8000, "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string")
+
+    feat = {r["clip_id"]: r for r in with_audio_features(df).collect()}
+    assert feat["ok"]["n_samples"] == 200 and feat["ok"]["rms"] is not None
+    for k in ("trunc_s16", "trunc_f32", "bad_codec"):
+        assert feat[k]["n_samples"] is None and feat[k]["rms"] is None, k
+    assert feat["empty"]["n_samples"] == 0 and feat["empty"]["rms"] == 0.0
+
+    v = vad_stats()(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    vad = {r["clip_id"]: r for r in
+           df.withColumn("__v__", v).select("clip_id", "__v__.*").collect()}
+    assert vad["ok"]["n_frames"] is not None
+    assert vad["bad_codec"]["n_frames"] is None
+
+    rs = resample_stats(16000)(F.col("bytes"), F.col("codec"),
+                               F.col("sr_hz"))
+    rsd = {r["clip_id"]: r for r in
+           df.withColumn("__r__", rs).select("clip_id", "__r__.*").collect()}
+    assert rsd["ok"]["n_samples_out"] == 400
+    assert rsd["trunc_s16"]["n_samples_out"] is None
+
+    sp = spectral_features(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    spd = {r["clip_id"]: r for r in
+           df.withColumn("__s__", sp).select("clip_id", "__s__.*").collect()}
+    assert spd["ok"]["centroid_hz"] is not None
+    assert spd["trunc_f32"]["centroid_hz"] is None
+
+    dec = {r["clip_id"]: r["w"] for r in
+           df.withColumn("w", decode_pcm(F.col("bytes"),
+                                         F.col("codec")))
+             .select("clip_id", "w").collect()}
+    assert len(dec["ok"]) == 200 and dec["bad_codec"] is None
+    assert dec["empty"] == []

@@ -152,6 +152,37 @@ def _batch_oracle(spark, inp):
     return run_job(spark, spec, source_frames={"clips": prepared})
 
 
+def test_auto_compaction_preserves_merge(spark, stream_env):
+    """compact_every=2: mid-stream compaction folds committed batches
+    into the base WITHOUT changing the merged result — same rows as
+    the uncompacted job over the same input, and a base snapshot
+    exists (read amplification bounded on long streams)."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    j = SpecStreamJob(
+        _parse(_spec()),
+        input_dir=inp,
+        input_schema=clips_spark_schema(),
+        output_dir=os.path.join(root, "out_autocompact"),
+        checkpoint_dir=os.path.join(root, "ckpt_autocompact"),
+        watermark="60 seconds",
+        max_files_per_trigger=1,
+        prepare_fn=_prepare, prepare_preserves="*",
+        compact_every=2,
+    )
+    j.run_to_completion(spark, timeout_s=900)
+    assert j.tables["Clip"].base_info() is not None
+    got = (j.read_merged(spark, "Clip").toPandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    want = (job.read_merged(spark, "Clip").toPandas()
+            .sort_values("clip_id").reset_index(drop=True))
+    cols = ["clip_id", "sr_hz", "codec", "n_samples", "transcript_norm"]
+    assert got[cols].equals(want[cols])
+
+
 def test_row_targets_match_batch(spark, stream_env):
     root, inp, pdf, job = stream_env
     batch = _batch_oracle(spark, inp)
