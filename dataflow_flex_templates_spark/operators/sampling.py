@@ -15,6 +15,9 @@ The 8-hex-digit prefix is uniform on [0, 16^8); a fraction f maps to
 threshold_hex = hex(floor(f * 16^8)) zero-padded to 8 digits.
 Stratified sampling applies a per-stratum fraction (e.g. per source:
 keep 100% of wiki, 10% of crawl) — the standard training-mix knob.
+Samples NEST across fractions (the 10% sample is a subset of the 30%
+sample), so shrinking or growing a mix never swaps rows in and out —
+property-tested in tests/test_properties.py.
 
 All expressions are JVM-side Catalyst (one scan, no shuffle, no UDF);
 `sample_fraction` pushes the filter straight onto the scan.

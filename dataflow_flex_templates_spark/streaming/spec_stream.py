@@ -481,6 +481,16 @@ class SpecStreamJob:
 
             def sink(df, bid, table=table):
                 table.write_batch(df, bid)
+                # same read-amplification bound as the row path: the
+                # windowed tables' update-mode commits accumulate small
+                # files just as fast
+                if (self.compact_every > 0
+                        and (bid + 1) % self.compact_every == 0):
+                    base = table.base_info()
+                    batches = table.committed_batches()
+                    if batches and (base is None
+                                    or batches[-1] > base["through"]):
+                        table.compact(df.sparkSession)
 
             # Tumbling/sliding aggs emit cumulative UPDATEs (final LWW
             # merge = batch GROUP BY); session windows only support

@@ -199,3 +199,27 @@ def test_winnow_sql_oracle_property(text):
     norm = re.sub(r"\s+", " ", text.strip(" "), flags=re.ASCII).lower()
     want = sorted(winnow_fingerprints_np(norm))
     assert got == want, (text, got[:5], want[:5])
+
+
+@given(st.integers(0, 10**12),
+       st.floats(0.0, 1.0, allow_nan=False),
+       st.floats(0.0, 1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_sampling_membership_nests_property(key, f1, f2):
+    """md5-prefix sampling is NESTED: the f-fraction sample is a subset
+    of every larger-fraction sample of the same keys (shrinking the
+    training mix never swaps rows in and out), and membership is a
+    pure function of (key, fraction)."""
+    import hashlib
+
+    from dataflow_flex_templates_spark.operators.sampling import (
+        fraction_to_hex_threshold,
+    )
+
+    lo, hi = sorted((f1, f2))
+    prefix = hashlib.md5(str(key).encode()).hexdigest()[:8]
+    in_lo = prefix < fraction_to_hex_threshold(lo)
+    in_hi = prefix < fraction_to_hex_threshold(hi)
+    assert not (in_lo and not in_hi)  # nesting
+    # determinism: same inputs, same answer
+    assert in_lo == (prefix < fraction_to_hex_threshold(lo))

@@ -181,6 +181,14 @@ def test_auto_compaction_preserves_merge(spark, stream_env):
             .sort_values("clip_id").reset_index(drop=True))
     cols = ["clip_id", "sr_hz", "codec", "n_samples", "transcript_norm"]
     assert got[cols].equals(want[cols])
+    # windowed tables compact on the same cadence, same merged result
+    assert j.tables["CodecWindow"].base_info() is not None
+    gw = (j.read_merged(spark, "CodecWindow").toPandas()
+          .sort_values(["window_start", "codec"]).reset_index(drop=True))
+    ww = (job.read_merged(spark, "CodecWindow").toPandas()
+          .sort_values(["window_start", "codec"]).reset_index(drop=True))
+    assert gw[["window_start", "codec", "n_clips"]].equals(
+        ww[["window_start", "codec", "n_clips"]])
 
 
 def test_row_targets_match_batch(spark, stream_env):
