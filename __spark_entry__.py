@@ -270,6 +270,41 @@ def _q_lang_id_ngram(spark, sf_dir):
     return lang_id_ngram(spark.table("documents"))
 
 
+def _q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition filters: top-word character fraction +
+    duplicated-2-gram character fraction per document (the repetition
+    half of the Gopher quality rules; gopher_quality covers the
+    length/symbol half)."""
+    from dataflow_flex_templates_spark.operators.text import (
+        repetition_profile,
+    )
+
+    _load(spark, sf_dir)
+    return repetition_profile(spark.table("documents"))
+
+
+def _q_pii_scan(spark, sf_dir):
+    """PII scan + mask over documents with deterministic synthetic PII
+    spliced in (the raw corpus has none): doc_id % 7 gains an email,
+    % 11 a phone, % 13 an ipv4 — derived identically in the oracle, so
+    counts AND the masked-text md5 are exact cross-engine checks."""
+    from dataflow_flex_templates_spark.operators.text import pii_scan
+
+    _load(spark, sf_dir)
+    d = spark.table("documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" reach user_"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" ip 10.0.0.1")).otherwise(F.lit("")))
+    return pii_scan(d.select("doc_id", t2.alias("text")))
+
+
 _SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
 
 
@@ -1164,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "lang_id_ngram": _q_lang_id_ngram,
         "stratified_sample": _q_stratified_sample,
+        "repetition_profile": _q_repetition_profile,
+        "pii_scan": _q_pii_scan,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "gopher_quality": _q_gopher_quality,
@@ -1336,6 +1373,81 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": _lang_id_sql,
         "stratified_sample": f"""
             SELECT doc_id, source FROM documents WHERE {_sample_pred}
+        """,
+        "repetition_profile": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text, ' '),
+                                  '\s+', ' ', 'g')), ' ') AS w
+              FROM documents),
+            wc AS (
+              SELECT doc_id, word, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM d)
+              WHERE length(word) > 0 GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, MAX(c) AS maxc,
+                     SUM(c * length(word)) AS tot
+              FROM wc GROUP BY 1),
+            tw AS (
+              SELECT wc.doc_id, MIN(word) AS top_word,
+                     ANY_VALUE(agg.maxc) AS maxc,
+                     ANY_VALUE(agg.tot) AS tot
+              FROM wc JOIN agg ON wc.doc_id = agg.doc_id
+                              AND wc.c = agg.maxc
+              GROUP BY wc.doc_id),
+            gc AS (
+              SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1])) AS g
+                    FROM d WHERE len(w) >= 2)
+              GROUP BY 1, 2),
+            dup AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN c >= 2 THEN c * length(g)
+                         ELSE 0 END)::DOUBLE
+                       / SUM(c * length(g)) AS raw
+              FROM gc GROUP BY 1)
+            SELECT tw.doc_id, top_word,
+                   round(maxc * length(top_word) / tot::DOUBLE, 6)
+                     AS top_word_frac,
+                   round(coalesce(dup.raw, 0), 6) AS dup_2gram_frac,
+                   (round(maxc * length(top_word) / tot::DOUBLE, 6)
+                      <= 0.10
+                    AND round(coalesce(dup.raw, 0), 6) <= 0.40)
+                     AS keep_repetition
+            FROM tw LEFT JOIN dup ON tw.doc_id = dup.doc_id
+        """,
+        "pii_scan": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                         THEN ' reach user_' || CAST(doc_id AS VARCHAR)
+                              || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                         THEN ' call 555-123-4567' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                         THEN ' ip 10.0.0.1' ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT)
+                     AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                     text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '[IPV4]', 'g')) AS masked_md5
+            FROM t
         """,
         "jobspec_customer_nodes": """
             SELECT c_custkey AS custkey, c_name AS name,

@@ -151,6 +151,91 @@ def lang_trigram_sql(text_expr: str = "text") -> dict[str, str]:
     return out
 
 
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_word_max: float = 0.10,
+                       dup_2gram_max: float = 0.40) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - ``top_word_frac``: characters of the most frequent word (count ×
+      word length) over total word characters; ties break to the
+      lexicographically smallest word so both engines pick the same
+      one.
+    - ``dup_2gram_frac``: characters covered by 2-grams occurring ≥2
+      times (count × gram length) over total 2-gram characters.
+    - ``keep_repetition``: both fractions under their thresholds.
+
+    One explode + hash-agg per signal, shuffles keyed on (doc, gram) —
+    bounded by document size, embarrassingly parallel across docs.
+    """
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  F.split(norm_text(F.col(text_col)), " ").alias("w"))
+    words = (d.select("doc_id", F.explode("w").alias("word"))
+             .filter(F.length("word") > 0)
+             .groupBy("doc_id", "word").agg(F.count("*").alias("c")))
+    top2 = (words.groupBy("doc_id")
+            .agg(F.max("c").alias("maxc"),
+                 F.sum(F.col("c") * F.length("word")).alias("tot_chars")))
+    top_word = (words.join(top2, "doc_id")
+                .filter(F.col("c") == F.col("maxc"))
+                .groupBy("doc_id", "maxc", "tot_chars")
+                .agg(F.min("word").alias("top_word"))
+                .select("doc_id", "top_word",
+                        F.round(F.col("maxc") * F.length("top_word")
+                                / F.col("tot_chars"), 6)
+                        .alias("top_word_frac")))
+    grams = (d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i + 1])) "
+            "ELSE CAST(array() AS array<string>) END")).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c")))
+    dup = (grams.groupBy("doc_id")
+           .agg((F.sum(F.when(F.col("c") >= 2,
+                              F.col("c") * F.length("g")).otherwise(0))
+                 / F.sum(F.col("c") * F.length("g"))).alias("raw"))
+           .select("doc_id", F.round("raw", 6).alias("dup_2gram_frac")))
+    return (top_word.join(dup, "doc_id", "left")
+            .select("doc_id", "top_word", "top_word_frac",
+                    F.coalesce("dup_2gram_frac", F.lit(0.0))
+                    .alias("dup_2gram_frac"))
+            .withColumn("keep_repetition",
+                        (F.col("top_word_frac") <= top_word_max)
+                        & (F.col("dup_2gram_frac") <= dup_2gram_max)))
+
+
+#: PII patterns — ASCII-only, valid in BOTH Java regex (Spark) and
+#: RE2 (DuckDB), so counts and masking match across engines exactly.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII counts + masked-text fingerprint.
+
+    Counts each PII class and masks matches with ``[CLASS]`` tokens
+    (emails first — an email contains dots that the ipv4 pattern must
+    not see). Emits ``masked_md5`` rather than the masked text so the
+    oracle compares a fingerprint, not megabytes. Single projection,
+    JVM regex, no shuffle."""
+    c = F.col(text_col)
+    masked = c
+    for name, pat in PII_PATTERNS.items():
+        masked = F.regexp_replace(masked, pat, f"[{name.upper()}]")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.regexp_count(c, F.lit(pat)).cast("long")
+          .alias(f"n_{name}") for name, pat in PII_PATTERNS.items()],
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis columns in one projection (one scan, no shuffle)."""
     c = F.col(text_col)

@@ -322,6 +322,67 @@ def test_winnow_fingerprints(spark, docs):
     assert a & b and not (a & c)
 
 
+def test_repetition_profile_closed_form(spark):
+    """Repetition signals on constructed docs: exact fractions for a
+    degenerate repeated doc, a clean doc, ties broken to the
+    lexicographically smallest word, and 1-word docs defined."""
+    from dataflow_flex_templates_spark.operators.text import (
+        repetition_profile,
+    )
+
+    rows = [
+        (0, "spam spam spam spam"),          # all one word
+        (1, "alpha beta gamma delta"),       # no repetition
+        (2, "bb aa bb aa"),                  # tie on count → 'aa'
+        (3, "solo"),                         # single word, no 2-grams
+    ]
+    got = {r["doc_id"]: r for r in repetition_profile(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+
+    assert got[0]["top_word"] == "spam"
+    assert got[0]["top_word_frac"] == 1.0
+    # "spam spam" 2-gram occurs 3x (all dup) → frac 1.0
+    assert got[0]["dup_2gram_frac"] == 1.0
+    assert got[0]["keep_repetition"] is False
+
+    assert got[1]["top_word_frac"] == round(5 / 19, 6)  # 'alpha'/'delta' tie → 'alpha'
+    assert got[1]["top_word"] == "alpha"
+    assert got[1]["dup_2gram_frac"] == 0.0
+
+    assert got[2]["top_word"] == "aa"
+    # "bb aa" ×2 dup, "aa bb" ×1 → dup chars 2*5 of total 3*5
+    assert got[2]["dup_2gram_frac"] == round(10 / 15, 6)
+
+    assert got[3]["top_word"] == "solo"
+    assert got[3]["dup_2gram_frac"] == 0.0
+    assert got[3]["keep_repetition"] is False  # top_word_frac 1.0
+
+
+def test_pii_scan_counts_and_masking(spark):
+    """PII counts + masking: emails masked before the ipv4 pattern can
+    see their dotted domains; masked text is exact."""
+    from dataflow_flex_templates_spark.operators.text import pii_scan
+
+    rows = [
+        (0, "mail a.b@x.co and c@y.org, call 555-123-4567, "
+            "host 10.0.0.1"),
+        (1, "no pii here"),
+    ]
+    got = {r["doc_id"]: r for r in pii_scan(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert (got[0]["n_email"], got[0]["n_phone"], got[0]["n_ipv4"]) \
+        == (2, 1, 1)
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) \
+        == (0, 0, 0)
+    import hashlib
+
+    masked = ("mail [EMAIL] and [EMAIL], call [PHONE], host [IPV4]")
+    assert got[0]["masked_md5"] == hashlib.md5(masked.encode()).hexdigest()
+    assert got[1]["masked_md5"] == hashlib.md5(b"no pii here").hexdigest()
+
+
 def test_deterministic_sampling(spark):
     """md5-prefix sampling: membership is a pure function of the key
     (identical across partitionings and engines), fractions land near
