@@ -1066,6 +1066,47 @@ def _q_training_pipeline(spark, sf_dir):
             .orderBy("source"))
 
 
+def _q_training_pipeline_v2(spark, sf_dir):
+    """The full training-data chain with every round-3 stage composed:
+    Gopher quality filter AND repetition filter → exact dedup (keep
+    min-id per fingerprint) → deterministic stratified sample (the
+    training-mix knob) → token budgeting per source. One declarative
+    plan; the oracle re-derives every stage in a single SQL query from
+    the same proven building blocks."""
+    from dataflow_flex_templates_spark.operators.dedup import exact_dedup
+    from dataflow_flex_templates_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from dataflow_flex_templates_spark.operators.text import (
+        bpe_token_count,
+        gopher_flags,
+        repetition_profile,
+        token_count,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    quality = gopher_flags(docs).filter(F.col("keep")) \
+        .select("doc_id", "text", "source")
+    rep_keep = repetition_profile(docs).filter(
+        F.col("keep_repetition")).select("doc_id")
+    kept = quality.join(rep_keep, "doc_id")
+    keepers = exact_dedup(kept).select(
+        F.col("keeper_id").alias("doc_id"))
+    deduped = kept.join(keepers, "doc_id")
+    sampled = stratified_sample(deduped, _SAMPLE_FRACTIONS,
+                                default_fraction=0.25)
+    return (sampled
+            .select("source",
+                    token_count(F.col("text")).alias("ws"),
+                    bpe_token_count(F.col("text")).alias("bpe"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws").alias("ws_tokens"),
+                 F.sum("bpe").alias("bpe_tokens"))
+            .orderBy("source"))
+
+
 def _q_drop_empty_rows(spark, sf_dir):
     """P6 drop-all-null rows (transforms/DeleteEmptyRowsFn.java:12-29)."""
     from dataflow_flex_templates_spark.graph.build import drop_empty_rows
@@ -1232,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actions_named_barrier": _q_actions_named_barrier,
         "automap_nodes": _q_automap_nodes,
         "training_pipeline": _q_training_pipeline,
+        "training_pipeline_v2": _q_training_pipeline_v2,
         "drop_empty_rows": _q_drop_empty_rows,
         "frame_sample_plan": _q_frame_sample_plan,
         "media_features": _q_media_features,
@@ -1851,6 +1893,88 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS bpe_tokens
             FROM dedup GROUP BY source ORDER BY source
         """,
+        # v2 adds the round-3 stages to the chain: repetition filter
+        # (rep CTEs = the repetition_profile oracle's keep predicate)
+        # between quality and dedup, then the deterministic stratified
+        # sample after dedup. Same CASTs as v1 (DuckDB HUGEINT sums).
+        "training_pipeline_v2": rf"""
+            WITH t AS (
+              SELECT doc_id, text, source,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            m AS (
+              SELECT *, string_split(nt, ' ') AS toks,
+                     len(string_split(nt, ' ')) AS n_tok
+              FROM t),
+            f AS (
+              SELECT doc_id, text, source, nt,
+                     n_tok < 5 AS f1,
+                     (list_sum(list_transform(toks, x -> length(x)))
+                      / greatest(n_tok, 1)) AS mean_len,
+                     (length(text) - length(regexp_replace(
+                        text, '[#@~^*+=|<>]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE AS sym_ratio,
+                     ((length(text) - length(replace(text, '...', ''))) / 3)
+                       * 10.0 AS ell10,
+                     n_tok,
+                     len(list_filter(toks,
+                         x -> list_contains({_STOPWORDS_SQL}, x))) AS stops
+              FROM m),
+            wc AS (
+              SELECT doc_id, word, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS word FROM m)
+              WHERE length(word) > 0 GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, MAX(c) AS maxc,
+                     SUM(c * length(word)) AS tot
+              FROM wc GROUP BY 1),
+            tw AS (
+              SELECT wc.doc_id, MIN(word) AS top_word,
+                     ANY_VALUE(agg.maxc) AS maxc,
+                     ANY_VALUE(agg.tot) AS tot
+              FROM wc JOIN agg ON wc.doc_id = agg.doc_id
+                              AND wc.c = agg.maxc
+              GROUP BY wc.doc_id),
+            gc AS (
+              SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])) AS g
+                    FROM m WHERE len(toks) >= 2)
+              GROUP BY 1, 2),
+            dupg AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN c >= 2 THEN c * length(g)
+                         ELSE 0 END)::DOUBLE
+                       / SUM(c * length(g)) AS raw
+              FROM gc GROUP BY 1),
+            rep_keep AS (
+              SELECT tw.doc_id
+              FROM tw LEFT JOIN dupg ON tw.doc_id = dupg.doc_id
+              WHERE round(maxc * length(top_word) / tot::DOUBLE, 6)
+                      <= 0.10
+                AND round(coalesce(dupg.raw, 0), 6) <= 0.40),
+            kept AS (
+              SELECT doc_id, text, source, md5(nt) AS fp
+              FROM f
+              WHERE NOT (f1 OR mean_len < 2.0 OR mean_len > 12.0
+                         OR sym_ratio > 0.10 OR ell10 > n_tok
+                         OR stops = 0)
+                AND doc_id IN (SELECT doc_id FROM rep_keep)),
+            dedup AS (
+              SELECT * FROM kept
+              WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY fp)),
+            sampled AS (
+              SELECT * FROM dedup WHERE {{SAMPLE_PRED}})
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text, ' '), '\s+'))
+                       END) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')))
+                     AS BIGINT) AS bpe_tokens
+            FROM sampled GROUP BY source ORDER BY source
+        """.replace("{SAMPLE_PRED}", _sample_pred),
         # winnowing: the whole algebra (k=5-gram polynomial rolling hash
         # mod 2^64 folded to 61 bits, window w=4 min, robust positional
         # dedup) re-derived in SQL over HUGEINT — no pinned constants
