@@ -152,6 +152,48 @@ def _batch_oracle(spark, inp):
     return run_job(spark, spec, source_frames={"clips": prepared})
 
 
+def test_parallelism_invariance(spark, stream_env):
+    """North-rule determinism clause, evidenced directly: the SAME
+    spec over the SAME input commits IDENTICAL merged tables at
+    different parallelism configurations (shuffle partitions 4 vs 32,
+    micro-batching 1 vs 6 files/trigger, salted vs unsalted) — the
+    event-time-dominant LWW ordinal is a pure function of the row, so
+    winners cannot depend on task layout or batch boundaries."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+
+    def run(tag, mfpt, salt, shuffle):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+        try:
+            j = SpecStreamJob(
+                _parse(_spec()),
+                input_dir=inp,
+                input_schema=clips_spark_schema(),
+                output_dir=os.path.join(root, f"out_par_{tag}"),
+                checkpoint_dir=os.path.join(root, f"ckpt_par_{tag}"),
+                watermark="60 seconds",
+                max_files_per_trigger=mfpt,
+                salt_buckets=salt,
+                prepare_fn=_prepare, prepare_preserves="*",
+            )
+            j.run_to_completion(spark, timeout_s=900)
+            return (j.read_merged(spark, "Clip").toPandas()
+                    .sort_values("clip_id").reset_index(drop=True))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    a = run("a", mfpt=1, salt=0, shuffle=4)
+    b = run("b", mfpt=6, salt=8, shuffle=32)
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "n_samples",
+            "transcript_norm"]
+    assert a[cols].equals(b[cols])
+    assert len(a) == pdf["clip_id"].nunique()
+
+
 def test_auto_compaction_preserves_merge(spark, stream_env):
     """compact_every=2: mid-stream compaction folds committed batches
     into the base WITHOUT changing the merged result — same rows as
