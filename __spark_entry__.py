@@ -1088,7 +1088,11 @@ def _q_training_pipeline_v2(spark, sf_dir):
     docs = spark.table("documents")
     quality = gopher_flags(docs).filter(F.col("keep")) \
         .select("doc_id", "text", "source")
-    rep_keep = repetition_profile(docs).filter(
+    # repetition is a per-doc metric, so computing it only over the
+    # quality survivors is result-identical and skips the explode +
+    # hash-agg work for already-rejected docs — the stage ordering you
+    # want at 100 TB (cheapest filters first)
+    rep_keep = repetition_profile(quality).filter(
         F.col("keep_repetition")).select("doc_id")
     kept = quality.join(rep_keep, "doc_id")
     keepers = exact_dedup(kept).select(
