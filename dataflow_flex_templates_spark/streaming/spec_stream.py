@@ -197,6 +197,7 @@ class SpecStreamJob:
         prepare_fn: Callable[[DataFrame], DataFrame] | None = None,
         prepare_preserves: tuple[str, ...] | str = (),
         compact_every: int = 0,
+        ignore_corrupt_files: bool = False,
         audit_dir: str | None = None,
         runtime_tokens: dict[str, str] | None = None,
         state_dedup_key: str | None = None,
@@ -227,6 +228,14 @@ class SpecStreamJob:
         #: amplification grows O(batches). compact() is crash-safe and
         #: keeps commit markers, so exactly-once replay is unaffected.
         self.compact_every = compact_every
+        #: Poison FILES (truncated/garbage parquet from a crashed
+        #: upstream writer): when True the file source skips them with
+        #: a warning instead of failing every micro-batch that lists
+        #: them — the file-level sibling of the per-row poison
+        #: tolerance in the decode UDFs. Default False: silently
+        #: skipping input is a data-loss decision the operator must
+        #: make explicitly.
+        self.ignore_corrupt_files = ignore_corrupt_files
         self.audit_dir = audit_dir
         #: When set, compose the watermark-evicted keyed LWW state op
         #: (dedup_state.lww_dedup_stream, north_rule's "dedup state is a
@@ -379,10 +388,13 @@ class SpecStreamJob:
     # -- lifecycle ---------------------------------------------------------
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        df = (spark.readStream
-              .schema(self.input_schema)
-              .option("maxFilesPerTrigger", self.max_files_per_trigger)
-              .parquet(self.input_dir))
+        reader = (spark.readStream
+                  .schema(self.input_schema)
+                  .option("maxFilesPerTrigger",
+                          self.max_files_per_trigger))
+        if self.ignore_corrupt_files:
+            reader = reader.option("ignoreCorruptFiles", "true")
+        df = reader.parquet(self.input_dir)
         if self.join_input_dir is not None:
             from dataflow_flex_templates_spark.streaming.windows import (
                 clip_transcript_join,

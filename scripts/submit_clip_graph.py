@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=32)
     ap.add_argument("--audit-dir", default=None)
     ap.add_argument("--state-dedup-key", default=None)
+    ap.add_argument("--ignore-corrupt-files", action="store_true",
+                    help="skip unreadable input files instead of "
+                         "failing the micro-batch")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="fold row-table micro-batch files into the "
                          "base every N batches (0 = never)")
@@ -101,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             audit_dir=args.audit_dir,
             state_dedup_key=args.state_dedup_key,
             compact_every=args.compact_every,
+            ignore_corrupt_files=args.ignore_corrupt_files,
         )
         q = job.start(spark, available_now=not args.continuous)
     else:

@@ -152,6 +152,43 @@ def _batch_oracle(spark, inp):
     return run_job(spark, spec, source_frames={"clips": prepared})
 
 
+def test_ignore_corrupt_files_knob(spark, stream_env):
+    """A garbage file in the input dir (crashed upstream writer) kills
+    the stream by default; with ignore_corrupt_files=True the job
+    completes on the valid files — the file-level sibling of the
+    per-row poison tolerance."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root, inp, pdf, job = stream_env
+    inp2 = os.path.join(root, "input_corrupt")
+    shutil.copytree(inp, inp2)
+    with open(os.path.join(inp2, "part-garbage.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    def mk(tag, ignore):
+        return SpecStreamJob(
+            _parse(_spec()),
+            input_dir=inp2,
+            input_schema=clips_spark_schema(),
+            output_dir=os.path.join(root, f"out_corrupt_{tag}"),
+            checkpoint_dir=os.path.join(root, f"ckpt_corrupt_{tag}"),
+            watermark="60 seconds",
+            max_files_per_trigger=2,
+            prepare_fn=_prepare, prepare_preserves="*",
+            ignore_corrupt_files=ignore,
+        )
+
+    with pytest.raises(Exception):
+        mk("fail", False).run_to_completion(spark, timeout_s=300)
+
+    j = mk("ok", True)
+    j.run_to_completion(spark, timeout_s=900)
+    got = j.read_merged(spark, "Clip")
+    assert got.count() == pdf["clip_id"].nunique()
+
+
 def test_parallelism_invariance(spark, stream_env):
     """North-rule determinism clause, evidenced directly: the SAME
     spec over the SAME input commits IDENTICAL merged tables at
