@@ -745,6 +745,58 @@ def _q_cep_sequence_detect(spark, sf_dir):
                     F.col("n_events").cast("long").alias("n_events")))
 
 
+def _q_cep_absence_detect(spark, sf_dir):
+    """CEP NEGATION pattern (click with no purchase within 6 h per
+    user) over the `events` table replayed as an out-of-order stream:
+    a trigger is only decided once the watermark clears its deadline,
+    so out-of-order witnesses are never missed. The same per-user
+    far-future flush rows as cep_sequence_detect push the watermark
+    past every real deadline, making EVERY trigger decidable — the
+    oracle is then a plain NOT-EXISTS anti-join, no horizon to model."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from dataflow_flex_templates_spark.streaming.cep import detect_absence
+
+    _load(spark, sf_dir)
+    pdf = (spark.table("events")
+           .select("user_id", "event_type", F.col("ts").alias("event_time"))
+           .orderBy("event_time").toPandas())
+    schema = "user_id long, event_type string, event_time timestamp"
+    root = tempfile.mkdtemp(prefix="entry_cep_abs_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 8 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+    far = pdf["event_time"].max() + timedelta(days=2)
+    spark.createDataFrame(
+        pd.DataFrame([(u, "flush", far)
+                      for u in sorted(pdf["user_id"].unique())],
+                     columns=pdf.columns), schema=schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(inp)
+              .withWatermark("event_time", "1 hour"))
+    alerts = detect_absence(stream, "user_id", "event_type",
+                            trigger="click", expected="purchase",
+                            within="6 hours")
+    out = os.path.join(root, "out")
+    q = (alerts.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.read.parquet(out)
+            .select("user_id",
+                    F.unix_micros("trigger_time").alias("trigger_us"),
+                    F.unix_micros("deadline").alias("deadline_us")))
+
+
 def _q_stream_stream_join(spark, sf_dir):
     """Stateful clip↔transcript stream-stream join keyed on clip_id
     (J2 / north_rule): audio rows and transcript rows arrive on two
@@ -1270,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
         "cep_sequence_detect": _q_cep_sequence_detect,
+        "cep_absence_detect": _q_cep_absence_detect,
         "text_source_csv": _q_text_source_csv,
         "inline_source": _q_inline_source,
         "token_substitution": _q_token_substitution,
@@ -2013,6 +2066,23 @@ def oracle_sql() -> dict[str, str]:
         # CEP automaton (non-overlapping, first-match-restart, span ≤
         # within) as a recursive CTE stepping every user one event per
         # iteration — a fully independent SQL recomputation of the
+        # CEP negation: every trigger is decidable (flush rows push the
+        # watermark past all deadlines), so absence = a NOT-EXISTS
+        # anti-join over the same events view. 6 h = 21_600_000_000 us.
+        "cep_absence_detect": """
+            WITH ev AS (
+              SELECT user_id, event_type AS ev, epoch_us(ts) AS ts
+              FROM events)
+            SELECT t.user_id,
+                   t.ts AS trigger_us,
+                   t.ts + 21600000000 AS deadline_us
+            FROM ev t
+            WHERE t.ev = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM ev w
+                WHERE w.user_id = t.user_id AND w.ev = 'purchase'
+                  AND w.ts > t.ts AND w.ts <= t.ts + 21600000000)
+        """,
         # applyInPandasWithState streaming op
         "cep_sequence_detect": """
             WITH RECURSIVE ev AS (

@@ -153,3 +153,120 @@ def detect_sequence(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ------------------------------------------------------- negation/absence
+
+_ABSENCE_STATE_SCHEMA = T.StructType([
+    T.StructField("buf_ts", T.ArrayType(T.LongType())),     # micros
+    T.StructField("buf_ev", T.ArrayType(T.StringType())),
+])
+
+
+def run_absence(
+    events: list[tuple[int, str]],
+    trigger: str,
+    expected: str,
+    within_us: int,
+    wm_us: int,
+) -> tuple[list[tuple[int, int]], list[tuple[int, str]]]:
+    """Decide absence alerts over time-sorted (ts_us, event) pairs.
+
+    A ``trigger`` at time t is DECIDABLE once the watermark passes
+    t + within (no ``expected`` witness with ts ≤ t + within can still
+    arrive). Decided triggers with no witness in (t, t + within] emit
+    (t, t + within). Returns (alerts, remaining) where remaining keeps
+    every event newer than the decision horizon — an expected event at
+    or below the horizon cannot witness any still-undecided trigger
+    (undecided t > horizon implies witness ts > t > horizon), so state
+    stays bounded by the (within + watermark-delay) window per key.
+    Pure python — shared by the streaming state fn and the test twin."""
+    import bisect
+
+    horizon = wm_us - within_us
+    exp_ts = [ts for ts, ev in events if ev == expected]
+    alerts: list[tuple[int, int]] = []
+    for ts, ev in events:
+        if ev == trigger and ts <= horizon:
+            i = bisect.bisect_right(exp_ts, ts)
+            witnessed = (i < len(exp_ts)
+                         and exp_ts[i] <= ts + within_us)
+            if not witnessed:
+                alerts.append((ts, ts + within_us))
+    remaining = [(ts, ev) for ts, ev in events if ts > horizon]
+    return alerts, remaining
+
+
+def detect_absence(
+    df: DataFrame,
+    key_col: str,
+    event_col: str,
+    trigger: str,
+    expected: str,
+    within: str = "60 seconds",
+    event_time_col: str = "event_time",
+    idle_evict_ms: int = 60_000,
+) -> DataFrame:
+    """CEP NEGATION pattern: emit (key, trigger_time, deadline) for
+    every ``trigger`` event NOT followed by an ``expected`` event for
+    the same key within the ``within`` span — the absence/timeout
+    alert (order placed, never shipped). Same watermark-gated buffered
+    design as :func:`detect_sequence`: a trigger is only decided once
+    the watermark clears its deadline, so out-of-order witnesses are
+    never missed; state per key is bounded by within + watermark delay.
+    ``df`` must have ``withWatermark`` applied on ``event_time_col``.
+    """
+    import re
+
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", within.strip())
+    if not m:
+        raise ValueError(f"unparseable within: {within!r}")
+    mult = {"second": 1_000_000, "minute": 60_000_000,
+            "hour": 3_600_000_000}[m.group(2)]
+    within_us = int(m.group(1)) * mult
+
+    key_field = df.schema[key_col]
+    out_schema = T.StructType([
+        key_field,
+        T.StructField("trigger_time", T.TimestampType()),
+        T.StructField("deadline", T.TimestampType()),
+    ])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        buf_ts, buf_ev = state.get if state.exists else ([], [])
+        pending = list(zip(buf_ts, buf_ev))
+        timed_out = state.hasTimedOut
+        if not timed_out:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                ts = (pdf[event_time_col].astype("datetime64[us]")
+                      .astype("int64"))
+                pending.extend(zip((int(x) for x in ts),
+                                   (str(e) for e in pdf[event_col])))
+            pending.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        alerts, rest = run_absence(pending, trigger, expected,
+                                   within_us, wm_us)
+        if timed_out and not rest:
+            state.remove()
+        else:
+            state.update(([t for t, _ in rest], [e for _, e in rest]))
+            state.setTimeoutTimestamp(max(wm_us // 1000, 0) + idle_evict_ms)
+        if alerts:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(alerts),
+                "trigger_time": [pd.Timestamp(s, unit="us")
+                                 for s, _ in alerts],
+                "deadline": [pd.Timestamp(d, unit="us")
+                             for _, d in alerts],
+            })
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_ABSENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -115,3 +115,82 @@ def test_cep_match_spans_within_window(cep_run):
                 - pd.Timestamp(r["match_start"])).total_seconds()
         assert 0 <= span <= 120
         assert r["n_events"] == len(PATTERN)
+
+
+def test_run_absence_pure():
+    """Decision rule of the absence automaton: only triggers whose
+    deadline the watermark has cleared are decided; out-of-order
+    witnesses inside the window suppress the alert; retained state is
+    exactly the undecided tail."""
+    from dataflow_flex_templates_spark.streaming.cep import run_absence
+
+    W = 10  # within_us
+    ev = [(0, "A"), (5, "B"),          # witnessed → no alert
+          (20, "A"),                   # no B in (20, 30] → alert
+          (40, "A"), (52, "B"),        # B too late (52 > 50) → alert
+          (60, "A")]                   # undecided at wm=65
+    alerts, rest = run_absence(ev, "A", "B", W, wm_us=65)
+    assert alerts == [(20, 30), (40, 50)]
+    assert rest == [(60, "A")]
+    # advancing the watermark decides the tail
+    alerts2, rest2 = run_absence(rest, "A", "B", W, wm_us=75)
+    assert alerts2 == [(60, 70)] and rest2 == []
+    # a witness exactly AT the deadline counts (<=)
+    a3, _ = run_absence([(0, "A"), (10, "B")], "A", "B", W, wm_us=100)
+    assert a3 == []
+
+
+def test_detect_absence_streaming_equals_anti_join(spark, tmp_path):
+    """Streaming absence detection == batch anti-join oracle over the
+    same events, including an out-of-order witness that arrives in a
+    later file than its trigger."""
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.streaming.cep import detect_absence
+
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+    t0 = datetime(2025, 3, 1, tzinfo=timezone.utc)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    # u1: order at 0 shipped at 20 (within 60s) → no alert
+    # u1: order at 100, never shipped → alert
+    # u2: order at 10, shipped at 75 (too late) → alert
+    # u3: order at 30, witness arrives OUT OF ORDER in a later file
+    chunks = [
+        [("u1", "order", ts(0)), ("u2", "order", ts(10))],
+        [("u1", "ship", ts(20)), ("u3", "order", ts(30))],
+        [("u2", "ship", ts(75)), ("u1", "order", ts(100))],
+        [("u3", "ship", ts(55))],                 # late-arriving witness
+        [("u1", "flush", ts(10_000)), ("u2", "flush", ts(10_000)),
+         ("u3", "flush", ts(10_000))],
+    ]
+    inp = str(tmp_path / "in")
+    for rows in chunks:
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user", "event", "event_time"]),
+            schema=schema).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("event_time", "30 seconds"))
+    alerts = detect_absence(stream, "user", "event",
+                            trigger="order", expected="ship",
+                            within="60 seconds")
+    out = str(tmp_path / "out")
+    q = (alerts.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid:
+                       df.write.mode("append").parquet(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    got = sorted((r["user"], r["trigger_time"].timestamp())
+                 for r in spark.read.parquet(out).collect())
+    want = sorted([("u1", ts(100).timestamp()),
+                   ("u2", ts(10).timestamp())])
+    assert got == want
