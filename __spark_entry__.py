@@ -595,6 +595,26 @@ def _q_audio_spectral_stats(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_audio_fp_neardup(spark, sf_dir):
+    """Audio near-duplicate pairs over the deterministic near-dup clip
+    fixture (base clips + gain/noise variants): landmark spectral-peak
+    fingerprints, posting-list candidate join bounded by max_df, exact
+    aligned-frame verification — the text-dedup architecture on the
+    audio payload. Oracle: candidate generation AND verification
+    re-run as genuine SQL over the twin-pinned fingerprint rows."""
+    from dataflow_flex_templates_spark.operators.audio_dedup import (
+        audio_neardup_pairs,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_neardup_clips_df,
+    )
+
+    clips = make_neardup_clips_df(spark)
+    return (audio_neardup_pairs(clips, min_match_frames=2,
+                                min_match_pct=60, max_df=8)
+            .orderBy("clip_a", "clip_b"))
+
+
 def _q_streaming_clip_graph(spark, sf_dir):
     """End-to-end streaming job (exactly-once sink, LWW merge) run to
     completion on a DOCUMENT-DERIVED clip stream: every clip column is
@@ -1318,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_stats": _q_audio_resample_stats,
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
+        "audio_fp_neardup": _q_audio_fp_neardup,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
@@ -2304,6 +2325,50 @@ def oracle_sql() -> dict[str, str]:
                                  "avg_bandwidth", "avg_rolloff",
                                  "avg_flatness"])}
             ORDER BY codec
+        """
+    # Audio fingerprint near-dup: only the DSP half (decode → FFT →
+    # landmark subfp per frame) is twin-pinned; posting-list DF bound,
+    # candidate self-join, and exact aligned-frame verification are
+    # all genuine SQL — the same split as minhash/simhash oracles.
+    # Params must mirror _q_audio_fp_neardup: max_df=8,
+    # min_match_frames=2, min_match_pct=60.
+    if "audio_fp" in const:
+        afp = _values_table(const["audio_fp"],
+                            ["clip_id", "frame_idx", "subfp"])
+        out["audio_fp_neardup"] = f"""
+            WITH fp AS (
+              SELECT clip_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                     CAST(subfp AS BIGINT) AS subfp
+              FROM {afp}),
+            sizes AS (
+              SELECT clip_id, COUNT(*) AS frames FROM fp GROUP BY clip_id),
+            bounded AS (
+              SELECT fp.* FROM fp
+              JOIN (SELECT frame_idx, subfp FROM fp
+                    GROUP BY frame_idx, subfp HAVING COUNT(*) <= 8) r
+                USING (frame_idx, subfp)),
+            cand AS (
+              SELECT DISTINCT a.clip_id AS clip_a, b.clip_id AS clip_b
+              FROM bounded a JOIN bounded b
+                ON a.frame_idx = b.frame_idx AND a.subfp = b.subfp
+               AND a.clip_id < b.clip_id),
+            m AS (
+              SELECT c.clip_a, c.clip_b, COUNT(*) AS match_frames
+              FROM cand c
+              JOIN fp fa ON fa.clip_id = c.clip_a
+              JOIN fp fb ON fb.clip_id = c.clip_b
+               AND fb.frame_idx = fa.frame_idx AND fb.subfp = fa.subfp
+              GROUP BY c.clip_a, c.clip_b)
+            SELECT m.clip_a, m.clip_b,
+                   CAST(m.match_frames AS BIGINT) AS match_frames,
+                   CAST(sa.frames AS BIGINT) AS frames_a,
+                   CAST(sb.frames AS BIGINT) AS frames_b
+            FROM m
+            JOIN sizes sa ON sa.clip_id = m.clip_a
+            JOIN sizes sb ON sb.clip_id = m.clip_b
+            WHERE m.match_frames >= 2
+              AND m.match_frames * 100 >= LEAST(sa.frames, sb.frames) * 60
+            ORDER BY clip_a, clip_b
         """
     # IVF ANN top-k (lloyd_iters=0 deterministic index): twin cell
     # candidates + exact SQL cosine re-rank

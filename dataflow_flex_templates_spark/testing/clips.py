@@ -210,6 +210,63 @@ def make_doc_clips_df(spark, docs_df):
 
 
 # ------------------------------------------------------------------
+# Near-duplicate clip fixture: base clips plus DETERMINISTIC audio
+# perturbations that a real ingest pipeline produces (gain change on
+# re-mastering; low-level additive noise from transcode chains). Used
+# by operators/audio_dedup.py tests and the audio_fp_neardup driver
+# query; scripts/gen_oracle_constants.py pins the fingerprints of
+# EXACTLY this table (same constants below) for the SQL oracle.
+# ------------------------------------------------------------------
+
+AFP_N_BASE = 45       #: driver-query fixture size
+AFP_SEED = 11         #: driver-query fixture seed
+AFP_NOISE_DB = -40.0  #: additive-noise variant level
+
+
+def make_neardup_clips_pdf(n_base: int = AFP_N_BASE,
+                           seed: int = AFP_SEED) -> pd.DataFrame:
+    """n_base base clips; base i%3==0 gets a gain-0.9 float32 variant
+    ("_g"), i%3==1 a −40 dB-noise re-quantized variant ("_n"), i%3==2
+    none (negative control). Ground-truth near-dup pairs are exactly
+    (base, base+suffix) — every variant keeps its base's sample count,
+    sr and duration, so fingerprint frames align."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        sr = rng.choices(SR_CHOICES, SR_WEIGHTS)[0]
+        dur = rng.randrange(400, 1200)
+        cid = f"afp_{seed}_{i:04d}"
+        base = encode_pcm_np(reference_waveform(cid, sr, dur), "pcm_s16le")
+        ts = EPOCH + timedelta(seconds=i)
+        tx = reference_transcript(cid)
+        rows.append((cid, base, sr, dur, "pcm_s16le", tx, ts))
+        from dataflow_flex_templates_spark.functions.audio import decode_pcm_np
+
+        w = decode_pcm_np(base, "pcm_s16le")
+        if i % 3 == 0:
+            v = w * np.float32(0.9)
+            rows.append((cid + "_g", encode_pcm_np(v, "pcm_f32le"), sr,
+                         dur, "pcm_f32le", tx, ts + timedelta(seconds=1)))
+        elif i % 3 == 1:
+            nz = np.random.default_rng(_seed(cid + "_n")).standard_normal(
+                len(w)).astype(np.float32)
+            v = w + nz * np.float32(10.0 ** (AFP_NOISE_DB / 20.0))
+            rows.append((cid + "_n", encode_pcm_np(v, "pcm_s16le"), sr,
+                         dur, "pcm_s16le", tx, ts + timedelta(seconds=1)))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "event_time"],
+    )
+
+
+def make_neardup_clips_df(spark, n_base: int = AFP_N_BASE,
+                          seed: int = AFP_SEED):
+    return spark.createDataFrame(make_neardup_clips_pdf(n_base, seed),
+                                 schema=clips_spark_schema())
+
+
+# ------------------------------------------------------------------
 # Distributed generator — the scale path. make_clips_pdf is a driver
 # loop (fine at 1e3); benchmarks and any 1e5+ generation must fan the
 # synthesis out to executors. All per-clip randomness is derived from

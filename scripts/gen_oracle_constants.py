@@ -158,6 +158,24 @@ def main() -> None:
         for codec, v in sorted(vad_by_codec.items())
     ]
 
+    # ---- audio fingerprint pins (audio_fp_neardup driver query) ------
+    # Only the DSP half (decode → FFT → landmark subfp per frame) is
+    # pinned; candidate generation + verification run as genuine SQL
+    # over these rows in the oracle.
+    from dataflow_flex_templates_spark.functions.audio import fingerprint_np
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_neardup_clips_pdf,
+    )
+
+    nd = make_neardup_clips_pdf()
+    fp_rows = []
+    for _, r in nd.iterrows():
+        fp = fingerprint_np(decode_pcm_np(r["bytes"], r["codec"]),
+                            int(r["sr_hz"]))
+        fp_rows.extend([r["clip_id"], int(j), int(v)]
+                       for j, v in enumerate(fp))
+    out["audio_fp"] = fp_rows
+
     with open(OUT, "w") as f:
         json.dump(out, f)
     sizes = {k: (len(v) if isinstance(v, list) else v)

@@ -342,3 +342,96 @@ def test_poison_rows_yield_nulls_not_task_failures(spark):
              .select("clip_id", "w").collect()}
     assert len(dec["ok"]) == 200 and dec["bad_codec"] is None
     assert dec["empty"] == []
+
+
+# ------------------------------------------------------ audio fingerprinting
+
+def test_fingerprint_kernel_robustness():
+    """Peak-landmark fingerprints: gain scaling is EXACTLY invariant
+    (argmax is scale-free), −40 dB noise + re-quantization flips few
+    frames, unrelated clips share essentially none."""
+    from dataflow_flex_templates_spark.functions.audio import fingerprint_np
+
+    sr, dur = 16000, 800
+    w = reference_waveform("fp_base", sr, dur)
+    base = decode_pcm_np(encode_pcm_np(w, "pcm_s16le"), "pcm_s16le")
+    fb = fingerprint_np(base, sr)
+    assert len(fb) > 10
+
+    gain = decode_pcm_np(encode_pcm_np(base * np.float32(0.9),
+                                       "pcm_f32le"), "pcm_f32le")
+    assert np.array_equal(fingerprint_np(gain, sr), fb)
+
+    nz = np.random.default_rng(5).standard_normal(len(base)).astype(np.float32)
+    noisy = decode_pcm_np(encode_pcm_np(base + nz * np.float32(0.01),
+                                        "pcm_s16le"), "pcm_s16le")
+    fn = fingerprint_np(noisy, sr)
+    assert (fb == fn).mean() >= 0.9
+
+    other = decode_pcm_np(encode_pcm_np(
+        reference_waveform("fp_other", sr, dur), "pcm_s16le"), "pcm_s16le")
+    fo = fingerprint_np(other, sr)
+    assert (fb == fo).mean() <= 0.2
+
+    # too-short clip → empty fingerprint, no crash
+    assert len(fingerprint_np(base[:10], sr)) == 0
+
+
+def test_clip_fingerprints_spark_equals_twin(spark):
+    """The mapInPandas fingerprint operator is bit-identical to the
+    single-process numpy twin over the near-dup fixture."""
+    from dataflow_flex_templates_spark.functions.audio import fingerprint_np
+    from dataflow_flex_templates_spark.operators.audio_dedup import (
+        clip_fingerprints,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        make_neardup_clips_pdf,
+    )
+
+    pdf = make_neardup_clips_pdf(12, seed=3)
+    df = spark.createDataFrame(pdf, schema=clips_spark_schema())
+    got = sorted(
+        (r["id"], r["frame_idx"], r["subfp"])
+        for r in clip_fingerprints(df).collect())
+    want = sorted(
+        (r["clip_id"], j, int(v))
+        for _, r in pdf.iterrows()
+        for j, v in enumerate(
+            fingerprint_np(decode_pcm_np(r["bytes"], r["codec"]),
+                           int(r["sr_hz"]))))
+    assert got == want
+
+
+def test_audio_neardup_pairs_recall_and_bound_identity(spark):
+    """Every (base, variant) ground-truth pair is found (recall 1.0);
+    every reported pair clears the integer thresholds; and the
+    max_df-bounded run returns EXACTLY the unbounded run's output
+    (the bound prunes candidate generation only — verification is
+    exact — mirroring the ngram_jaccard proof)."""
+    from dataflow_flex_templates_spark.operators.audio_dedup import (
+        audio_neardup_pairs,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_neardup_clips_df,
+    )
+
+    df = make_neardup_clips_df(spark, 18, seed=3)
+    kw = dict(min_match_frames=2, min_match_pct=60)
+    rows = audio_neardup_pairs(df, max_df=8, **kw).collect()
+    pairs = {(r["clip_a"], r["clip_b"]) for r in rows}
+    for i in range(18):
+        cid = f"afp_3_{i:04d}"
+        if i % 3 == 0:
+            assert (cid, cid + "_g") in pairs
+        elif i % 3 == 1:
+            assert (cid, cid + "_n") in pairs
+    for r in rows:
+        assert r["match_frames"] >= 2
+        assert r["match_frames"] * 100 >= 60 * min(r["frames_a"],
+                                                   r["frames_b"])
+    unbounded = {(r["clip_a"], r["clip_b"], r["match_frames"])
+                 for r in audio_neardup_pairs(df, max_df=None,
+                                              **kw).collect()}
+    assert {(r["clip_a"], r["clip_b"], r["match_frames"])
+            for r in rows} == unbounded
