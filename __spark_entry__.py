@@ -230,6 +230,27 @@ def _q_tumbling_window(spark, sf_dir):
                       "event_type", "n", "total_value")
 
 
+def _q_windowed_topk(spark, sf_dir):
+    """Windowed heavy hitters (SURVEY §2.10 extension): top-5 users by
+    event count per 1-hour tumbling window, ties broken by user_id.
+    Streaming exactness of the same operator (rank applied per
+    foreachBatch over the append-mode count stream) is pytest-proven
+    in tests/test_streaming.py; this is the batch plan."""
+    from dataflow_flex_templates_spark.streaming.windows import (
+        topk_per_window,
+    )
+
+    _load(spark, sf_dir)
+    out = topk_per_window(spark.table("events"), "ts", "1 hour",
+                          "user_id", 5)
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp"))
+         .alias("window_start"),
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"))
+
+
 def _q_sliding_window(spark, sf_dir):
     from dataflow_flex_templates_spark.streaming.windows import sliding_agg
 
@@ -1311,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_expand": _q_cast_expand,
         "merge_lww": _q_merge_lww,
         "tumbling_window": _q_tumbling_window,
+        "windowed_topk": _q_windowed_topk,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "text_profile": _q_text_profile,
@@ -1621,6 +1643,22 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    round(SUM(value), 4) AS total_value
             FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+        """,
+        # windowed heavy hitters: same window math, same tie-break
+        "windowed_topk": """
+            WITH c AS (
+              SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))
+                       AS window_start,
+                     user_id, COUNT(*) AS n
+              FROM events
+              GROUP BY time_bucket(INTERVAL 1 HOUR, ts), user_id),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY window_start
+                         ORDER BY n DESC, user_id ASC) AS rank
+              FROM c)
+            SELECT window_start, user_id, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "sliding_window": """
             WITH offs AS (SELECT 0 AS o UNION ALL SELECT 1),

@@ -81,6 +81,49 @@ def session_agg(
     )
 
 
+def rank_topk(counts: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Rank windowed counts → top-k keys per window, deterministic
+    tie-break (count DESC, key ASC). Batch-side half of windowed
+    heavy hitters; see :func:`topk_per_window` for why applying this
+    inside foreachBatch over an append-mode windowed-count stream is
+    exact."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("window_start")
+         .orderBy(F.desc("n"), F.asc(key_col)))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def topk_per_window(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    key_col: str,
+    k: int,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Windowed heavy hitters: the k most frequent ``key_col`` values
+    per tumbling window, ties broken by key.
+
+    Batch: one call, ranking inline. Streaming: rank-over-window is
+    not allowed on an unfinished streaming aggregate, so pass the
+    returned COUNTS through foreachBatch and apply :func:`rank_topk`
+    there — exact because in append mode a (window, key) count row is
+    emitted exactly once, when the watermark passes the window end,
+    and that same watermark advance releases EVERY key of that window
+    into the SAME micro-batch (per-window completeness; asserted in
+    tests/test_streaming.py). At scale the count aggregation is the
+    only shuffle; the rank partitions by window_start — thousands of
+    concurrent windows spread it, and k caps the output.
+    """
+    counts = tumbling_agg(df, time_col, window_duration, [key_col],
+                          {"n": "count(*)"}, watermark)
+    if df.isStreaming:
+        return counts
+    return rank_topk(counts, key_col, k)
+
+
 def clip_transcript_join(
     clips: DataFrame,
     transcripts: DataFrame,
