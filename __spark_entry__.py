@@ -636,6 +636,35 @@ def _q_audio_fp_neardup(spark, sf_dir):
             .orderBy("clip_a", "clip_b"))
 
 
+def _q_sink_changelog(spark, sf_dir):
+    """CDC read over the exactly-once sink (Iceberg changelog
+    analogue): batch 0 seeds doc_id<150, batch 1 revises every
+    doc_id%5==0 transcript (" rev2") and inserts 150≤doc_id<180;
+    read_changes emits insert + update pre/post-image rows. Oracle:
+    the same delta derived with plain SQL over `documents`."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.sink import (
+        ExactlyOnceTable,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    tbl = ExactlyOnceTable(
+        os.path.join(tempfile.mkdtemp(prefix="entry_cdc_"), "t"),
+        ["doc_id"])
+    row = lambda d: d.select(
+        "doc_id", F.col("text").alias("transcript"),
+        F.length("text").cast("long").alias("n_chars"))
+    tbl.write_batch(row(docs.filter("doc_id < 150")), 0)
+    upd = docs.filter("doc_id < 150 AND doc_id % 5 = 0") \
+              .withColumn("text", F.concat("text", F.lit(" rev2")))
+    ins = docs.filter("doc_id >= 150 AND doc_id < 180")
+    tbl.write_batch(row(upd).unionByName(row(ins)), 1)
+    return tbl.read_changes(spark, 0)
+
+
 def _q_streaming_clip_graph(spark, sf_dir):
     """End-to-end streaming job (exactly-once sink, LWW merge) run to
     completion on a DOCUMENT-DERIVED clip stream: every clip column is
@@ -1361,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
+        "sink_changelog": _q_sink_changelog,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
@@ -1643,6 +1673,27 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    round(SUM(value), 4) AS total_value
             FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+        """,
+        # CDC changelog: delta derived in plain SQL over documents
+        "sink_changelog": """
+            WITH upd AS (
+              SELECT doc_id, text || ' rev2' AS text FROM documents
+              WHERE doc_id < 150 AND doc_id % 5 = 0),
+            ins AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= 150 AND doc_id < 180)
+            SELECT doc_id, text AS transcript,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   'insert' AS _change_type
+            FROM ins
+            UNION ALL
+            SELECT d.doc_id, d.text, CAST(length(d.text) AS BIGINT),
+                   'update_before'
+            FROM documents d JOIN upd USING (doc_id)
+            UNION ALL
+            SELECT doc_id, text, CAST(length(text) AS BIGINT),
+                   'update_after'
+            FROM upd
         """,
         # windowed heavy hitters: same window math, same tie-break
         "windowed_topk": """

@@ -292,6 +292,74 @@ class ExactlyOnceTable:
             rows, "batch_id long, partition string, rows long, "
                   "committed_at double, epoch_id string")
 
+    def read_changes(self, spark: SparkSession, from_batch: int,
+                     to_batch: int | None = None) -> DataFrame:
+        """Changelog between two committed snapshots (CDC read — the
+        analogue of Iceberg's changelog / create_changelog_view):
+        one row per changed key with ``_change_type`` in
+        ``insert | delete | update_before | update_after`` (update
+        emits pre- AND post-image, Iceberg's convention). Covers keys
+        changed in batches ``(from_batch, to_batch]``; ``to_batch``
+        defaults to the latest commit.
+
+        Scale shape: only keys APPENDED in the delta batches can
+        differ between the snapshots (the sink is append+LWW, nothing
+        else mutates state), so both snapshot reads are semi-joined
+        down to the delta key set before the full-outer diff — output
+        and join state are bounded by the delta size, not the table.
+        The two MOR snapshot scans remain; a native Iceberg changelog
+        avoids them via manifest pruning, which is the documented
+        upgrade path. ``from_batch`` must sit at or above the
+        compaction horizon (same rule as any time travel)."""
+        batches = self.committed_batches()
+        if not batches:
+            raise ValueError(f"no committed batches in {self.path}")
+        if to_batch is None:
+            to_batch = batches[-1]
+        delta = [b for b in batches if from_batch < b <= to_batch]
+        after = self.read_merged(spark, as_of=to_batch)
+        val_cols = [c for c in after.columns if c not in self.key_cols]
+        out_schema = [*self.key_cols, *val_cols, "_change_type"]
+        if not delta:
+            return (after.limit(0)
+                    .withColumn("_change_type", F.lit("")).select(*out_schema))
+        delta_dirs = [d for d in
+                      (os.path.join(self._data_dir, f"batch={b}")
+                       for b in delta) if os.path.isdir(d)]
+        if not delta_dirs:            # all delta batches were empty
+            return (after.limit(0)
+                    .withColumn("_change_type", F.lit("")).select(*out_schema))
+        touched = (spark.read.option("mergeSchema", "true")
+                   .parquet(*delta_dirs).select(*self.key_cols).distinct())
+        after_s = (after.join(touched, self.key_cols, "semi")
+                   .select(*self.key_cols,
+                           F.struct(*val_cols).alias("_a")))
+        if any(b <= from_batch for b in batches):
+            before = self.read_merged(spark, as_of=from_batch)
+            for c in val_cols:        # schema evolution: null-pad
+                if c not in before.columns:
+                    before = before.withColumn(c, F.lit(None))
+            before_s = (before.join(touched, self.key_cols, "semi")
+                        .select(*self.key_cols,
+                                F.struct(*val_cols).alias("_b")))
+        else:
+            before_s = after_s.limit(0).withColumnRenamed("_a", "_b")
+        j = before_s.join(after_s, self.key_cols, "full_outer")
+        ins = (j.filter(F.col("_b").isNull() & F.col("_a").isNotNull())
+               .select(*self.key_cols, "_a.*",
+                       F.lit("insert").alias("_change_type")))
+        dels = (j.filter(F.col("_a").isNull() & F.col("_b").isNotNull())
+                .select(*self.key_cols, "_b.*",
+                        F.lit("delete").alias("_change_type")))
+        upd = j.filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()
+                       & ~F.col("_a").eqNullSafe(F.col("_b")))
+        upd_b = upd.select(*self.key_cols, "_b.*",
+                           F.lit("update_before").alias("_change_type"))
+        upd_a = upd.select(*self.key_cols, "_a.*",
+                           F.lit("update_after").alias("_change_type"))
+        return (ins.unionByName(dels).unionByName(upd_b).unionByName(upd_a)
+                .select(*out_schema))
+
 
 def _footer_part_counts(batch_dir: str) -> dict[str, int]:
     from concurrent.futures import ThreadPoolExecutor

@@ -681,3 +681,51 @@ def test_windowed_topk_stream_equals_batch(spark, tmp_path):
                   if r["window_start"] in emitted)
     assert len(got) > 10
     assert got == want
+
+
+def test_read_changes_cdc(spark, tmp_path):
+    """Changelog between snapshots: inserts, update pre/post images,
+    an identical rewrite emits NOTHING, and applying the changelog to
+    the before-snapshot reconstructs the after-snapshot exactly."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.streaming.sink import (
+        ExactlyOnceTable,
+    )
+
+    tbl = ExactlyOnceTable(str(tmp_path / "t"), ["k"])
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    tbl.write_batch(mk([(i, f"v{i}") for i in range(1, 7)]), 0)
+    tbl.write_batch(mk([(5, "V5"), (6, "V6"),      # updates
+                        (7, "v7"), (8, "v8"),      # inserts
+                        (4, "v4")]), 1)            # identical rewrite
+    tbl.write_batch(mk([(9, "v9"), (5, "W5")]), 2)
+
+    ch = {(r["k"], r["_change_type"]): r["v"]
+          for r in tbl.read_changes(spark, 0, 1).collect()}
+    assert ch == {(7, "insert"): "v7", (8, "insert"): "v8",
+                  (5, "update_before"): "v5", (5, "update_after"): "V5",
+                  (6, "update_before"): "v6", (6, "update_after"): "V6"}
+
+    # to_batch defaults to latest (batch 2): key 5 diff is v5 → W5
+    ch2 = {(r["k"], r["_change_type"]): r["v"]
+           for r in tbl.read_changes(spark, 0).collect()}
+    assert ch2[(5, "update_after")] == "W5"
+    assert (9, "insert") in ch2
+
+    # reconstruction: before + changelog == after
+    changes = tbl.read_changes(spark, 0)
+    before = tbl.read_merged(spark, as_of=0)
+    gone = changes.filter(
+        F.col("_change_type").isin("update_before", "delete")).select("k")
+    add = (changes.filter(F.col("_change_type")
+                          .isin("insert", "update_after"))
+           .select("k", "v"))
+    rebuilt = before.join(gone, "k", "anti").unionByName(add)
+    after = tbl.read_merged(spark)
+    assert (sorted(map(tuple, rebuilt.collect()))
+            == sorted(map(tuple, after.collect())))
+
+    # empty delta → zero rows, schema intact
+    assert tbl.read_changes(spark, 2).count() == 0
+    assert tbl.read_changes(spark, 2).columns == ["k", "v", "_change_type"]
