@@ -636,6 +636,33 @@ def _q_audio_fp_neardup(spark, sf_dir):
             .orderBy("clip_a", "clip_b"))
 
 
+def _q_audio_text_quality(spark, sf_dir):
+    """Audio+transcript pair-quality scan (speech-dataset analogue of
+    the Gopher filters) over the LWW-MERGED document-derived clip
+    table: VAD voicing + normalized token counts → integer-arithmetic
+    flags. Oracle: winning transcript + flags in plain SQL over
+    `documents`; only the waveform-derived VAD counts are twin-pinned."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        clip_text_quality,
+    )
+    from dataflow_flex_templates_spark.plans.compiler import lww_latest
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_doc_clips_df,
+    )
+
+    _load(spark, sf_dir)
+    clips = make_doc_clips_df(
+        spark, spark.table("documents").filter("doc_id < 300"))
+    merged = lww_latest(
+        clips.withColumn("__seq__", F.unix_micros("event_time")),
+        ["clip_id"], "__seq__").drop("__seq__")
+    q = clip_text_quality(merged)
+    return q.select("clip_id", F.col("dur_ms").cast("long").alias("dur_ms"),
+                    "n_frames", "voiced_frames", "n_tokens",
+                    "too_short", "empty_transcript", "low_density",
+                    "high_density", "silence_heavy", "keep")
+
+
 def _q_sink_changelog(spark, sf_dir):
     """CDC read over the exactly-once sink (Iceberg changelog
     analogue): batch 0 seeds doc_id<150, batch 1 revises every
@@ -1390,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
+        "audio_text_quality": _q_audio_text_quality,
         "sink_changelog": _q_sink_changelog,
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
@@ -2414,6 +2442,44 @@ def oracle_sql() -> dict[str, str]:
                                  "avg_bandwidth", "avg_rolloff",
                                  "avg_flatness"])}
             ORDER BY codec
+        """
+    # Audio+text pair quality: transcripts + every flag are genuine SQL
+    # over documents; only the waveform-derived VAD counts are pinned.
+    # Thresholds must mirror functions/audio.clip_text_quality defaults:
+    # min_dur 150, density 100..200 tok/s, voiced ≥ 20%.
+    if "clip_vad_doc300" in const:
+        vad_vals = _values_table(const["clip_vad_doc300"],
+                                 ["clip_id", "n_frames", "voiced_frames"])
+        out["audio_text_quality"] = f"""
+            WITH c AS (
+              SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                       AS clip_id,
+                     CAST(100 + (doc_id % 7) * 50 AS BIGINT) AS dur_ms,
+                     {win_norm} AS nt
+              FROM documents WHERE doc_id < 300),
+            t AS (
+              SELECT clip_id, dur_ms,
+                     CASE WHEN nt = '' THEN 0
+                          ELSE CAST(len(string_split(nt, ' ')) AS BIGINT)
+                     END AS n_tokens
+              FROM c),
+            v AS (
+              SELECT clip_id, CAST(n_frames AS BIGINT) AS n_frames,
+                     CAST(voiced_frames AS BIGINT) AS voiced_frames
+              FROM {vad_vals}),
+            f AS (
+              SELECT t.clip_id, t.dur_ms, v.n_frames, v.voiced_frames,
+                     t.n_tokens,
+                     t.dur_ms < 150 AS too_short,
+                     t.n_tokens = 0 AS empty_transcript,
+                     t.n_tokens * 1000 < t.dur_ms * 100 AS low_density,
+                     t.n_tokens * 1000 > t.dur_ms * 200 AS high_density,
+                     v.voiced_frames * 100 < v.n_frames * 20
+                       AS silence_heavy
+              FROM t JOIN v USING (clip_id))
+            SELECT *, NOT (too_short OR empty_transcript OR low_density
+                           OR high_density OR silence_heavy) AS keep
+            FROM f
         """
     # Audio fingerprint near-dup: only the DSP half (decode → FFT →
     # landmark subfp per frame) is twin-pinned; posting-list DF bound,

@@ -367,6 +367,65 @@ def resample_stats(target_sr: int, kernel: str = "linear"):
     return _rs
 
 
+# ------------------------------------------------- audio+text pair quality
+
+def clip_text_quality(
+    df: DataFrame,
+    min_dur_ms: int = 150,
+    min_tokens_per_s: int = 100,
+    max_tokens_per_s: int = 200,
+    min_voiced_pct: int = 20,
+    frame_ms: int = 20,
+    threshold: float = 0.02,
+) -> DataFrame:
+    """Pair-quality scan for (audio, transcript) training rows — the
+    audio-dataset analogue of the Gopher text filters: per clip, VAD
+    voicing stats (one Arrow decode pass) + normalized-transcript
+    token count, then integer-arithmetic quality flags:
+
+    - ``too_short``         dur_ms < min_dur_ms
+    - ``empty_transcript``  zero tokens after normalization
+    - ``low_density``       tokens/s below min (transcript unlikely to
+                            cover the audio)
+    - ``high_density``      tokens/s above max (transcript can't fit
+                            the audio — misaligned pair)
+    - ``silence_heavy``     voiced frames below min_voiced_pct
+    - ``keep``              none of the above
+
+    All comparisons are integer cross-multiplications (never a float
+    rate), so a DuckDB oracle reproduces every flag exactly. Columns
+    ``bytes/codec/sr_hz/dur_ms/transcript`` are required; everything
+    stays JVM-side except the VAD decode (pandas UDF).
+    """
+    norm = normalize_transcript(F.col("transcript"))
+    n_tokens = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))).cast("long")
+    v = vad_stats(frame_ms, threshold)(
+        F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    out = (df.withColumn("n_tokens", n_tokens)
+             .withColumn("__v__", v)
+             .withColumn("n_frames", F.col("__v__.n_frames"))
+             .withColumn("voiced_frames", F.col("__v__.voiced_frames"))
+             .drop("__v__"))
+    dur = F.col("dur_ms").cast("long")
+    tok = F.col("n_tokens")
+    flags = {
+        "too_short": dur < min_dur_ms,
+        "empty_transcript": tok == 0,
+        "low_density": tok * 1000 < dur * min_tokens_per_s,
+        "high_density": tok * 1000 > dur * max_tokens_per_s,
+        "silence_heavy":
+            F.col("voiced_frames") * 100
+            < F.col("n_frames") * min_voiced_pct,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn(
+        "keep", ~flags["too_short"] & ~flags["empty_transcript"]
+        & ~flags["low_density"] & ~flags["high_density"]
+        & ~flags["silence_heavy"])
+
+
 # ------------------------------------------------------ audio fingerprinting
 
 def fingerprint_np(wave: np.ndarray, sr_hz: int, frame_ms: int = 64,

@@ -158,6 +158,22 @@ def main() -> None:
         for codec, v in sorted(vad_by_codec.items())
     ]
 
+    # ---- per-clip VAD pins (audio_text_quality driver query) ---------
+    # Waveform-derived halves only; transcripts and every quality flag
+    # are genuine SQL over `documents` in the oracle.
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_doc_clips_pdf,
+    )
+
+    doc300 = docs[docs["doc_id"] < 300]
+    dc = make_doc_clips_pdf(doc300).drop_duplicates("clip_id")
+    out["clip_vad_doc300"] = [
+        [r["clip_id"],
+         *map(int, vad_segments_np(decode_pcm_np(r["bytes"], r["codec"]),
+                                   int(r["sr_hz"]))[:2])]
+        for _, r in dc.iterrows()
+    ]
+
     # ---- audio fingerprint pins (audio_fp_neardup driver query) ------
     # Only the DSP half (decode → FFT → landmark subfp per frame) is
     # pinned; candidate generation + verification run as genuine SQL

@@ -435,3 +435,50 @@ def test_audio_neardup_pairs_recall_and_bound_identity(spark):
                                               **kw).collect()}
     assert {(r["clip_a"], r["clip_b"], r["match_frames"])
             for r in rows} == unbounded
+
+
+def test_clip_text_quality_flags(spark):
+    """Every flag fires on a crafted clip: too-short, empty transcript,
+    low/high token density, silence-heavy, and one clean keeper."""
+    from datetime import datetime, timezone
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        clip_text_quality,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+    )
+
+    sr = 16000
+    loud = reference_waveform("q_loud", sr, 1000)          # 1 s voiced
+    quiet = (loud * np.float32(0.001)).astype(np.float32)  # under gate
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+    def clip(cid, wave, dur, tx):
+        return (cid, encode_pcm_np(wave, "pcm_s16le"), sr, dur,
+                "pcm_s16le", tx, ts)
+
+    rows = [
+        clip("keeper", loud, 1000, " ".join(["ok"] * 150)),   # 150 t/s
+        clip("short", loud[:sr // 10], 100, "hi there you"),
+        clip("empty", loud, 1000, "  ,.!  "),                 # normalizes to ''
+        clip("sparse", loud, 1000, " ".join(["a"] * 50)),     # 50 t/s
+        clip("dense", loud, 1000, " ".join(["b"] * 400)),     # 400 t/s
+        clip("silent", quiet, 1000, " ".join(["c"] * 150)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["clip_id", "bytes", "sr_hz",
+                                      "dur_ms", "codec", "transcript",
+                                      "event_time"])
+    out = {r["clip_id"]: r for r in clip_text_quality(
+        spark.createDataFrame(pdf, schema=clips_spark_schema())).collect()}
+
+    assert out["keeper"]["keep"]
+    for cid, flag in [("short", "too_short"),
+                      ("empty", "empty_transcript"),
+                      ("sparse", "low_density"),
+                      ("dense", "high_density"),
+                      ("silent", "silence_heavy")]:
+        assert out[cid][flag], (cid, flag)
+        assert not out[cid]["keep"], cid
+    # empty transcript also reads as low-density, never high
+    assert out["empty"]["low_density"] and not out["empty"]["high_density"]
