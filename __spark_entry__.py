@@ -636,6 +636,21 @@ def _q_audio_fp_neardup(spark, sf_dir):
             .orderBy("clip_a", "clip_b"))
 
 
+def _q_hll_user_registers(spark, sf_dir):
+    """HyperLogLog register table (p=6) for distinct users per
+    event_type — the mergeable cardinality sketch as an OPEN integer
+    table (operators/sketch.py). Oracle: per-user xxhash64 twin-pinned;
+    the full register/rho algebra (shift/mask/bin/lpad/strpos + MAX)
+    re-run as genuine SQL."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    _load(spark, sf_dir)
+    return hll_registers(spark.table("events"), "user_id",
+                         ["event_type"], p=6)
+
+
 def _q_audio_text_quality(spark, sf_dir):
     """Audio+transcript pair-quality scan (speech-dataset analogue of
     the Gopher filters) over the LWW-MERGED document-derived clip
@@ -1417,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
+        "hll_user_registers": _q_hll_user_registers,
         "audio_text_quality": _q_audio_text_quality,
         "sink_changelog": _q_sink_changelog,
         "streaming_clip_graph": _q_streaming_clip_graph,
@@ -2442,6 +2458,29 @@ def oracle_sql() -> dict[str, str]:
                                  "avg_bandwidth", "avg_rolloff",
                                  "avg_flatness"])}
             ORDER BY codec
+        """
+    # HLL registers: per-user hash pinned (xxhash64 twin); register/rho
+    # algebra genuine SQL. Constants must mirror operators/sketch.py
+    # p=6: shift 58, mask 2^58-1, empty-suffix rho 59.
+    if "user_hash" in const:
+        uh = _values_table(const["user_hash"], ["user_id", "h"])
+        out["hll_user_registers"] = f"""
+            WITH h AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(h AS BIGINT) AS h
+              FROM {uh}),
+            e AS (SELECT DISTINCT event_type, user_id FROM events),
+            r AS (
+              SELECT e.event_type,
+                     ((h.h >> 58) & 63) AS reg_idx,
+                     CASE WHEN (h.h & 288230376151711743) = 0 THEN 59
+                          ELSE strpos(lpad(bin(h.h & 288230376151711743),
+                                           58, '0'), '1')
+                     END AS rho
+              FROM e JOIN h USING (user_id))
+            SELECT event_type, CAST(reg_idx AS BIGINT) AS reg_idx,
+                   CAST(MAX(rho) AS BIGINT) AS max_rho
+            FROM r GROUP BY event_type, reg_idx
         """
     # Audio+text pair quality: transcripts + every flag are genuine SQL
     # over documents; only the waveform-derived VAD counts are pinned.

@@ -158,6 +158,16 @@ def main() -> None:
         for codec, v in sorted(vad_by_codec.items())
     ]
 
+    # ---- per-user xxhash64 pins (hll_user_registers driver query) ----
+    # Spark's xxhash64(LongType) via the byte-exact twin; register/rho
+    # algebra is genuine SQL in the oracle.
+    from dataflow_flex_templates_spark.testing.xxh import xxh64_long
+
+    ev_users = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                             columns=["user_id"]).to_pandas()
+    out["user_hash"] = [[int(u), xxh64_long(int(u))]
+                        for u in sorted(ev_users["user_id"].unique())]
+
     # ---- per-clip VAD pins (audio_text_quality driver query) ---------
     # Waveform-derived halves only; transcripts and every quality flag
     # are genuine SQL over `documents` in the oracle.
