@@ -93,6 +93,7 @@ def audio_neardup_pairs(
     min_match_pct: int = 60,
     max_df: int | None = None,
     id_col: str = "clip_id",
+    fingerprints: DataFrame | None = None,
     **fp_kw,
 ) -> DataFrame:
     """Near-duplicate clip pairs by aligned-frame fingerprint agreement.
@@ -105,8 +106,17 @@ def audio_neardup_pairs(
 
     Returns (clip_a, clip_b, match_frames, frames_a, frames_b),
     clip_a < clip_b.
+
+    The fingerprint subtree appears on BOTH sides of the candidate
+    self-join plus both verify joins, and Spark recomputes lineage per
+    subtree — four decode+FFT passes. At scale, pass ``fingerprints``
+    (a precomputed/persisted (id, frame_idx, subfp) frame — in a real
+    pipeline the fingerprint table is materialized once and reused
+    across queries anyway) so decode runs zero times here; the default
+    recompute is fine at test scale.
     """
-    fps = clip_fingerprints(df, id_col=id_col, **fp_kw)
+    fps = (fingerprints if fingerprints is not None
+           else clip_fingerprints(df, id_col=id_col, **fp_kw))
     sets_ = fps.groupBy("id").agg(
         F.sort_array(F.collect_list(F.struct("frame_idx", "subfp")))
          .alias("fp"),
