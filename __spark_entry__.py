@@ -651,6 +651,25 @@ def _q_hll_user_registers(spark, sf_dir):
                          ["event_type"], p=6)
 
 
+def _q_hll_windowed(spark, sf_dir):
+    """Windowed HLL registers: distinct-user sketch per 1-hour event
+    window — state ≤ 2^p longs per window however many users it saw.
+    Streaming parity (same aggregate under a watermark) is
+    pytest-proven; this is the batch plan. Oracle: pinned user hashes
+    + time_bucket + the register algebra in SQL."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        hll_registers_windowed,
+    )
+
+    _load(spark, sf_dir)
+    out = hll_registers_windowed(spark.table("events"), "ts", "1 hour",
+                                 "user_id", p=6)
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp"))
+         .alias("window_start"),
+        "reg_idx", "max_rho")
+
+
 def _q_audio_text_quality(spark, sf_dir):
     """Audio+transcript pair-quality scan (speech-dataset analogue of
     the Gopher filters) over the LWW-MERGED document-derived clip
@@ -1433,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
         "hll_user_registers": _q_hll_user_registers,
+        "hll_windowed": _q_hll_windowed,
         "audio_text_quality": _q_audio_text_quality,
         "sink_changelog": _q_sink_changelog,
         "streaming_clip_graph": _q_streaming_clip_graph,
@@ -2481,6 +2501,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(reg_idx AS BIGINT) AS reg_idx,
                    CAST(MAX(rho) AS BIGINT) AS max_rho
             FROM r GROUP BY event_type, reg_idx
+        """
+    if "user_hash" in const:
+        uh = _values_table(const["user_hash"], ["user_id", "h"])
+        out["hll_windowed"] = f"""
+            WITH h AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(h AS BIGINT) AS h
+              FROM {uh}),
+            e AS (SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) AS wb,
+                         user_id
+                  FROM events),
+            r AS (
+              SELECT e.wb,
+                     ((h.h >> 58) & 63) AS reg_idx,
+                     CASE WHEN (h.h & 288230376151711743) = 0 THEN 59
+                          ELSE strpos(lpad(bin(h.h & 288230376151711743),
+                                           58, '0'), '1')
+                     END AS rho
+              FROM e JOIN h USING (user_id))
+            SELECT epoch_us(wb) AS window_start,
+                   CAST(reg_idx AS BIGINT) AS reg_idx,
+                   CAST(MAX(rho) AS BIGINT) AS max_rho
+            FROM r GROUP BY wb, reg_idx
         """
     # Audio+text pair quality: transcripts + every flag are genuine SQL
     # over documents; only the waveform-derived VAD counts are pinned.

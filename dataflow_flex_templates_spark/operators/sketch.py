@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hll_cols(value_col: str, p: int):
+    """(reg_idx, rho) column expressions. Only shift/mask/bin/lpad/
+    instr — every op has identical semantics in DuckDB (>>&/bin/lpad/
+    strpos), so the oracle re-derives registers in plain SQL."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    sfx_bits = 64 - p
+    mask = (1 << sfx_bits) - 1
+    h = F.xxhash64(F.col(value_col))
+    idx = F.shiftright(h, sfx_bits).bitwiseAND(F.lit((1 << p) - 1))
+    suffix = h.bitwiseAND(F.lit(mask))
+    rho = (F.when(suffix == 0, F.lit(sfx_bits + 1))
+           .otherwise(F.instr(F.lpad(F.bin(suffix), sfx_bits, "0"), "1")))
+    return idx.cast("long").alias("reg_idx"), rho.cast("long").alias("rho")
+
+
 def hll_registers(
     df: DataFrame,
     value_col: str,
@@ -41,20 +57,41 @@ def hll_registers(
     Registers never observed by any value are simply absent (implicit
     rho 0) — keeps the output sparse and union-friendly.
     """
-    if not 4 <= p <= 16:
-        raise ValueError(f"p must be in [4, 16], got {p}")
-    sfx_bits = 64 - p
-    mask = (1 << sfx_bits) - 1
-    h = F.xxhash64(F.col(value_col))
-    idx = F.shiftright(h, sfx_bits).bitwiseAND(F.lit((1 << p) - 1))
-    suffix = h.bitwiseAND(F.lit(mask))
-    rho = (F.when(suffix == 0, F.lit(sfx_bits + 1))
-           .otherwise(F.instr(F.lpad(F.bin(suffix), sfx_bits, "0"), "1")))
-    return (df.select(*group_cols,
-                      idx.cast("long").alias("reg_idx"),
-                      rho.cast("long").alias("rho"))
+    idx, rho = _hll_cols(value_col, p)
+    return (df.select(*group_cols, idx, rho)
             .groupBy(*group_cols, "reg_idx")
             .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_registers_windowed(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 6,
+    watermark: str | None = None,
+) -> DataFrame:
+    """HLL register table per event-time tumbling window — the
+    streaming distinct-count sketch (unique users per hour, unique
+    clips per day). Works unchanged as a batch plan or as a streaming
+    aggregate: MAX is an ordinary agg, so watermark-based state
+    eviction and append-mode emission apply exactly as for any
+    windowed count, and the state per (window, group) is ≤ 2^p longs
+    no matter how many distinct values the window saw — the unbounded
+    `dropDuplicates` memory problem this replaces. Emitted register
+    rows for different days/windows later merge with
+    :func:`hll_merge` (drop the window columns first) for
+    arbitrary-range rollups without touching raw data."""
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+    idx, rho = _hll_cols(value_col, p)
+    proj = df.select(F.col(time_col), *group_cols, idx, rho)
+    return (proj.groupBy(F.window(F.col(time_col), window_duration),
+                         *group_cols, "reg_idx")
+            .agg(F.max("rho").alias("max_rho"))
+            .select(F.col("window.start").alias("window_start"),
+                    *group_cols, "reg_idx", "max_rho"))
 
 
 def hll_merge(*register_dfs: DataFrame,
@@ -97,3 +134,126 @@ def hll_estimate(
 def hll_error_bound(p: int = 6) -> float:
     """Typical relative standard error: 1.04 / sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram sketch — the quantile/mergeable-distribution
+# counterpart to the HLL register table. State per group is the number
+# of OCCUPIED bins (≤ (hi-lo)/bin_width when clamped), merge is a
+# plain SUM, and every number is an integer count — so unlike t-digest
+# or KLL the whole sketch is exactly reproducible by a SQL oracle and
+# diffable across engines. Quantiles read off the cumulative counts
+# with bin_width resolution, which is the precision contract a
+# monitoring/telemetry rollup (p99 window-emit latency per codec at
+# 10^12 rows) actually needs.
+# ---------------------------------------------------------------------------
+
+
+def _hist_bin(value_col: str, bin_width: float,
+              lo: float | None, hi: float | None):
+    """bin_idx column: floor(clamp(value)/w). Clamping bounds state for
+    unbounded tails; floor/least/greatest have identical DuckDB
+    semantics so the oracle recomputes bins bit-for-bit."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    v = F.col(value_col).cast("double")
+    if lo is not None:
+        v = F.greatest(v, F.lit(float(lo)))
+    if hi is not None:
+        v = F.least(v, F.lit(float(hi)))
+    return F.floor(v / F.lit(float(bin_width))).cast("long").alias("bin_idx")
+
+
+def histogram_registers(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    group_cols: list[str] | tuple[str, ...] = (),
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """(group..., bin_idx, n) — count per fixed-width bin. One narrow
+    projection + one hash agg with map-side combine; shuffle volume ≤
+    groups × occupied bins regardless of row count. NULL values are
+    dropped (no bin), matching SQL COUNT semantics."""
+    b = _hist_bin(value_col, bin_width, lo, hi)
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*group_cols, b)
+            .groupBy(*group_cols, "bin_idx")
+            .agg(F.count("*").alias("n")))
+
+
+def histogram_registers_windowed(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    value_col: str,
+    bin_width: float,
+    group_cols: list[str] | tuple[str, ...] = (),
+    lo: float | None = None,
+    hi: float | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-event-time-window histogram — identical plan batch or
+    streaming (COUNT is an ordinary agg: watermark eviction and
+    append-mode emission apply as for any windowed count). Emitted
+    window rows later merge with :func:`histogram_merge` (drop the
+    window columns) for arbitrary-range distribution rollups."""
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+    b = _hist_bin(value_col, bin_width, lo, hi)
+    proj = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(time_col), *group_cols, b))
+    return (proj.groupBy(F.window(F.col(time_col), window_duration),
+                         *group_cols, "bin_idx")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    *group_cols, "bin_idx", "n"))
+
+
+def histogram_merge(*register_dfs: DataFrame,
+                    group_cols: list[str] | tuple[str, ...] = ()) -> DataFrame:
+    """Union histogram tables (same bin_width/clamp) — element-wise
+    SUM, the merge that makes pre-aggregated windows/days/partitions
+    roll up without touching raw data."""
+    out = register_dfs[0]
+    for d in register_dfs[1:]:
+        out = out.unionByName(d)
+    return (out.groupBy(*group_cols, "bin_idx")
+            .agg(F.sum("n").alias("n")))
+
+
+def histogram_quantile(
+    registers: DataFrame,
+    qs: list[float] | tuple[float, ...],
+    bin_width: float,
+    group_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group quantile estimates from a histogram table: for each q
+    the upper edge of the first bin where the cumulative count reaches
+    ceil(q * total) — deterministic integer threshold then one float
+    multiply, so a SQL oracle reproduces it exactly. Error ≤ bin_width
+    by construction. Plan: one window cum-sum partitioned by group
+    (registers are already tiny) + a small cross join with the quantile
+    list."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantile must be in (0, 1], got {q}")
+    gc = list(group_cols)
+    w = (Window.partitionBy(*gc).orderBy("bin_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = registers.select(
+        *gc, "bin_idx",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy(*gc)).alias("total_n"))
+    qdf = registers.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    hit = (cum.crossJoin(F.broadcast(qdf))
+           .where(F.col("cum_n") >= F.ceil(F.col("q") * F.col("total_n"))))
+    return (hit.groupBy(*gc, "q")
+            .agg(F.min("bin_idx").alias("_b"))
+            .select(*gc, "q",
+                    ((F.col("_b") + 1) * F.lit(float(bin_width)))
+                    .alias("q_value")))

@@ -53,6 +53,59 @@ def test_merge_equals_whole_and_partitioning_invariance(spark):
             == sorted(map(tuple, direct.collect())))
 
 
+def test_windowed_registers_streaming_parity(spark, tmp_path):
+    """hll_registers_windowed is the SAME plan batch and streaming:
+    every window the append-mode stream emits carries exactly the
+    batch-computed registers for that window, and all non-final
+    windows are emitted (watermark closes them)."""
+    import os
+
+    import pandas as pd
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        hll_registers_windowed,
+    )
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [(base + pd.Timedelta(seconds=i), (i * 13) % 97)
+            for i in range(600)]
+    pdf = pd.DataFrame(rows, columns=["ts", "uid"])
+    inp = str(tmp_path / "in")
+    chunk = 120
+    for i in range(0, len(pdf), chunk):  # chronological files
+        spark.createDataFrame(pdf.iloc[i:i + chunk],
+                              schema="ts timestamp, uid long") \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    batch_df = spark.read.parquet(inp)
+    batch = {(r["window_start"], r["reg_idx"]): r["max_rho"]
+             for r in hll_registers_windowed(
+                 batch_df, "ts", "1 minute", "uid").collect()}
+
+    stream = (spark.readStream.schema("ts timestamp, uid long")
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    agg = hll_registers_windowed(stream, "ts", "1 minute", "uid",
+                                 watermark="30 seconds")
+    out = str(tmp_path / "out")
+    q = (agg.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    emitted = {(r["window_start"], r["reg_idx"]): r["max_rho"]
+               for r in spark.read.parquet(out).collect()}
+    assert emitted, "no windows closed under the watermark"
+    for k, v in emitted.items():
+        assert batch[k] == v
+    # every window except those the final watermark can't close is out
+    final_wm = max(pdf["ts"]) - pd.Timedelta(seconds=30)
+    closed = {ws for ws, _ in batch
+              if ws + pd.Timedelta(minutes=1) <= final_wm.tz_localize(
+                  None if ws.tzinfo is None else "UTC")}
+    assert closed <= {ws for ws, _ in emitted}
+
+
 @pytest.mark.parametrize("n_distinct", [10, 150, 3000])
 def test_estimate_accuracy(spark, n_distinct):
     rows = [(i % n_distinct, "g") for i in range(3 * n_distinct)]
@@ -61,3 +114,67 @@ def test_estimate_accuracy(spark, n_distinct):
                        ["g"]).collect()[0]["approx_distinct"]
     # 3x the typical relative standard error (1.04/sqrt(64) ≈ 13%)
     assert abs(est - n_distinct) <= max(3, 3 * hll_error_bound(6) * n_distinct)
+
+
+# --- fixed-width histogram sketch ---
+
+
+def test_histogram_matches_python_twin(spark):
+    import math
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        histogram_registers,
+    )
+
+    vals = [0.01 * i * i for i in range(300)] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["bin_idx"]: r["n"]
+           for r in histogram_registers(df, "v", 0.5).collect()}
+    want: dict[int, int] = {}
+    for v in vals:
+        if v is None:
+            continue
+        b = math.floor(v / 0.5)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+def test_histogram_merge_identity_and_clamp(spark):
+    from dataflow_flex_templates_spark.operators.sketch import (
+        histogram_merge,
+        histogram_registers,
+    )
+
+    vals = [(float(i % 97), "g") for i in range(1000)]
+    whole = spark.createDataFrame(vals, "v double, g string")
+    a, b = whole.filter("v < 40"), whole.filter("v >= 40")
+    kw = dict(bin_width=2.0, group_cols=["g"], lo=0.0, hi=50.0)
+    merged = histogram_merge(histogram_registers(a, "v", **kw),
+                             histogram_registers(b, "v", **kw),
+                             group_cols=["g"])
+    direct = histogram_registers(whole.repartition(5), "v", **kw)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+    # clamping bounds the state: no bin beyond hi/bin_width
+    assert max(r["bin_idx"] for r in direct.collect()) <= 25
+
+
+def test_histogram_quantile_within_bin_width(spark):
+    import numpy as np
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        histogram_quantile,
+        histogram_registers,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.gamma(3.0, 50.0, size=5000)
+    df = spark.createDataFrame([(float(v), "g") for v in vals],
+                               "v double, g string")
+    regs = histogram_registers(df, "v", 5.0, ["g"])
+    out = {r["q"]: r["q_value"]
+           for r in histogram_quantile(regs, [0.5, 0.95, 0.99], 5.0,
+                                       ["g"]).collect()}
+    for q in (0.5, 0.95, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(out[q] - exact) <= 5.0 + 1e-9, (q, out[q], exact)
