@@ -670,6 +670,43 @@ def _q_hll_windowed(spark, sf_dir):
         "reg_idx", "max_rho")
 
 
+def _q_value_hist_windowed(spark, sf_dir):
+    """Per-hour fixed-width histogram of event values per event_type —
+    the mergeable distribution sketch (operators/sketch.py) as a
+    windowed plan; identical shape runs as a streaming aggregate under
+    a watermark. Oracle: genuine SQL (time_bucket + floor), no pinned
+    constants."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        histogram_registers_windowed,
+    )
+
+    _load(spark, sf_dir)
+    out = histogram_registers_windowed(
+        spark.table("events"), "ts", "1 hour", "value", 5.0,
+        ["event_type"])
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp"))
+         .alias("window_start"),
+        "event_type", "bin_idx", "n")
+
+
+def _q_value_hist_quantile(spark, sf_dir):
+    """p50/p95/p99 of event value per event_type read off the
+    histogram sketch — deterministic (integer cum-count threshold,
+    then one float multiply), so the SQL oracle reproduces it exactly
+    rather than approximately."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        histogram_quantile,
+        histogram_registers,
+    )
+
+    _load(spark, sf_dir)
+    regs = histogram_registers(spark.table("events"), "value", 5.0,
+                               ["event_type"])
+    return histogram_quantile(regs, [0.5, 0.95, 0.99], 5.0,
+                              ["event_type"])
+
+
 def _q_audio_text_quality(spark, sf_dir):
     """Audio+transcript pair-quality scan (speech-dataset analogue of
     the Gopher filters) over the LWW-MERGED document-derived clip
@@ -1453,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": _q_audio_fp_neardup,
         "hll_user_registers": _q_hll_user_registers,
         "hll_windowed": _q_hll_windowed,
+        "value_hist_windowed": _q_value_hist_windowed,
+        "value_hist_quantile": _q_value_hist_quantile,
         "audio_text_quality": _q_audio_text_quality,
         "sink_changelog": _q_sink_changelog,
         "streaming_clip_graph": _q_streaming_clip_graph,
@@ -1737,6 +1776,33 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    round(SUM(value), 4) AS total_value
             FROM events GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+        """,
+        # Histogram sketch: bin construction and quantile read-off are
+        # plain SQL in both engines (floor / cum-sum window / ceil)
+        "value_hist_windowed": """
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start,
+                   event_type,
+                   CAST(floor(value / 5.0) AS BIGINT) AS bin_idx,
+                   COUNT(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type,
+                     floor(value / 5.0)
+        """,
+        "value_hist_quantile": """
+            WITH r AS (
+              SELECT event_type,
+                     CAST(floor(value / 5.0) AS BIGINT) AS b,
+                     COUNT(*) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            c AS (
+              SELECT event_type, b,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM r)
+            SELECT event_type, CAST(q AS DOUBLE) AS q,
+                   CAST((MIN(b) + 1) * 5.0 AS DOUBLE) AS q_value
+            FROM c CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]) AS q)
+            WHERE cum >= ceil(q * tot) GROUP BY event_type, q
         """,
         # CDC changelog: delta derived in plain SQL over documents
         "sink_changelog": """
