@@ -1176,3 +1176,88 @@ def test_schema_evolution_across_restart(spark, stream_env):
     # rows whose LWW winner was committed before the evolution read
     # back null; rows committed after carry real sample counts
     assert got["n_samples"].notna().any()
+
+
+def test_windowed_target_distinct_count_sketch(spark):
+    """A windowed grouped target can declare a DISTINCT-count aggregate
+    via approx_count_distinct — the sketch-backed form Structured
+    Streaming actually supports (exact COUNT(DISTINCT) is unsupported
+    on streams; the HLL++ buffer keeps per-(window, key) state bounded
+    however many distinct ids the window sees). At the tiny per-window
+    cardinalities here the sparse HLL++ representation is exact, so
+    the merged table must EQUAL the batch distinct count."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    root = tempfile.mkdtemp(prefix="spec_stream_acd_")
+    try:
+        inp = os.path.join(root, "input")
+        # dup_rate 0.3 => distinct clip_id per window strictly < count
+        pdf = make_clips_pdf(250, seed=23, dup_rate=0.3, late_rate=0.0,
+                             max_dur_ms=400)
+        chunk = len(pdf) // 4 + 1
+        for i in range(0, len(pdf), chunk):
+            spark.createDataFrame(pdf.iloc[i:i + chunk],
+                                  schema=clips_spark_schema()) \
+                .coalesce(1).write.mode("append").parquet(inp)
+
+        spec = {
+            "version": "1",
+            "sources": [{"name": "clips", "type": "parquet", "uri": inp}],
+            "targets": [
+                {"name": "CodecUniques", "type": "node", "source": "clips",
+                 "mode": "merge",
+                 "transform": {
+                     "group": True,
+                     "window": {"type": "tumbling",
+                                "duration": "10 seconds"},
+                     "aggregations": [
+                         {"expr": "count(*)", "field": "n_rows"},
+                         {"expr": "approx_count_distinct(clip_id, 0.01)",
+                          "field": "n_uniq"},
+                     ],
+                 },
+                 "mappings": [
+                     {"constant": "CodecUniques", "role": "label"},
+                     {"field": "codec", "name": "codec", "role": "key",
+                      "type": "String"},
+                     {"field": "n_rows", "name": "n_rows",
+                      "role": "property", "type": "Long"},
+                     {"field": "n_uniq", "name": "n_uniq",
+                      "role": "property", "type": "Long"},
+                 ]},
+            ],
+        }
+        job = SpecStreamJob(
+            _parse(spec),
+            input_dir=inp,
+            input_schema=clips_spark_schema(),
+            output_dir=os.path.join(root, "out"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            watermark="60 seconds",
+            max_files_per_trigger=2,
+        )
+        job.run_to_completion(spark, timeout_s=900)
+
+        import duckdb
+
+        got = job.read_merged(spark, "CodecUniques").toPandas()
+        if got["window_start"].dt.tz is None:
+            got["window_start"] = got["window_start"].dt.tz_localize("UTC")
+        oracle = duckdb.sql(
+            "SELECT time_bucket(INTERVAL 10 SECONDS, event_time) ws, codec,"
+            " count(*) n_rows, count(DISTINCT clip_id) n_uniq"
+            " FROM pdf GROUP BY 1, 2").df()
+        om = {(r["ws"], r["codec"]): (r["n_rows"], r["n_uniq"])
+              for _, r in oracle.iterrows()}
+        assert len(got) == len(om)
+        saw_dup_window = False
+        for _, r in got.iterrows():
+            n_rows, n_uniq = om[(r["window_start"], r["codec"])]
+            assert r["n_rows"] == n_rows
+            assert r["n_uniq"] == n_uniq, (r["codec"], r["n_uniq"], n_uniq)
+            saw_dup_window |= bool(n_uniq < n_rows)
+        assert saw_dup_window, "fixture produced no duplicate window"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
