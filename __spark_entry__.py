@@ -707,6 +707,28 @@ def _q_value_hist_quantile(spark, sf_dir):
                               ["event_type"])
 
 
+def _q_value_hist_drift(spark, sf_dir):
+    """Hour-over-hour distribution-drift alarm per event_type: L1
+    distance between consecutive windows of the fixed-width histogram
+    sketch, computed on exact integers (|a_i*B - b_i*A| summed) so the
+    SQL oracle reproduces the number bit-for-bit. The drift operand is
+    the tiny register table, never raw rows."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        histogram_drift,
+        histogram_registers_windowed,
+    )
+
+    _load(spark, sf_dir)
+    regs = histogram_registers_windowed(
+        spark.table("events"), "ts", "1 hour", "value", 5.0,
+        ["event_type"])
+    out = histogram_drift(regs, "1 hour", ["event_type"])
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp"))
+         .alias("window_start"),
+        "event_type", "tot_prev", "tot_cur", "drift_num", "drift")
+
+
 def _q_audio_text_quality(spark, sf_dir):
     """Audio+transcript pair-quality scan (speech-dataset analogue of
     the Gopher filters) over the LWW-MERGED document-derived clip
@@ -1492,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
         "value_hist_quantile": _q_value_hist_quantile,
+        "value_hist_drift": _q_value_hist_drift,
         "audio_text_quality": _q_audio_text_quality,
         "sink_changelog": _q_sink_changelog,
         "streaming_clip_graph": _q_streaming_clip_graph,
@@ -1803,6 +1826,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST((MIN(b) + 1) * 5.0 AS DOUBLE) AS q_value
             FROM c CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]) AS q)
             WHERE cum >= ceil(q * tot) GROUP BY event_type, q
+        """,
+        # drift: same integer L1 algebra, consecutive windows joined
+        # on the shifted bucket start
+        "value_hist_drift": """
+            WITH h AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, event_type,
+                     CAST(floor(value / 5.0) AS BIGINT) AS b,
+                     COUNT(*) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+            j AS (
+              SELECT COALESCE(c.w, p.w + INTERVAL 1 HOUR) AS w,
+                     COALESCE(c.event_type, p.event_type) AS event_type,
+                     COALESCE(c.n, 0) AS n_cur,
+                     COALESCE(p.n, 0) AS n_prev
+              FROM h c FULL OUTER JOIN h p
+                ON c.w = p.w + INTERVAL 1 HOUR
+               AND c.event_type = p.event_type AND c.b = p.b),
+            t AS (
+              SELECT w, event_type,
+                     CAST(SUM(n_cur) AS BIGINT) AS tot_cur,
+                     CAST(SUM(n_prev) AS BIGINT) AS tot_prev
+              FROM j GROUP BY 1, 2)
+            SELECT epoch_us(j.w) AS window_start, j.event_type,
+                   t.tot_prev, t.tot_cur,
+                   CAST(SUM(ABS(n_prev * tot_cur - n_cur * tot_prev))
+                        AS BIGINT) AS drift_num,
+                   round(CAST(SUM(ABS(n_prev * tot_cur - n_cur * tot_prev))
+                              AS BIGINT)
+                         / (t.tot_prev * t.tot_cur), 4) AS drift
+            FROM j JOIN t ON j.w = t.w AND j.event_type = t.event_type
+            WHERE t.tot_cur > 0 AND t.tot_prev > 0
+            GROUP BY j.w, j.event_type, t.tot_prev, t.tot_cur
         """,
         # CDC changelog: delta derived in plain SQL over documents
         "sink_changelog": """

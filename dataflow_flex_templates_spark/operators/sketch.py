@@ -257,3 +257,53 @@ def histogram_quantile(
             .select(*gc, "q",
                     ((F.col("_b") + 1) * F.lit(float(bin_width)))
                     .alias("q_value")))
+
+
+def histogram_drift(
+    windowed_registers: DataFrame,
+    window_duration: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Distribution drift between CONSECUTIVE windows of a
+    :func:`histogram_registers_windowed` table — the corpus-shift /
+    data-quality alarm for a continuously ingesting pipeline (a codec
+    whose value distribution jumps between hours is a misconfigured
+    upstream, not more data).
+
+    Per (group, window) the L1 distance to the previous window's
+    histogram is computed in INTEGER space: with counts a_i (prev,
+    total A) and b_i (cur, total B),
+
+        drift_num = sum_i |a_i * B - b_i * A|
+
+    which equals A*B * L1(fractions) — exact integers end to end, so a
+    SQL oracle reproduces it bit-for-bit; ``drift`` is the normalized
+    L1 in [0, 2] derived by one final division. Windows with no
+    predecessor are omitted. Plan: the register table is tiny (windows
+    × groups × bins), so this is a self-equi-join on shifted
+    window_start + one agg — never touches raw rows."""
+    cur = windowed_registers
+    prev = (windowed_registers
+            .withColumn("window_start",
+                        F.col("window_start")
+                        + F.expr(f"INTERVAL {window_duration}"))
+            .withColumnRenamed("n", "n_prev"))
+    gc = list(group_cols)
+    keys = ["window_start", *gc, "bin_idx"]
+    joined = (cur.join(prev, keys, "full_outer")
+              .select(*keys,
+                      F.coalesce("n", F.lit(0)).alias("n_cur"),
+                      F.coalesce("n_prev", F.lit(0)).alias("n_prev")))
+    w_tot = joined.groupBy("window_start", *gc).agg(
+        F.sum("n_cur").alias("tot_cur"),
+        F.sum("n_prev").alias("tot_prev"))
+    out = (joined.join(w_tot, ["window_start", *gc])
+           .where((F.col("tot_cur") > 0) & (F.col("tot_prev") > 0))
+           .groupBy("window_start", *gc, "tot_cur", "tot_prev")
+           .agg(F.sum(F.abs(F.col("n_prev") * F.col("tot_cur")
+                            - F.col("n_cur") * F.col("tot_prev")))
+                .alias("drift_num")))
+    return out.select(
+        "window_start", *gc, "tot_prev", "tot_cur", "drift_num",
+        F.round(F.col("drift_num")
+                / (F.col("tot_prev") * F.col("tot_cur")), 4).alias("drift"))

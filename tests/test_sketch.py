@@ -178,3 +178,53 @@ def test_histogram_quantile_within_bin_width(spark):
     for q in (0.5, 0.95, 0.99):
         exact = float(np.quantile(vals, q))
         assert abs(out[q] - exact) <= 5.0 + 1e-9, (q, out[q], exact)
+
+
+def test_histogram_drift_integer_twin_and_alarm(spark):
+    """drift_num == the python integer formula on every consecutive
+    window pair, and a deliberately shifted window shows much larger
+    drift than a same-distribution one."""
+    import math
+
+    import pandas as pd
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        histogram_drift,
+        histogram_registers_windowed,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    for i in range(900):
+        w = i % 3  # three 1-minute windows
+        # windows 0 and 1 share a distribution; window 2 is shifted
+        v = float((i * 7) % 50) + (200.0 if w == 2 else 0.0)
+        rows.append((base + pd.Timedelta(minutes=w, seconds=i % 60), v))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "v"]),
+                               schema="ts timestamp, v double")
+    regs = histogram_registers_windowed(df, "ts", "1 minute", "v", 10.0)
+    got = {r["window_start"]: (r["tot_prev"], r["tot_cur"], r["drift_num"],
+                               r["drift"])
+           for r in histogram_drift(regs, "1 minute").collect()}
+
+    # python twin
+    hists: dict = {}
+    for ts, v in rows:
+        w = ts.floor("min")
+        hists.setdefault(w, {})
+        b = math.floor(v / 10.0)
+        hists[w][b] = hists[w].get(b, 0) + 1
+    want = {}
+    for w, h in hists.items():
+        p = hists.get(w - pd.Timedelta(minutes=1))
+        if not p:
+            continue
+        ta, tb = sum(p.values()), sum(h.values())
+        num = sum(abs(p.get(b, 0) * tb - h.get(b, 0) * ta)
+                  for b in set(p) | set(h))
+        want[w] = (ta, tb, num, round(num / (ta * tb), 4))
+    assert set(got) == {w.to_pydatetime() for w in want}
+    for w, exp in want.items():
+        assert got[w.to_pydatetime()] == exp
+    drifts = sorted(v[3] for v in want.values())
+    assert drifts[0] < 0.1 and drifts[-1] > 1.5  # stable pair vs shift
