@@ -616,6 +616,37 @@ def _q_audio_spectral_stats(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_audio_health(spark, sf_dir):
+    """Corpus-health scan (clipping / dropout / DC-bias detection) over
+    the deterministic defect-injected clip fixture: one Arrow decode
+    pass → exact integer counters per clip, then integer-arithmetic
+    defect flags and a per-codec rollup, all JVM-side. Oracle: per-clip
+    counters pinned from the numpy twin; every flag and the aggregation
+    re-run as genuine SQL."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        with_audio_health,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_health_clips_df,
+    )
+
+    clips = make_health_clips_df(spark)
+    return (with_audio_health(clips)
+            .groupBy("codec")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("clipping").cast("long"))
+                  .alias("clips_clipping"),
+                 F.sum(F.col("dropout").cast("long"))
+                  .alias("clips_dropout"),
+                 F.sum(F.col("dc_bias").cast("long"))
+                  .alias("clips_dc_bias"),
+                 F.sum(F.col("healthy").cast("long"))
+                  .alias("clips_healthy"),
+                 F.sum("clipped_samples").alias("total_clipped"),
+                 F.max("max_quiet_run").alias("max_quiet_run"))
+            .orderBy("codec"))
+
+
 def _q_audio_fp_neardup(spark, sf_dir):
     """Audio near-duplicate pairs over the deterministic near-dup clip
     fixture (base clips + gain/noise variants): landmark spectral-peak
@@ -1510,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
+        "audio_health": _q_audio_health,
         "hll_user_registers": _q_hll_user_registers,
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
@@ -2599,6 +2631,44 @@ def oracle_sql() -> dict[str, str]:
                                  "avg_bandwidth", "avg_rolloff",
                                  "avg_flatness"])}
             ORDER BY codec
+        """
+    # Audio health: per-clip waveform counters pinned (numpy twin);
+    # defect flags + per-codec rollup genuine SQL. Thresholds must
+    # mirror functions/audio.with_audio_health defaults: clipping at
+    # 1 per-mille of samples, dropout run ≥ 20 ms, |DC| > 0.01 (1e7 in
+    # 1e-9 units).
+    if "audio_health" in const:
+        ah = _values_table(const["audio_health"],
+                           ["clip_id", "codec", "sr_hz", "n_samples",
+                            "clipped", "quiet", "max_quiet_run", "dc_q"])
+        out["audio_health"] = f"""
+            WITH h AS (
+              SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
+                     CAST(n_samples AS BIGINT) AS n_samples,
+                     CAST(clipped AS BIGINT) AS clipped,
+                     CAST(max_quiet_run AS BIGINT) AS max_quiet_run,
+                     CAST(dc_q AS BIGINT) AS dc_q
+              FROM {ah}),
+            f AS (
+              SELECT codec, clipped, max_quiet_run,
+                     (clipped * 1000 > n_samples) AS clipping,
+                     (max_quiet_run * 1000 >= sr_hz * 20) AS dropout,
+                     (abs(dc_q) > 10000000) AS dc_bias
+              FROM h)
+            SELECT codec, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN clipping THEN 1 ELSE 0 END)
+                        AS BIGINT) AS clips_clipping,
+                   CAST(SUM(CASE WHEN dropout THEN 1 ELSE 0 END)
+                        AS BIGINT) AS clips_dropout,
+                   CAST(SUM(CASE WHEN dc_bias THEN 1 ELSE 0 END)
+                        AS BIGINT) AS clips_dc_bias,
+                   CAST(SUM(CASE WHEN NOT clipping AND NOT dropout
+                                  AND NOT dc_bias
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS clips_healthy,
+                   CAST(SUM(clipped) AS BIGINT) AS total_clipped,
+                   CAST(MAX(max_quiet_run) AS BIGINT) AS max_quiet_run
+            FROM f GROUP BY codec ORDER BY codec
         """
     # HLL registers: per-user hash pinned (xxhash64 twin); register/rho
     # algebra genuine SQL. Constants must mirror operators/sketch.py

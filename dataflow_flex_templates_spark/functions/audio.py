@@ -367,6 +367,111 @@ def resample_stats(target_sr: int, kernel: str = "linear"):
     return _rs
 
 
+# ------------------------------------------------------------ audio health
+
+def audio_health_np(wave: np.ndarray, clip_thresh: float = 0.99,
+                    dropout_thresh: float = 1e-3) -> tuple:
+    """Corpus-health scan of one decoded clip — the audio analogue of
+    the Gopher text-quality heuristics, built so every output is an
+    exact integer (oracle comparison never touches float rounding):
+
+      n_samples        waveform length
+      clipped_samples  count of |x| ≥ clip_thresh (hard-limiter hits;
+                       full-scale survives every codec round-trip
+                       exactly: s16 ±32767, μ-law byte 0/255)
+      quiet_samples    count of |x| < dropout_thresh (digital silence;
+                       threshold sits above μ-law's zero-code decode
+                       residual ≈ 8.6e-5 so "zero" is codec-invariant)
+      max_quiet_run    longest consecutive quiet run (dropout length)
+      dc_q             round(mean * 1e9) — DC offset in nano-units,
+                       quantized per-clip so cross-clip aggregation is
+                       exact int64 arithmetic
+    """
+    n = len(wave)
+    if n == 0:
+        return (0, 0, 0, 0, 0)
+    a = np.abs(wave)
+    clipped = int(np.count_nonzero(a >= clip_thresh))
+    quiet = a < dropout_thresh
+    n_quiet = int(np.count_nonzero(quiet))
+    if n_quiet == 0:
+        max_run = 0
+    elif n_quiet == n:
+        max_run = n
+    else:
+        q = quiet.astype(np.int8)
+        d = np.diff(q)
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if quiet[0]:
+            starts = np.concatenate(([0], starts))
+        if quiet[-1]:
+            ends = np.concatenate((ends, [n]))
+        max_run = int((ends - starts).max())
+    mean = float(np.mean(wave, dtype=np.float64))
+    return (n, clipped, n_quiet, max_run, int(round(mean * 1e9)))
+
+
+_HEALTH_SCHEMA = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("clipped_samples", T.LongType()),
+    T.StructField("quiet_samples", T.LongType()),
+    T.StructField("max_quiet_run", T.LongType()),
+    T.StructField("dc_q", T.LongType()),
+])
+
+
+def audio_health_stats(clip_thresh: float = 0.99,
+                       dropout_thresh: float = 1e-3):
+    """Factory: pandas UDF decoding + health-scanning each clip in one
+    Arrow pass (decode → integer defect counters, nothing materialized
+    through a shuffle). Poison rows → nulls."""
+
+    @pandas_udf(_HEALTH_SCHEMA)
+    def _health(bytes_col: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, c in zip(bytes_col, codec):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                rows.append(audio_health_np(w, clip_thresh, dropout_thresh))
+            except Exception:
+                rows.append((None, None, None, None, None))
+        return pd.DataFrame(rows, columns=["n_samples", "clipped_samples",
+                                           "quiet_samples", "max_quiet_run",
+                                           "dc_q"])
+
+    return _health
+
+
+def with_audio_health(
+    df: DataFrame,
+    clip_per_mille: int = 1,        # flag when clipped/n > 1‰ (0.1%)
+    dropout_ms: int = 20,           # flag quiet runs ≥ 20 ms
+    dc_limit_q: int = 10_000_000,   # flag |mean| > 0.01 (in 1e-9 units)
+) -> DataFrame:
+    """Attach per-clip health counters + integer-arithmetic defect
+    flags (``clipping``, ``dropout``, ``dc_bias``, ``healthy``). Flag
+    thresholds are integer cross-multiplications against n_samples /
+    sr_hz, so a SQL oracle reproduces every flag exactly; columns
+    ``bytes``/``codec``/``sr_hz`` are required."""
+    h = audio_health_stats()(F.col("bytes"), F.col("codec"))
+    out = df.withColumn("__h__", h)
+    for f_ in ("n_samples", "clipped_samples", "quiet_samples",
+               "max_quiet_run", "dc_q"):
+        out = out.withColumn(f_, F.col(f"__h__.{f_}"))
+    out = out.drop("__h__")
+    clipping = (F.col("clipped_samples") * 1000
+                > F.col("n_samples") * clip_per_mille)
+    dropout = (F.col("max_quiet_run") * 1000
+               >= F.col("sr_hz").cast("long") * dropout_ms)
+    dc_bias = F.abs(F.col("dc_q")) > dc_limit_q
+    return (out.withColumn("clipping", clipping)
+               .withColumn("dropout", dropout)
+               .withColumn("dc_bias", dc_bias)
+               .withColumn("healthy", ~clipping & ~dropout & ~dc_bias))
+
+
 # ------------------------------------------------- audio+text pair quality
 
 def clip_text_quality(

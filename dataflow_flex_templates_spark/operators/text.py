@@ -404,3 +404,96 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     for k in flags:
         keep = ~F.col(k) if keep is None else keep & ~F.col(k)
     return out.withColumn("keep", keep)
+
+
+# --------------------------------------------------- training-data chunking
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-bounded training chunks —
+    the context-window packing primitive of an LLM data pipeline.
+
+    Tokens are the engine's canonical whitespace tokens over
+    :func:`norm_text` (same tokenization as token_count / gopher_flags,
+    so budgets compose). Chunk starts advance by ``chunk_tokens -
+    overlap``; the last chunk is the remainder (always > ``overlap``
+    tokens by construction). Output per chunk: (id, chunk_idx,
+    start_tok, chunk_len, chunk_md5) — ints + md5 only, so oracle
+    comparison is exact.
+
+    Scale: pure JVM (split → explode(sequence) → slice → md5) in one
+    whole-stage-codegen pass, no UDF, no shuffle — the explode fan-out
+    is local and output-proportional, exactly what 100 TB wants.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    nt = norm_text(F.col(text_col))
+    toks = F.split(nt, " ")
+    n = F.when(nt == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+    base = df.select(F.col(id_col), toks.alias("__toks__"),
+                     n.alias("__n__"))
+    n_col = F.col("__n__")
+    n_chunks = (F.when(n_col <= 0, F.lit(0))
+                 .when(n_col <= chunk_tokens, F.lit(1))
+                 .otherwise(F.lit(1) + ((n_col - chunk_tokens + step - 1)
+                                        / step).cast("long")))
+    start = (F.col("chunk_idx") * step).cast("long")
+    chunk = F.slice(F.col("__toks__"),
+                    (F.col("chunk_idx") * step + 1).cast("int"),
+                    chunk_tokens)
+    return (base
+            .withColumn("__nc__", n_chunks)
+            .filter(F.col("__nc__") > 0)
+            .select(F.col(id_col),
+                    F.explode(F.sequence(
+                        F.lit(0).cast("long"),
+                        (F.col("__nc__") - 1).cast("long")))
+                     .alias("chunk_idx"),
+                    "__toks__")
+            .select(F.col(id_col), F.col("chunk_idx"),
+                    start.alias("start_tok"),
+                    F.size(chunk).cast("long").alias("chunk_len"),
+                    F.md5(F.array_join(chunk, " ")).alias("chunk_md5")))
+
+
+# ------------------------------------------------ benchmark decontamination
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a benchmark/test set (the standard n-gram
+    overlap rule, e.g. GPT-3 appendix C / PaLM's 8-gram variant).
+
+    Both sides tokenize via :func:`norm_text`; documents shorter than
+    ``n`` tokens produce no n-grams and cannot be contaminated.
+    Returns one row per doc: (id, hit_ngrams, contaminated).
+
+    Scale: the benchmark n-gram set is small (test suites, not corpora)
+    — distinct-ed and **broadcast**, so the corpus side never
+    shuffles: explode n-grams → broadcast-hash semi join → partial
+    count-distinct per doc. The only exchange is the per-doc rollup,
+    bounded by hit rows (rare), then a broadcast-back left join onto
+    the doc ids.
+    """
+    def ngrams(d: DataFrame, *cols):
+        toks = F.split(norm_text(F.col(text_col)), " ")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1),
+                                            F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return d.select(*cols, F.explode(grams).alias("ngram"))
+
+    bench = ngrams(benchmark).select("ngram").distinct()
+    hits = (ngrams(docs, F.col(id_col))
+            .join(F.broadcast(bench), "ngram")
+            .groupBy(id_col)
+            .agg(F.count_distinct("ngram").alias("hit_ngrams")))
+    return (docs.select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("hit_ngrams", F.lit(0)).cast("long")
+                     .alias("hit_ngrams"))
+            .withColumn("contaminated", F.col("hit_ngrams") > 0))

@@ -267,6 +267,58 @@ def make_neardup_clips_df(spark, n_base: int = AFP_N_BASE,
 
 
 # ------------------------------------------------------------------
+# Health-defect clip fixture: base clips plus DETERMINISTIC injected
+# defects a real ingest pipeline produces (hard-limiter clipping from
+# bad gain staging; dropout windows from transfer glitches; DC bias
+# from broken capture hardware). Used by the audio_health driver query
+# and tests; scripts/gen_oracle_constants.py pins the per-clip health
+# counters of EXACTLY this table for the SQL oracle.
+# ------------------------------------------------------------------
+
+AH_N_BASE = 60   #: driver-query fixture size
+AH_SEED = 13     #: driver-query fixture seed
+
+
+def make_health_clips_pdf(n_base: int = AH_N_BASE,
+                          seed: int = AH_SEED) -> pd.DataFrame:
+    """n_base clips cycling the three codecs; defect by i%4:
+    1 → clipped (gain ×2.5 hard-limited at encode), 2 → dropout
+    (a zeroed 60 ms window one third in), 3 → DC bias (+0.05),
+    0 → clean control. Ground truth is exactly the i%4 class."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        sr = rng.choices(SR_CHOICES, SR_WEIGHTS)[0]
+        dur = rng.randrange(300, 1200)
+        cid = f"ah_{seed}_{i:04d}"
+        codec = CODEC_CHOICES[i % 3]
+        w = reference_waveform(cid, sr, dur).astype(np.float64)
+        kind = i % 4
+        if kind == 1:
+            w = w * 2.5                      # encode clips to [-1, 1]
+        elif kind == 2:
+            lo = len(w) // 3
+            w[lo: lo + int(sr * 0.06)] = 0.0
+        elif kind == 3:
+            w = w * 0.8 + 0.05               # keep |w| < 1 post-bias
+        payload = encode_pcm_np(w.astype(np.float32), codec)
+        rows.append((cid, payload, sr, dur, codec,
+                     reference_transcript(cid),
+                     EPOCH + timedelta(seconds=i)))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "event_time"],
+    )
+
+
+def make_health_clips_df(spark, n_base: int = AH_N_BASE,
+                         seed: int = AH_SEED):
+    return spark.createDataFrame(make_health_clips_pdf(n_base, seed),
+                                 schema=clips_spark_schema())
+
+
+# ------------------------------------------------------------------
 # Distributed generator — the scale path. make_clips_pdf is a driver
 # loop (fine at 1e3); benchmarks and any 1e5+ generation must fan the
 # synthesis out to executors. All per-clip randomness is derived from

@@ -202,6 +202,23 @@ def main() -> None:
                        for j, v in enumerate(fp))
     out["audio_fp"] = fp_rows
 
+    # ---- per-clip health pins (audio_health driver query) ------------
+    # Only the waveform-derived integer counters are pinned; the defect
+    # flags and per-codec aggregation are genuine SQL in the oracle.
+    from dataflow_flex_templates_spark.functions.audio import (
+        audio_health_np,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_health_clips_pdf,
+    )
+
+    hc = make_health_clips_pdf()
+    out["audio_health"] = [
+        [r["clip_id"], r["codec"], int(r["sr_hz"]),
+         *map(int, audio_health_np(decode_pcm_np(r["bytes"], r["codec"])))]
+        for _, r in hc.iterrows()
+    ]
+
     with open(OUT, "w") as f:
         json.dump(out, f)
     sizes = {k: (len(v) if isinstance(v, list) else v)

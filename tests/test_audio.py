@@ -482,3 +482,77 @@ def test_clip_text_quality_flags(spark):
         assert not out[cid]["keep"], cid
     # empty transcript also reads as low-density, never high
     assert out["empty"]["low_density"] and not out["empty"]["high_density"]
+
+
+def test_audio_health_kernel_units():
+    """audio_health_np counts defects exactly on crafted waveforms."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        audio_health_np,
+    )
+
+    assert audio_health_np(np.zeros(0, np.float32)) == (0, 0, 0, 0, 0)
+    # all-quiet clip: one run spanning everything
+    n, c, q, run, dc = audio_health_np(np.zeros(100, np.float32))
+    assert (n, c, q, run, dc) == (100, 0, 100, 100, 0)
+    # crafted: 3 clipped samples, an 8-sample interior quiet run, DC 0.5
+    w = np.full(50, 0.5, np.float32)
+    w[5:8] = 1.0
+    w[20:28] = 0.0
+    n, c, q, run, dc = audio_health_np(w)
+    assert (n, c, q, run) == (50, 3, 8, 8)
+    exp = (0.5 * (50 - 3 - 8) + 3 * 1.0) / 50
+    assert dc == round(exp * 1e9)
+    # quiet run at the head AND tail (boundary handling)
+    w2 = np.full(30, 0.3, np.float32)
+    w2[:4] = 0.0
+    w2[-6:] = 0.0
+    assert audio_health_np(w2)[3] == 6
+
+
+def test_audio_health_fixture_classification(spark):
+    """The defect-injected fixture classifies exactly by construction:
+    i%4 → {0: healthy, 1: clipping, 2: dropout, 3: dc_bias}, across
+    all three codec round-trips (Spark path end-to-end)."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        with_audio_health,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_health_clips_df,
+    )
+
+    out = {r["clip_id"]: r
+           for r in with_audio_health(make_health_clips_df(spark)).collect()}
+    assert len(out) == 60
+    for cid, r in out.items():
+        kind = int(cid.rsplit("_", 1)[1]) % 4
+        expect = {0: "healthy", 1: "clipping",
+                  2: "dropout", 3: "dc_bias"}[kind]
+        for flag in ("healthy", "clipping", "dropout", "dc_bias"):
+            assert r[flag] == (flag == expect), (cid, flag, dict(r.asDict()))
+
+
+def test_audio_health_poison_rows_null(spark):
+    """Truncated payloads / unknown codecs yield null counters, not
+    task failures."""
+    from datetime import datetime, timezone
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        with_audio_health,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+    )
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    pdf = pd.DataFrame(
+        [("ok", encode_pcm_np(np.zeros(64, np.float32), "pcm_s16le"),
+          16000, 4, "pcm_s16le", "x", ts),
+         ("bad_codec", b"\x00" * 16, 16000, 4, "opus", "x", ts),
+         ("truncated", b"\x00", 16000, 4, "pcm_f32le", "x", ts)],
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "event_time"])
+    rows = {r["clip_id"]: r for r in with_audio_health(
+        spark.createDataFrame(pdf, schema=clips_spark_schema())).collect()}
+    assert rows["ok"]["n_samples"] == 64
+    assert rows["bad_codec"]["n_samples"] is None
+    assert rows["truncated"]["n_samples"] is None
