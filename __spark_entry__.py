@@ -372,6 +372,33 @@ def _q_token_counts(spark, sf_dir):
                     bpe_token_count(F.col("text")).alias("bpe_tokens"))
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: overlapping token-bounded training
+    chunks (40-token chunks, 8-token overlap so the small fixture docs
+    split) — split → explode(sequence) → slice → md5, all JVM, no
+    shuffle. Oracle: the same chunk algebra in DuckDB list SQL."""
+    from dataflow_flex_templates_spark.operators.text import (
+        chunk_documents,
+    )
+
+    _load(spark, sf_dir)
+    return chunk_documents(spark.table("documents"), chunk_tokens=40,
+                           overlap=8)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 8-gram with the
+    'benchmark' slice (doc_id % 17 == 3) are flagged; benchmark n-gram
+    set is broadcast so the corpus never shuffles. Oracle: the full
+    n-gram overlap join re-run in DuckDB."""
+    from dataflow_flex_templates_spark.operators.text import decontaminate
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter((F.col("doc_id") % 17) == 3)
+    return decontaminate(docs, bench, n=8)
+
+
 def _q_exact_dedup(spark, sf_dir):
     from dataflow_flex_templates_spark.operators.dedup import exact_dedup
 
@@ -1522,6 +1549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
+        "doc_chunks": _q_doc_chunks,
+        "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
@@ -2027,6 +2056,61 @@ def oracle_sql() -> dict[str, str]:
                        '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
                      AS bpe_tokens
             FROM documents
+        """,
+        # Chunk/step constants must mirror _q_doc_chunks (40, overlap 8
+        # → step 32); token algebra mirrors token_counts.
+        "doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            s AS (
+              SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split(nt, ' ') END AS toks
+              FROM t),
+            c AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 40 THEN 1
+                          ELSE 1 + (len(toks) - 40 + 31) // 32 END AS nc
+              FROM s WHERE len(toks) > 0),
+            x AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, nc - 1)) AS g
+              FROM c)
+            SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+                   CAST(g * 32 AS BIGINT) AS start_tok,
+                   CAST(len(toks[g*32+1 : g*32+40]) AS BIGINT)
+                     AS chunk_len,
+                   md5(array_to_string(toks[g*32+1 : g*32+40], ' '))
+                     AS chunk_md5
+            FROM x
+        """,
+        # n-gram width must mirror _q_decontaminate (n=8 → slice i:i+7,
+        # last start = len-7); benchmark slice doc_id % 17 == 3.
+        "decontaminate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            s AS (
+              SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split(nt, ' ') END AS toks
+              FROM t),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i : i+7], ' ') AS ngram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1,
+                               greatest(len(toks) - 7, 0))) AS i
+                    FROM s)),
+            b AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 17 = 3),
+            h AS (SELECT g.doc_id, COUNT(DISTINCT g.ngram) AS hit_ngrams
+                  FROM g JOIN b USING (ngram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.hit_ngrams, 0) AS BIGINT) AS hit_ngrams,
+                   COALESCE(h.hit_ngrams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN h USING (doc_id)
         """,
         "exact_dedup": """
             SELECT md5(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))) AS fp,

@@ -480,10 +480,14 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     """
     def ngrams(d: DataFrame, *cols):
         toks = F.split(norm_text(F.col(text_col)), " ")
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1),
-                                            F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "))
+        # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a
+        # doc shorter than n tokens must yield an empty gram array, not
+        # a slice(start=0) error
+        grams = F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " ")))
         return d.select(*cols, F.explode(grams).alias("ngram"))
 
     bench = ngrams(benchmark).select("ngram").distinct()

@@ -721,3 +721,81 @@ def test_video_frame_extraction(spark):
         assert abs(motion - (0.0 if k == 0 else (h - 1) / 2)) < 1e-9
     poison = [r for r in out if r["media_id"] == "truncated"]
     assert len(poison) >= 1 and poison[-1]["mean_v"] is None
+
+
+def test_chunk_documents_closed_form(spark):
+    """Chunk boundaries, overlap, and remainder tail verified against
+    hand-computed values; short/empty docs handled."""
+    import hashlib
+
+    from dataflow_flex_templates_spark.operators.text import (
+        chunk_documents,
+    )
+
+    toks = [f"w{i}" for i in range(25)]
+    rows = [
+        (1, " ".join(toks)),        # 25 tokens → chunks of 10/step 6
+        (2, "one two three"),       # 3 tokens → single chunk
+        (3, ""),                    # empty → no chunks
+        (4, "   "),                 # whitespace-only → no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=10, overlap=4)
+    got = {(r["doc_id"], r["chunk_idx"]):
+           (r["start_tok"], r["chunk_len"], r["chunk_md5"])
+           for r in out.collect()}
+    # doc 1: n=25, step=6 → nc = 1 + ceil(15/6) = 4; starts 0,6,12,18
+    assert {k for k in got if k[0] == 1} == {(1, i) for i in range(4)}
+    for idx, (start, length) in enumerate([(0, 10), (6, 10),
+                                           (12, 10), (18, 7)]):
+        s, ln, md = got[(1, idx)]
+        assert (s, ln) == (start, length)
+        exp = " ".join(toks[start:start + 10])
+        assert md == hashlib.md5(exp.encode()).hexdigest()
+    # consecutive chunks overlap by exactly 4 tokens
+    assert got[(2, 0)] == (0, 3,
+                           hashlib.md5(b"one two three").hexdigest())
+    assert not any(k[0] in (3, 4) for k in got)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from dataflow_flex_templates_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """A doc is contaminated iff it shares a full word n-gram with the
+    benchmark — substring/partial overlaps don't count; the benchmark
+    side is broadcast (plan asserted)."""
+    from dataflow_flex_templates_spark.operators.text import (
+        decontaminate,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"prefix words {bench_text} suffix words"),   # contains 9-tok bench → hits
+        (2, "the quick brown fox jumps over the lazy"),   # 8-gram prefix → hit
+        (3, "quick brown fox jumps over the lazy cat"),   # differs in 8th token
+        (4, "completely unrelated text with enough tokens here ok"),
+        (5, ""),                                          # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    out = decontaminate(docs, bench, n=8)
+    got = {r["doc_id"]: (r["hit_ngrams"], r["contaminated"])
+           for r in out.collect()}
+    assert got[1] == (2, True)     # both 8-grams of the 9-token bench
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    assert got[5] == (0, False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
