@@ -386,6 +386,36 @@ def _q_doc_chunks(spark, sf_dir):
                            overlap=8)
 
 
+def _q_pack_chunks(spark, sf_dir):
+    """Concat-and-cut sequence packing of the doc_chunks output into
+    128-token training sequences across 8 shards — one shuffle (on
+    shard), exact integer window arithmetic. Oracle: the identical
+    running-sum algebra as DuckDB window SQL."""
+    from dataflow_flex_templates_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    _load(spark, sf_dir)
+    chunks = chunk_documents(spark.table("documents"), chunk_tokens=40,
+                             overlap=8)
+    return pack_chunks(chunks, budget_tokens=128, n_shards=8)
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup over the doc_chunks output (the C4
+    move): group identical chunk_md5, keeper = lowest (doc_id,
+    chunk_idx). Oracle: row_number window over the same chunk set."""
+    from dataflow_flex_templates_spark.operators.text import (
+        chunk_documents,
+        chunk_dedup,
+    )
+
+    _load(spark, sf_dir)
+    return chunk_dedup(chunk_documents(spark.table("documents"),
+                                       chunk_tokens=40, overlap=8))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing any word 8-gram with the
     'benchmark' slice (doc_id % 17 == 3) are flagged; benchmark n-gram
@@ -1550,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "doc_chunks": _q_doc_chunks,
+        "pack_chunks": _q_pack_chunks,
+        "chunk_dedup": _q_chunk_dedup,
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2085,6 +2117,83 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(toks[g*32+1 : g*32+40], ' '))
                      AS chunk_md5
             FROM x
+        """,
+        # Budget/shard constants must mirror _q_pack_chunks (128, 8);
+        # chunk constants mirror doc_chunks (40/32).
+        "pack_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            s AS (
+              SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split(nt, ' ') END AS toks
+              FROM t),
+            c AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 40 THEN 1
+                          ELSE 1 + (len(toks) - 40 + 31) // 32 END AS nc
+              FROM s WHERE len(toks) > 0),
+            x AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, nc - 1)) AS g
+              FROM c),
+            chunks AS (
+              SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+                     CAST(len(toks[g*32+1 : g*32+40]) AS BIGINT)
+                       AS chunk_len
+              FROM x),
+            p AS (
+              SELECT doc_id % 8 AS shard, doc_id, chunk_idx, chunk_len,
+                     SUM(chunk_len) OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id, chunk_idx
+                                          ROWS UNBOUNDED PRECEDING)
+                       AS cum
+              FROM chunks)
+            SELECT CAST(shard AS BIGINT) AS shard, doc_id, chunk_idx,
+                   chunk_len,
+                   CAST((cum - chunk_len) // 128 AS BIGINT) AS seq_id,
+                   CAST((cum - chunk_len) % 128 AS BIGINT) AS offset,
+                   ((cum - 1) // 128) != ((cum - chunk_len) // 128)
+                     AS straddles
+            FROM p
+        """,
+        "chunk_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            s AS (
+              SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split(nt, ' ') END AS toks
+              FROM t),
+            c AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 40 THEN 1
+                          ELSE 1 + (len(toks) - 40 + 31) // 32 END AS nc
+              FROM s WHERE len(toks) > 0),
+            x AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, nc - 1)) AS g
+              FROM c),
+            ch AS (
+              SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+                     md5(array_to_string(toks[g*32+1 : g*32+40], ' '))
+                       AS chunk_md5
+              FROM x),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY chunk_md5
+                                        ORDER BY doc_id, chunk_idx)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY chunk_md5) AS nd
+              FROM ch)
+            SELECT chunk_md5, doc_id AS keeper_id,
+                   chunk_idx AS keeper_chunk_idx,
+                   CAST(nd AS BIGINT) AS n_dupes
+            FROM ranked WHERE rn = 1
         """,
         # n-gram width must mirror _q_decontaminate (n=8 → slice i:i+7,
         # last start = len-7); benchmark slice doc_id % 17 == 3.

@@ -501,3 +501,62 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                     F.coalesce("hit_ngrams", F.lit(0)).cast("long")
                      .alias("hit_ngrams"))
             .withColumn("contaminated", F.col("hit_ngrams") > 0))
+
+
+# ---------------------------------------------------- sequence packing
+
+def pack_chunks(chunks: DataFrame, budget_tokens: int = 512,
+                n_shards: int = 8, id_col: str = "doc_id"
+                ) -> DataFrame:
+    """Pack training chunks into fixed token-budget sequences — the
+    concat-and-cut packing LLM pipelines apply after chunking: within
+    a shard, chunks are laid end-to-end in (id, chunk_idx) order and
+    the token stream is cut every ``budget_tokens``; a chunk whose
+    span crosses a cut is flagged ``straddles`` (pipelines either
+    accept the split or re-pad — the flag makes the choice explicit).
+
+    Output per chunk: shard, seq_id (sequence ordinal within the
+    shard), offset (token position within the sequence), chunk_len,
+    straddles — all exact integer window arithmetic over a running
+    sum, so a SQL oracle reproduces it bit-for-bit.
+
+    Scale: ONE shuffle, on ``shard`` (= id % n_shards — deterministic
+    and engine-independent); the running sum is a per-shard window, so
+    with n_shards sized to the cluster (10^5 at petabyte scale) no
+    global ordering or driver-side state exists anywhere. Packing is
+    deterministic for any shard count, and sequences never cross
+    shards — the property that makes re-packing after incremental
+    ingest a per-shard (not global) job.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (Window.partitionBy("shard")
+         .orderBy(id_col, "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("chunk_len").over(w)
+    start = (cum - F.col("chunk_len"))
+    seq_id = (start / budget_tokens).cast("long")
+    end_seq = ((cum - 1) / budget_tokens).cast("long")
+    return (chunks
+            .select(shard, F.col(id_col), "chunk_idx", "chunk_len")
+            .withColumn("seq_id", seq_id)
+            .withColumn("offset",
+                        (start - seq_id * budget_tokens).cast("long"))
+            .withColumn("straddles", end_seq != F.col("seq_id")))
+
+
+# --------------------------------------------------- chunk-level dedup
+
+def chunk_dedup(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Paragraph/chunk-level exact dedup (the C4 move, on chunks):
+    group identical chunk_md5, keep the lowest (id, chunk_idx) as
+    keeper. One hash-shuffle on the md5 — map-side combine bounds it
+    by distinct chunks."""
+    return (chunks.groupBy("chunk_md5")
+            .agg(F.min(F.struct(id_col, "chunk_idx")).alias("k"),
+                 F.count("*").alias("n_dupes"))
+            .select("chunk_md5",
+                    F.col(f"k.{id_col}").alias("keeper_id"),
+                    F.col("k.chunk_idx").alias("keeper_chunk_idx"),
+                    "n_dupes"))

@@ -799,3 +799,50 @@ def test_decontaminate_ngram_overlap(spark):
     assert got[5] == (0, False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_pack_chunks_budget_invariants(spark):
+    """Packing invariants on the real chunk stream: offsets stay in
+    [0, budget); within a (shard, seq) tokens are contiguous; chunks
+    never cross shards; straddles flags exactly the budget-crossing
+    chunks; and full sequences carry exactly `budget` tokens."""
+    from dataflow_flex_templates_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, chunk_tokens=40, overlap=8)
+    budget = 128
+    rows = (pack_chunks(chunks, budget_tokens=budget, n_shards=4)
+            .orderBy("shard", "doc_id", "chunk_idx").collect())
+    assert rows
+    pos = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % 4
+        assert 0 <= r["offset"] < budget
+        # global token position within the shard's concat stream
+        gpos = pos.get(r["shard"], 0)
+        assert r["seq_id"] == gpos // budget
+        assert r["offset"] == gpos % budget
+        assert r["straddles"] == (
+            (gpos + r["chunk_len"] - 1) // budget != gpos // budget)
+        pos[r["shard"]] = gpos + r["chunk_len"]
+
+
+def test_chunk_dedup_keeper_and_counts(spark):
+    """Duplicate chunks collapse to the lowest (doc_id, chunk_idx);
+    counts are exact."""
+    from dataflow_flex_templates_spark.operators.text import chunk_dedup
+
+    rows = [
+        (1, 0, 0, 5, "aaa"), (1, 1, 3, 5, "bbb"),
+        (2, 0, 0, 5, "aaa"), (3, 2, 6, 5, "aaa"), (3, 0, 0, 2, "ccc"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, start_tok long, "
+              "chunk_len long, chunk_md5 string")
+    got = {r["chunk_md5"]: (r["keeper_id"], r["keeper_chunk_idx"],
+                            r["n_dupes"])
+           for r in chunk_dedup(df).collect()}
+    assert got == {"aaa": (1, 0, 3), "bbb": (1, 1, 1), "ccc": (3, 0, 1)}
