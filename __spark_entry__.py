@@ -1441,6 +1441,47 @@ def _q_training_pipeline_v2(spark, sf_dir):
             .orderBy("source"))
 
 
+def _q_training_pipeline_v3(spark, sf_dir):
+    """The chunk-level training-data chain: Gopher quality filter →
+    benchmark decontamination (drop docs sharing an 8-gram with the
+    doc_id%17==3 slice) → context-window chunking (40/8) →
+    paragraph-level chunk dedup (keep lowest (doc,idx) per md5) →
+    concat-and-cut packing into 128-token sequences over 8 shards →
+    per-shard packing summary. One declarative plan; the oracle
+    re-derives all five stages in a single SQL query from the same
+    proven building blocks."""
+    from dataflow_flex_templates_spark.operators.text import (
+        chunk_dedup,
+        chunk_documents,
+        decontaminate,
+        gopher_flags,
+        pack_chunks,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    quality = gopher_flags(docs).filter(F.col("keep")) \
+        .select("doc_id", "text")
+    bench = docs.filter((F.col("doc_id") % 17) == 3)
+    clean_ids = (decontaminate(quality, bench, n=8)
+                 .filter(~F.col("contaminated")).select("doc_id"))
+    clean = quality.join(clean_ids, "doc_id")
+    chunks = chunk_documents(clean, chunk_tokens=40, overlap=8)
+    keepers = chunk_dedup(chunks).select(
+        F.col("keeper_id").alias("doc_id"),
+        F.col("keeper_chunk_idx").alias("chunk_idx"), "chunk_md5")
+    kept = chunks.join(keepers, ["doc_id", "chunk_idx", "chunk_md5"],
+                       "semi")
+    packed = pack_chunks(kept, budget_tokens=128, n_shards=8)
+    return (packed.groupBy("shard")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("chunk_len").alias("total_tokens"),
+                 (F.max("seq_id") + 1).alias("n_sequences"),
+                 F.sum(F.col("straddles").cast("long"))
+                  .alias("straddled"))
+            .orderBy("shard"))
+
+
 def _q_drop_empty_rows(spark, sf_dir):
     """P6 drop-all-null rows (transforms/DeleteEmptyRowsFn.java:12-29)."""
     from dataflow_flex_templates_spark.graph.build import drop_empty_rows
@@ -1623,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "automap_nodes": _q_automap_nodes,
         "training_pipeline": _q_training_pipeline,
         "training_pipeline_v2": _q_training_pipeline_v2,
+        "training_pipeline_v3": _q_training_pipeline_v3,
         "drop_empty_rows": _q_drop_empty_rows,
         "frame_sample_plan": _q_frame_sample_plan,
         "media_features": _q_media_features,
@@ -2552,6 +2594,93 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS bpe_tokens
             FROM sampled GROUP BY source ORDER BY source
         """.replace("{SAMPLE_PRED}", _sample_pred),
+        # v3 chunk-level chain; constants mirror _q_training_pipeline_v3
+        # (quality = gopher keep; decon n=8 vs doc_id%17==3; chunks
+        # 40/32; pack 128 over 8 shards).
+        "training_pipeline_v3": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            m AS (
+              SELECT *, string_split(nt, ' ') AS toks,
+                     len(string_split(nt, ' ')) AS n_tok
+              FROM t),
+            f AS (
+              SELECT doc_id, nt, toks,
+                     n_tok < 5 AS f1,
+                     (list_sum(list_transform(toks, x -> length(x)))
+                      / greatest(n_tok, 1)) AS mean_len,
+                     (length(text) - length(regexp_replace(
+                        text, '[#@~^*+=|<>]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE AS sym_ratio,
+                     ((length(text) - length(replace(text, '...', ''))) / 3)
+                       * 10.0 AS ell10,
+                     n_tok,
+                     len(list_filter(toks,
+                         x -> list_contains({_STOPWORDS_SQL}, x))) AS stops
+              FROM m),
+            q AS (
+              SELECT doc_id, nt, toks FROM f
+              WHERE NOT (f1 OR mean_len < 2.0 OR mean_len > 12.0
+                         OR sym_ratio > 0.10 OR ell10 > n_tok
+                         OR stops = 0)),
+            bg AS (
+              SELECT DISTINCT array_to_string(toks[i : i+7], ' ') AS ngram
+              FROM (SELECT toks,
+                           unnest(generate_series(1,
+                               greatest(len(toks) - 7, 0))) AS i
+                    FROM m WHERE doc_id % 17 = 3)),
+            qg AS (
+              SELECT doc_id, array_to_string(toks[i : i+7], ' ') AS ngram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1,
+                               greatest(len(toks) - 7, 0))) AS i
+                    FROM q)),
+            dirty AS (
+              SELECT DISTINCT qg.doc_id FROM qg JOIN bg USING (ngram)),
+            clean AS (
+              SELECT q.* FROM q ANTI JOIN dirty USING (doc_id)),
+            cc AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 40 THEN 1
+                          ELSE 1 + (len(toks) - 40 + 31) // 32 END AS nc
+              FROM clean WHERE len(toks) > 0),
+            x AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, nc - 1)) AS g
+              FROM cc),
+            ch AS (
+              SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+                     CAST(len(toks[g*32+1 : g*32+40]) AS BIGINT)
+                       AS chunk_len,
+                     md5(array_to_string(toks[g*32+1 : g*32+40], ' '))
+                       AS chunk_md5
+              FROM x),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY chunk_md5
+                                           ORDER BY doc_id, chunk_idx)
+                          AS rn
+              FROM ch),
+            kept AS (SELECT doc_id, chunk_idx, chunk_len
+                     FROM ranked WHERE rn = 1),
+            p AS (
+              SELECT doc_id % 8 AS shard, chunk_len,
+                     SUM(chunk_len) OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id, chunk_idx
+                                          ROWS UNBOUNDED PRECEDING)
+                       AS cum
+              FROM kept)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(chunk_len) AS BIGINT) AS total_tokens,
+                   CAST(MAX((cum - chunk_len) // 128) + 1 AS BIGINT)
+                     AS n_sequences,
+                   CAST(SUM(CASE WHEN ((cum - 1) // 128)
+                                      != ((cum - chunk_len) // 128)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS straddled
+            FROM p GROUP BY shard ORDER BY shard
+        """,
         # winnowing: the whole algebra (k=5-gram polynomial rolling hash
         # mod 2^64 folded to 61 bits, window w=4 min, robust positional
         # dedup) re-derived in SQL over HUGEINT — no pinned constants
