@@ -729,3 +729,70 @@ def test_read_changes_cdc(spark, tmp_path):
     # empty delta → zero rows, schema intact
     assert tbl.read_changes(spark, 2).count() == 0
     assert tbl.read_changes(spark, 2).columns == ["k", "v", "_change_type"]
+
+
+def test_audio_health_windowed_stream_equals_batch(spark, tmp_path):
+    """Corpus-health drift per event-time window: the audio_health
+    counters (pandas-UDF decode) aggregate under a watermark in
+    streaming exactly as in batch — the health monitor a 10^12-clip
+    ingest pipeline runs continuously."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        with_audio_health,
+    )
+    from dataflow_flex_templates_spark.streaming.windows import (
+        tumbling_agg,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        make_health_clips_pdf,
+    )
+
+    pdf = make_health_clips_pdf(60)
+    inp = os.path.join(str(tmp_path), "in")
+    chunk = len(pdf) // 4 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk],
+                              schema=clips_spark_schema()) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    aggs = {
+        "n": "count(*)",
+        "clipped_total": "sum(clipped_samples)",
+        "clipping_clips": "sum(cast(clipping as long))",
+        "dropout_clips": "sum(cast(dropout as long))",
+        "dc_clips": "sum(cast(dc_bias as long))",
+    }
+
+    def drift(df):
+        return tumbling_agg(with_audio_health(df), "event_time",
+                            "10 seconds", [], aggs,
+                            watermark="20 seconds")
+
+    stream = (spark.readStream.schema(clips_spark_schema())
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    out = os.path.join(str(tmp_path), "out")
+    q = (drift(stream).writeStream.outputMode("append")
+         .foreachBatch(lambda b, _:
+                       b.write.mode("append").parquet(out))
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out)
+                 .select("window_start", *aggs).collect())
+    emitted = {g[0] for g in got}
+    assert len(emitted) >= 3          # several windows actually closed
+    batch = spark.createDataFrame(pdf, schema=clips_spark_schema())
+    want = sorted(tuple(r) for r in drift(batch)
+                  .select("window_start", *aggs).collect()
+                  if r["window_start"] in emitted)
+    assert got == want
+    # ground truth drift: exactly 15 of each defect class overall
+    full = {r["window_start"]: r for r in drift(batch).collect()}
+    assert sum(r["clipping_clips"] for r in full.values()) == 15
+    assert sum(r["dropout_clips"] for r in full.values()) == 15
+    assert sum(r["dc_clips"] for r in full.values()) == 15
