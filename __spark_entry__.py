@@ -724,6 +724,21 @@ def _q_audio_fp_neardup(spark, sf_dir):
             .orderBy("clip_a", "clip_b"))
 
 
+def _q_bloom_registers(spark, sf_dir):
+    """Bloom filter as an open 64-bit-word register table (per
+    event_type over user_id, m=4096 bits, k=4 via Kirsch–Mitzenmacher
+    double hashing of one xxhash64) — the mergeable membership sketch
+    / runtime-filter primitive. Oracle: per-user hash pinned (xxhash64
+    twin); the position/word/bit algebra re-run as genuine SQL."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bloom_registers,
+    )
+
+    _load(spark, sf_dir)
+    return bloom_registers(spark.table("events"), "user_id",
+                           ["event_type"], m_bits=1 << 12, k=4)
+
+
 def _q_hll_user_registers(spark, sf_dir):
     """HyperLogLog register table (p=6) for distinct users per
     event_type — the mergeable cardinality sketch as an OPEN integer
@@ -1644,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
         "audio_health": _q_audio_health,
+        "bloom_registers": _q_bloom_registers,
         "hll_user_registers": _q_hll_user_registers,
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
@@ -2995,6 +3011,38 @@ def oracle_sql() -> dict[str, str]:
     # HLL registers: per-user hash pinned (xxhash64 twin); register/rho
     # algebra genuine SQL. Constants must mirror operators/sketch.py
     # p=6: shift 58, mask 2^58-1, empty-suffix rho 59.
+    # Bloom registers: per-user hash pinned; Kirsch–Mitzenmacher
+    # position algebra + word/bit packing genuine SQL. Constants must
+    # mirror _q_bloom_registers: m=4096, k=4; bit 63 needs the CASE
+    # (DuckDB checks 1<<63 overflow, Spark wraps to min-long).
+    if "user_hash" in const:
+        uh = _values_table(const["user_hash"], ["user_id", "h"])
+        out["bloom_registers"] = f"""
+            WITH uh AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(h AS BIGINT) AS h
+              FROM {uh}),
+            e AS (SELECT DISTINCT event_type, user_id FROM events),
+            hh AS (
+              SELECT e.event_type,
+                     ((h >> 32) & 4294967295) AS h1,
+                     ((h & 4294967295) | 1) AS h2
+              FROM e JOIN uh USING (user_id)),
+            pos AS (
+              SELECT event_type,
+                     ((h1 + i * h2) % 4096 + 4096) % 4096 AS bit_pos
+              FROM (SELECT event_type, h1, h2,
+                           unnest([0, 1, 2, 3]) AS i
+                    FROM hh))
+            SELECT event_type,
+                   CAST(bit_pos // 64 AS BIGINT) AS word_idx,
+                   CAST(bit_or(CASE WHEN bit_pos % 64 = 63
+                                    THEN -9223372036854775808
+                                    ELSE 1::BIGINT
+                                         << CAST(bit_pos % 64 AS INT)
+                               END) AS BIGINT) AS bits
+            FROM pos GROUP BY event_type, word_idx
+        """
     if "user_hash" in const:
         uh = _values_table(const["user_hash"], ["user_id", "h"])
         out["hll_user_registers"] = f"""

@@ -307,3 +307,94 @@ def histogram_drift(
         "window_start", *gc, "tot_prev", "tot_cur", "drift_num",
         F.round(F.col("drift_num")
                 / (F.col("tot_prev") * F.col("tot_cur")), 4).alias("drift"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as an open 64-bit-word register table — the membership
+# counterpart to the HLL/histogram sketches: build once over a key
+# column, merge by element-wise BIT_OR, probe with a broadcast join.
+# The scale use-case is the runtime filter: a 10^12-row fact scan
+# pre-filtered by a dimension-side bloom drops non-joining rows before
+# the shuffle (the same idea as Spark's injected runtime bloom filters,
+# but storable, mergeable in plain SQL, and oracle-checkable
+# integer-for-integer).
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(value_col: str, m_bits: int, k: int):
+    """k bit positions via Kirsch–Mitzenmacher double hashing over ONE
+    xxhash64: h1 = high 32 bits, h2 = (low 32 bits | 1) — odd so all
+    positions cycle; position_i = (h1 + i*h2) mod m. Pure shift/mask/
+    mod arithmetic with identical two's-complement semantics in DuckDB,
+    so an oracle re-derives every word from pinned hashes alone."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two ≥ 64: {m_bits}")
+    h = F.xxhash64(F.col(value_col))
+    h1 = F.shiftright(h, 32).bitwiseAND(F.lit(0xFFFFFFFF))
+    h2 = h.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + i * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    m_bits: int = 1 << 12,
+    k: int = 4,
+) -> DataFrame:
+    """(group..., word_idx, bits) — Bloom filter words; absent words
+    are implicitly zero (sparse, union-friendly). One narrow projection
+    (k positions per row via posexplode of an array literal-sized k)
+    + one BIT_OR hash agg with map-side combine; shuffle ≤ groups ×
+    m_bits/64 rows regardless of input cardinality."""
+    pos = _bloom_positions(value_col, m_bits, k)
+    exploded = (df.select(*group_cols, F.explode(F.array(*pos))
+                          .alias("bit_pos")))
+    return (exploded
+            .select(*group_cols,
+                    F.shiftright(F.col("bit_pos"), 6).cast("long")
+                     .alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(bit_pos % 64 as int))")
+                     .alias("bit"))
+            .groupBy(*group_cols, "word_idx")
+            .agg(F.bit_or("bit").alias("bits")))
+
+
+def bloom_merge(*register_dfs: DataFrame,
+                group_cols: list[str] | tuple[str, ...] = ()) -> DataFrame:
+    """Union bloom tables (same m_bits/k) — element-wise BIT_OR."""
+    out = register_dfs[0]
+    for d in register_dfs[1:]:
+        out = out.unionByName(d)
+    return (out.groupBy(*group_cols, "word_idx")
+            .agg(F.bit_or("bits").alias("bits")))
+
+
+def bloom_might_contain(
+    registers: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    join_cols: list[str] | tuple[str, ...] = (),
+    m_bits: int = 1 << 12,
+    k: int = 4,
+) -> DataFrame:
+    """Probe rows → (probes..., might_contain). No false negatives by
+    construction; false-positive rate ≈ (1 - e^{-kn/m})^k. The register
+    table is tiny (≤ m_bits/64 words per group) — Catalyst broadcasts
+    it, so probing never shuffles the probe side."""
+    pos = _bloom_positions(value_col, m_bits, k)
+    pcols = [c for c in probes.columns]
+    exploded = (probes.select(*pcols, F.explode(F.array(*pos))
+                              .alias("bit_pos"))
+                .withColumn("word_idx",
+                            F.shiftright(F.col("bit_pos"), 6).cast("long"))
+                .withColumn("bit",
+                            F.expr("shiftleft(1L, "
+                                   "cast(bit_pos % 64 as int))")))
+    joined = exploded.join(F.broadcast(registers),
+                           [*join_cols, "word_idx"], "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("bit")) == F.col("bit"))
+    return (joined.withColumn("__hit__", hit.cast("int"))
+            .groupBy(*pcols)
+            .agg((F.min("__hit__") == 1).alias("might_contain")))

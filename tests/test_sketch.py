@@ -228,3 +228,54 @@ def test_histogram_drift_integer_twin_and_alarm(spark):
         assert got[w.to_pydatetime()] == exp
     drifts = sorted(v[3] for v in want.values())
     assert drifts[0] < 0.1 and drifts[-1] > 1.5  # stable pair vs shift
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every inserted key probes true (bloom guarantee); absent-key
+    false-positive rate stays within 3x the theoretical
+    (1-e^{-kn/m})^k."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_registers,
+    )
+
+    m_bits, k, n = 1 << 12, 4, 200
+    keys = spark.range(0, n).select(F.col("id").cast("long")
+                                    .alias("user_id"))
+    reg = bloom_registers(keys, "user_id", m_bits=m_bits, k=k)
+    present = bloom_might_contain(reg, keys, "user_id",
+                                  m_bits=m_bits, k=k).collect()
+    assert all(r["might_contain"] for r in present)
+
+    absent = spark.range(1_000_000, 1_003_000).select(
+        F.col("id").cast("long").alias("user_id"))
+    fp = sum(r["might_contain"] for r in bloom_might_contain(
+        reg, absent, "user_id", m_bits=m_bits, k=k).collect())
+    theo = (1 - math.exp(-k * n / m_bits)) ** k
+    assert fp / 3000 <= max(3 * theo, 0.01), (fp, theo)
+
+
+def test_bloom_merge_equals_whole(spark):
+    """BIT_OR merge of per-slice bloom tables equals the whole-input
+    table — the union-across-partitions/days property."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bloom_merge,
+        bloom_registers,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").cast("long").alias("user_id"),
+        (F.col("id") % 3).cast("string").alias("g"))
+    whole = bloom_registers(df, "user_id", ["g"])
+    parts = [bloom_registers(df.filter(F.col("user_id") % 2 == i),
+                             "user_id", ["g"]) for i in (0, 1)]
+    merged = bloom_merge(*parts, group_cols=["g"])
+    a = {(r["g"], r["word_idx"]): r["bits"] for r in whole.collect()}
+    b = {(r["g"], r["word_idx"]): r["bits"] for r in merged.collect()}
+    assert a == b
