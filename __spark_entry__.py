@@ -739,6 +739,20 @@ def _q_bloom_registers(spark, sf_dir):
                            ["event_type"], m_bits=1 << 12, k=4)
 
 
+def _q_cms_registers(spark, sf_dir):
+    """Count-min sketch counter table (per event_type over user_id,
+    width=256, depth=4) — approximate per-key frequency in bounded
+    state; merge is SUM, estimate is MIN over rows. Oracle: pinned
+    user hashes + the position/count algebra as genuine SQL."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        cms_registers,
+    )
+
+    _load(spark, sf_dir)
+    return cms_registers(spark.table("events"), "user_id",
+                         ["event_type"], width=1 << 8, depth=4)
+
+
 def _q_hll_user_registers(spark, sf_dir):
     """HyperLogLog register table (p=6) for distinct users per
     event_type — the mergeable cardinality sketch as an OPEN integer
@@ -1660,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": _q_audio_fp_neardup,
         "audio_health": _q_audio_health,
         "bloom_registers": _q_bloom_registers,
+        "cms_registers": _q_cms_registers,
         "hll_user_registers": _q_hll_user_registers,
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
@@ -3042,6 +3057,32 @@ def oracle_sql() -> dict[str, str]:
                                          << CAST(bit_pos % 64 AS INT)
                                END) AS BIGINT) AS bits
             FROM pos GROUP BY event_type, word_idx
+        """
+    # CMS counters: pinned hashes; K-M positions + COUNT genuine SQL.
+    # Constants must mirror _q_cms_registers: width=256, depth=4. No
+    # DISTINCT — CMS counts event rows, not users.
+    if "user_hash" in const:
+        uh = _values_table(const["user_hash"], ["user_id", "h"])
+        out["cms_registers"] = f"""
+            WITH uh AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(h AS BIGINT) AS h
+              FROM {uh}),
+            hh AS (
+              SELECT e.event_type,
+                     ((h >> 32) & 4294967295) AS h1,
+                     ((h & 4294967295) | 1) AS h2
+              FROM events e JOIN uh USING (user_id)),
+            pos AS (
+              SELECT event_type, CAST(d AS BIGINT) AS row_idx,
+                     ((h1 + d * h2) % 256 + 256) % 256 AS col_idx
+              FROM (SELECT event_type, h1, h2,
+                           unnest([0, 1, 2, 3]) AS d
+                    FROM hh))
+            SELECT event_type, row_idx,
+                   CAST(col_idx AS BIGINT) AS col_idx,
+                   COUNT(*) AS n
+            FROM pos GROUP BY event_type, row_idx, col_idx
         """
     if "user_hash" in const:
         uh = _values_table(const["user_hash"], ["user_id", "h"])

@@ -398,3 +398,80 @@ def bloom_might_contain(
     return (joined.withColumn("__hit__", hit.cast("int"))
             .groupBy(*pcols)
             .agg((F.min("__hit__") == 1).alias("might_contain")))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as an open counter table — approximate per-key
+# frequencies in bounded state: depth × width integer cells per group
+# no matter how many distinct keys, merge by element-wise SUM, point
+# estimate = MIN over the depth rows (one-sided error: never an
+# undercount, overcount ≤ e/width × total with prob 1 - e^-depth).
+# Same determinism contract as the bloom/HLL registers: one xxhash64,
+# Kirsch–Mitzenmacher row positions, everything else plain integer SQL.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(value_col: str, width: int, depth: int):
+    """depth (row_idx, col_idx) pairs per input row."""
+    if width & (width - 1) or width < 2:
+        raise ValueError(f"width must be a power of two ≥ 2: {width}")
+    h = F.xxhash64(F.col(value_col))
+    h1 = F.shiftright(h, 32).bitwiseAND(F.lit(0xFFFFFFFF))
+    h2 = h.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.lit(1))
+    return [F.struct(F.lit(d).cast("long").alias("row_idx"),
+                     F.pmod(h1 + d * h2, F.lit(width)).cast("long")
+                     .alias("col_idx"))
+            for d in range(depth)]
+
+
+def cms_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    width: int = 1 << 10,
+    depth: int = 4,
+) -> DataFrame:
+    """(group..., row_idx, col_idx, n) — the CMS counter table; cells
+    never touched stay implicitly zero (sparse). One narrow projection
+    + explode(depth) + COUNT hash agg with map-side combine; shuffle
+    ≤ groups × depth × width rows regardless of input size."""
+    cells = _cms_cells(value_col, width, depth)
+    return (df.select(*group_cols, F.explode(F.array(*cells))
+                      .alias("c"))
+            .select(*group_cols, F.col("c.row_idx"), F.col("c.col_idx"))
+            .groupBy(*group_cols, "row_idx", "col_idx")
+            .agg(F.count("*").alias("n")))
+
+
+def cms_merge(*register_dfs: DataFrame,
+              group_cols: list[str] | tuple[str, ...] = ()) -> DataFrame:
+    """Union CMS tables (same width/depth) — element-wise SUM."""
+    out = register_dfs[0]
+    for d in register_dfs[1:]:
+        out = out.unionByName(d)
+    return (out.groupBy(*group_cols, "row_idx", "col_idx")
+            .agg(F.sum("n").alias("n")))
+
+
+def cms_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    join_cols: list[str] | tuple[str, ...] = (),
+    width: int = 1 << 10,
+    depth: int = 4,
+) -> DataFrame:
+    """Probe rows → (probes..., est_count) = MIN over the depth cells.
+    The register table is tiny — broadcast — so probing never shuffles
+    the probe side; absent cells read as zero."""
+    cells = _cms_cells(value_col, width, depth)
+    pcols = list(probes.columns)
+    exploded = (probes.select(*pcols, F.explode(F.array(*cells))
+                              .alias("c"))
+                .select(*pcols, F.col("c.row_idx"), F.col("c.col_idx")))
+    joined = exploded.join(F.broadcast(registers),
+                           [*join_cols, "row_idx", "col_idx"], "left")
+    return (joined
+            .groupBy(*pcols)
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .alias("est_count")))

@@ -279,3 +279,51 @@ def test_bloom_merge_equals_whole(spark):
     a = {(r["g"], r["word_idx"]): r["bits"] for r in whole.collect()}
     b = {(r["g"], r["word_idx"]): r["bits"] for r in merged.collect()}
     assert a == b
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    """CMS never undercounts; overcount stays within the e/width bound
+    at 95%+ of keys; SUM-merge of slices equals the whole table; and
+    estimates match a per-key ground truth on a skewed stream."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_registers,
+    )
+
+    width, depth = 1 << 10, 4
+    # skewed frequencies: key i appears (i % 50) + 1 times
+    df = (spark.range(0, 300)
+          .select(F.col("id").cast("long").alias("user_id"),
+                  ((F.col("id") % 50) + 1).alias("reps"))
+          .select("user_id",
+                  F.explode(F.sequence(F.lit(1), F.col("reps"))))
+          .select("user_id"))
+    total = df.count()
+    truth = {r["user_id"]: r["c"] for r in
+             df.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+
+    reg = cms_registers(df, "user_id", width=width, depth=depth)
+    probes = df.select("user_id").distinct()
+    est = {r["user_id"]: r["est_count"] for r in
+           cms_estimate(reg, probes, "user_id", width=width,
+                        depth=depth).collect()}
+    bound = math.e / width * total
+    over = 0
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)       # one-sided guarantee
+        if est[k] - t > bound:
+            over += 1
+    assert over / len(truth) < 0.05
+
+    parts = [cms_registers(df.filter(F.col("user_id") % 2 == i),
+                           "user_id", width=width, depth=depth)
+             for i in (0, 1)]
+    merged = {(r["row_idx"], r["col_idx"]): r["n"]
+              for r in cms_merge(*parts).collect()}
+    whole = {(r["row_idx"], r["col_idx"]): r["n"] for r in reg.collect()}
+    assert merged == whole
