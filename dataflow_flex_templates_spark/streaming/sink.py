@@ -52,8 +52,23 @@ class ExactlyOnceTable:
     def _commit_file(self, batch_id: int) -> str:
         return os.path.join(self._commits_dir, f"{batch_id:020d}.json")
 
+    def _watermark_file(self) -> str:
+        return os.path.join(self._commits_dir, "_watermark.json")
+
+    def watermark_info(self) -> dict | None:
+        """Commit-log expiration record (see :meth:`expire_commits`)."""
+        if os.path.exists(self._watermark_file()):
+            with open(self._watermark_file()) as f:
+                return json.load(f)
+        return None
+
+    def commit_watermark(self) -> int:
+        wm = self.watermark_info()
+        return int(wm["through"]) if wm else -1
+
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_file(batch_id))
+        return (batch_id <= self.commit_watermark()
+                or os.path.exists(self._commit_file(batch_id)))
 
     def committed_batches(self) -> list[int]:
         return sorted(
@@ -81,7 +96,12 @@ class ExactlyOnceTable:
             # lineage anyway. A noop-format write consumes every
             # partition without producing output.
             df.write.format("noop").mode("overwrite").save()
-            return self.commit_info(batch_id)
+            if os.path.exists(self._commit_file(batch_id)):
+                return self.commit_info(batch_id)
+            # marker expired into the watermark: return the summary
+            wm = self.watermark_info() or {}
+            return {"batch_id": int(wm.get("through", batch_id)),
+                    "expired": True, **wm}
 
         batch_dir = os.path.join(self._data_dir, f"batch={batch_id}")
         if self.order_col in df.columns:
@@ -195,6 +215,53 @@ class ExactlyOnceTable:
                           ignore_errors=True)
         return manifest
 
+    def expire_commits(self) -> dict:
+        """Fold per-batch commit markers at or below the compaction
+        horizon into one watermark record (Iceberg expire_snapshots'
+        commit-log half).
+
+        :meth:`compact` already rewrites covered DATA into the base,
+        but the marker files must outlive it for exactly-once replay
+        skipping — at one commit per micro-batch (~17k/day at 5 s
+        triggers) the _commits dir itself becomes the unbounded state.
+        Expiration keeps the guarantee in O(1): markers ≤
+        ``base.through`` are summarized (count + total rows, monotone
+        across repeated expirations) into ``_watermark.json``, which
+        is published atomically BEFORE any marker is deleted — a crash
+        in between leaves markers that are merely redundant with the
+        watermark, never a replay hole. ``is_committed`` answers True
+        for any batch at or below the watermark, so a restart
+        replaying an expired batch still skips its table write.
+        Per-batch lineage below the watermark is gone by design (the
+        aggregate survives in the record); time travel below the
+        compaction horizon was already impossible."""
+        base = self.base_info()
+        if base is None:
+            raise ValueError(
+                f"expire_commits before compact in {self.path}: markers "
+                "cover live data and must be retained")
+        through = int(base["through"])
+        prev = self.watermark_info()
+        expirable = [b for b in self.committed_batches() if b <= through]
+        n = len(expirable)
+        rows = sum(self.commit_info(b)["rows"] for b in expirable)
+        record = {
+            "through": through,
+            "n_expired": n + (prev["n_expired"] if prev else 0),
+            "expired_rows": rows + (prev["expired_rows"] if prev else 0),
+            "expired_at_unix": time.time(),
+        }
+        tmp = self._watermark_file() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.rename(tmp, self._watermark_file())  # atomic publish
+        for b in expirable:                     # now redundant
+            try:
+                os.remove(self._commit_file(b))
+            except FileNotFoundError:
+                pass
+        return record
+
     # -- read path -------------------------------------------------------
 
     def _live_paths(self, batches: list[int],
@@ -225,7 +292,7 @@ class ExactlyOnceTable:
         """All committed rows (no merge) — audit/lineage view.
         ``as_of`` time-travels to the table state at that batch id."""
         batches = self.committed_batches()
-        if not batches:
+        if not batches and self.base_info() is None:
             raise ValueError(f"no committed batches in {self.path}")
         paths = self._live_paths(batches, as_of)
         if not paths:
@@ -272,7 +339,10 @@ class ExactlyOnceTable:
         return lww_latest(df, self.key_cols, self.order_col).select(*out_order)
 
     def total_committed_rows(self) -> int:
-        return sum(self.commit_info(b)["rows"] for b in self.committed_batches())
+        wm = self.watermark_info()
+        return ((wm["expired_rows"] if wm else 0)
+                + sum(self.commit_info(b)["rows"]
+                      for b in self.committed_batches()))
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage as a queryable DataFrame: one row per
@@ -311,9 +381,16 @@ class ExactlyOnceTable:
         avoids them via manifest pruning, which is the documented
         upgrade path. ``from_batch`` must sit at or above the
         compaction horizon (same rule as any time travel)."""
+        if -1 < from_batch < self.commit_watermark():
+            raise ValueError(
+                f"changelog from batch {from_batch} is below the commit "
+                f"expiration watermark {self.commit_watermark()}")
         batches = self.committed_batches()
         if not batches:
-            raise ValueError(f"no committed batches in {self.path}")
+            base = self.base_info()
+            if base is None:
+                raise ValueError(f"no committed batches in {self.path}")
+            batches = [int(base["through"])]  # fully expired: base only
         if to_batch is None:
             to_batch = batches[-1]
         delta = [b for b in batches if from_batch < b <= to_batch]
@@ -334,7 +411,8 @@ class ExactlyOnceTable:
         after_s = (after.join(touched, self.key_cols, "semi")
                    .select(*self.key_cols,
                            F.struct(*val_cols).alias("_a")))
-        if any(b <= from_batch for b in batches):
+        if (any(b <= from_batch for b in batches)
+                or 0 <= self.commit_watermark() <= from_batch):
             before = self.read_merged(spark, as_of=from_batch)
             for c in val_cols:        # schema evolution: null-pad
                 if c not in before.columns:

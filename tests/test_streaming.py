@@ -796,3 +796,69 @@ def test_audio_health_windowed_stream_equals_batch(spark, tmp_path):
     assert sum(r["clipping_clips"] for r in full.values()) == 15
     assert sum(r["dropout_clips"] for r in full.values()) == 15
     assert sum(r["dc_clips"] for r in full.values()) == 15
+
+
+def test_expire_commits_bounds_log_and_keeps_exactly_once(spark, tmp_path):
+    """Commit-log expiration (Iceberg expire_snapshots analogue):
+    markers below the compaction horizon fold into one watermark
+    record; reads, replay skipping, totals and changelogs survive;
+    expiring before compaction or reading changes below the watermark
+    is refused."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.streaming.sink import (
+        ExactlyOnceTable,
+    )
+
+    t = ExactlyOnceTable(str(tmp_path / "tbl"), key_cols=["k"],
+                         order_col="seq")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v string, seq long")
+
+    with _pytest.raises(ValueError, match="before compact"):
+        t.expire_commits()
+
+    t.write_batch(batch([("a", "v0", 0), ("b", "v0", 1)]), 0)
+    t.write_batch(batch([("a", "v1", 10)]), 1)
+    t.write_batch(batch([("c", "v1", 20)]), 2)
+    total_before = t.total_committed_rows()
+    merged_before = sorted(tuple(r) for r in t.read_merged(spark).collect())
+
+    t.compact(spark, partitions=1)
+    rec = t.expire_commits()
+    assert rec["through"] == 2 and rec["n_expired"] == 3
+    assert rec["expired_rows"] == total_before
+
+    # marker files are gone; the log is now O(1)
+    markers = [f for f in _os.listdir(t._commits_dir)
+               if f.endswith(".json") and f[0].isdigit()]
+    assert markers == []
+    # ...but every guarantee holds:
+    assert sorted(tuple(r)
+                  for r in t.read_merged(spark).collect()) == merged_before
+    assert t.total_committed_rows() == total_before
+    for b in (0, 1, 2):
+        assert t.is_committed(b)
+    replay = t.write_batch(batch([("a", "SHOULD_NOT_APPEAR", 99)]), 1)
+    assert replay["batch_id"] == 2  # summarized horizon record
+    assert sorted(tuple(r)
+                  for r in t.read_merged(spark).collect()) == merged_before
+
+    # new work after expiry: commit, changelog from the horizon, then a
+    # second compact+expire cycle accumulates monotone counters
+    t.write_batch(batch([("a", "v3", 30)]), 3)
+    ch = {(r["k"], r["_change_type"]): r["v"]
+          for r in t.read_changes(spark, from_batch=2).collect()}
+    assert ch == {("a", "update_before"): "v1",
+                  ("a", "update_after"): "v3"}
+    with _pytest.raises(ValueError, match="expiration watermark"):
+        t.read_changes(spark, from_batch=0)
+    t.compact(spark, partitions=1)
+    rec2 = t.expire_commits()
+    assert rec2["through"] == 3 and rec2["n_expired"] == 4
+    assert rec2["expired_rows"] == total_before + 1
+    got = dict((r["k"], r["v"]) for r in t.read_merged(spark).collect())
+    assert got == {"a": "v3", "b": "v0", "c": "v1"}
