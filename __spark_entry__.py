@@ -448,6 +448,20 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.18, n=3, max_df=100)
 
 
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Fuzzy-dup pairs verified by exact Levenshtein over DF-bounded
+    shingle candidates (the strictest verifier — catches in-place
+    edits that set-overlap scores miss). Genuine SQL oracle: DuckDB
+    levenshtein has identical semantics."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    _load(spark, sf_dir)
+    return edit_distance_pairs(spark.table("documents"), max_df=50,
+                               min_sim_permille=500)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Connected-components dedup grouping over exact-jaccard pairs
     (iterative min-label propagation; DuckDB oracle = recursive CTE
@@ -1655,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "ngram_jaccard": _q_ngram_jaccard,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep": _q_dedup_keep,
         "embedding_neardup": _q_embedding_neardup,
@@ -2298,6 +2313,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))) AS fp,
                    MIN(doc_id) AS keeper_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY 1
+        """,
+        # Constants must mirror _q_edit_distance_pairs: shingle n=3,
+        # max_df=50, min sim 500‰ over the FULL documents table.
+        "edit_distance_pairs": r"""
+            WITH norm AS (
+              SELECT doc_id AS id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            sh AS (
+              SELECT id, nt, list_distinct(list_transform(
+                       generate_series(1, greatest(length(nt)-2, 1)),
+                       i -> substring(nt, i, 3))) AS s
+              FROM norm),
+            inv AS (SELECT id, unnest(s) AS g FROM sh),
+            rare AS (SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= 50),
+            binv AS (SELECT inv.id, inv.g FROM inv JOIN rare USING (g)),
+            cands AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM binv a JOIN binv b ON a.g = b.g AND a.id < b.id),
+            sc AS (
+              SELECT id_a, id_b,
+                     CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS lev,
+                     greatest(length(na.nt), length(nb.nt)) AS maxlen
+              FROM cands JOIN norm na ON na.id = id_a
+                         JOIN norm nb ON nb.id = id_b)
+            SELECT id_a, id_b, lev,
+                   CAST(CASE WHEN maxlen = 0 THEN 1000
+                        ELSE (maxlen - lev) * 1000 // maxlen
+                   END AS BIGINT) AS sim_permille
+            FROM sc
+            WHERE (CASE WHEN maxlen = 0 THEN 1000
+                   ELSE (maxlen - lev) * 1000 // maxlen END) >= 500
         """,
         "ngram_jaccard": """
             WITH norm AS (

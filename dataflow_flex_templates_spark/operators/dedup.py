@@ -464,3 +464,59 @@ def dedup_keep(
     losers = clusters.filter(F.col("id") != F.col("cluster_rep")) \
                      .select(F.col("id").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------ edit-distance verify
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = 50,
+    min_sim_permille: int = 700,
+) -> DataFrame:
+    """Near-dup pairs verified by exact Levenshtein distance — the
+    strictest of the fuzzy-dedup verifiers (Jaccard/minhash measure
+    set overlap; edit distance catches reorderings and small in-place
+    edits the set view scores identically).
+
+    Candidates come from the same DF-bounded shingle posting lists as
+    :func:`ngram_jaccard_pairs` (never a cross join; hot shingles
+    dropped from candidate generation only); each candidate is then
+    scored with ``levenshtein(norm_a, norm_b)`` — a JVM built-in with
+    identical semantics in DuckDB, so the whole operator has a genuine
+    SQL oracle. ``sim_permille = (maxlen - lev) * 1000 div maxlen``
+    keeps the output integer-exact.
+
+    Scale: levenshtein is O(len_a × len_b) per pair — strictly a
+    VERIFIER for bounded candidate sets, never a generator; with
+    max_df ≈ 1e4 at corpus scale the pair set stays linear-ish and the
+    quadratic cost is paid only on probable duplicates.
+    """
+    nt = df.select(F.col(id_col).alias("id"),
+                   norm_text(F.col(text_col)).alias("nt"))
+    sets_ = shingle_sets(df, text_col, id_col, n)
+    inv = sets_.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        rare = (inv.groupBy("s").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("s"))
+        inv = inv.join(rare, "s")
+    a, b = inv.alias("a"), inv.alias("b")
+    cands = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    ta = nt.select(F.col("id").alias("id_a"), F.col("nt").alias("nt_a"))
+    tb = nt.select(F.col("id").alias("id_b"), F.col("nt").alias("nt_b"))
+    maxlen = F.greatest(F.length("nt_a"), F.length("nt_b")).cast("long")
+    lev = F.levenshtein("nt_a", "nt_b").cast("long")
+    return (cands.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("lev", lev)
+            .withColumn("sim_permille",
+                        F.when(maxlen == 0, F.lit(1000))
+                         .otherwise(((maxlen - F.col("lev")) * 1000
+                                     / maxlen).cast("long")))
+            .filter(F.col("sim_permille") >= min_sim_permille)
+            .select("id_a", "id_b", "lev", "sim_permille"))

@@ -846,3 +846,27 @@ def test_chunk_dedup_keeper_and_counts(spark):
                             r["n_dupes"])
            for r in chunk_dedup(df).collect()}
     assert got == {"aaa": (1, 0, 3), "bbb": (1, 1, 1), "ccc": (3, 0, 1)}
+
+
+def test_edit_distance_pairs_semantics(spark):
+    """Levenshtein verification: reordered-token near-dups score high,
+    unrelated docs never pair, and lev/sim values are exact."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),        # 1 substitution
+        (3, "Completely different material about spark plans"),
+        (4, base + " tail"),                      # small append
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["lev"], r["sim_permille"])
+           for r in edit_distance_pairs(df, max_df=10,
+                                        min_sim_permille=700).collect()}
+    n = len(base)
+    assert got[(1, 2)] == (1, (n - 1) * 1000 // n)
+    assert got[(1, 4)] == (5, n * 1000 // (n + 5))
+    assert not any(3 in k for k in got)
