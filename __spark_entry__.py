@@ -718,6 +718,30 @@ def _q_audio_health(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_trim_silence(spark, sf_dir):
+    """Leading/trailing silence trim over the padded-silence fixture —
+    one Arrow decode pass to exact integer trim counters, per-codec
+    integer rollup. Oracle: per-clip counters pinned from the numpy
+    twin; the aggregation genuine SQL."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        trim_silence_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_trim_clips_df,
+    )
+
+    clips = make_trim_clips_df(spark)
+    t = trim_silence_stats()(F.col("bytes"), F.col("codec"))
+    return (clips.withColumn("__t__", t)
+            .groupBy("codec")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__t__.n_samples").alias("total_samples"),
+                 F.sum("__t__.lead_quiet").alias("total_lead"),
+                 F.sum("__t__.trail_quiet").alias("total_trail"),
+                 F.sum("__t__.n_kept").alias("total_kept"))
+            .orderBy("codec"))
+
+
 def _q_audio_fp_neardup(spark, sf_dir):
     """Audio near-duplicate pairs over the deterministic near-dup clip
     fixture (base clips + gain/noise variants): landmark spectral-peak
@@ -1688,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
         "audio_health": _q_audio_health,
+        "trim_silence": _q_trim_silence,
         "bloom_registers": _q_bloom_registers,
         "cms_registers": _q_cms_registers,
         "hll_user_registers": _q_hll_user_registers,
@@ -3070,6 +3095,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(clipped) AS BIGINT) AS total_clipped,
                    CAST(MAX(max_quiet_run) AS BIGINT) AS max_quiet_run
             FROM f GROUP BY codec ORDER BY codec
+        """
+    # Trim-silence: per-clip counters pinned; per-codec rollup SQL.
+    if "trim_silence" in const:
+        ts = _values_table(const["trim_silence"],
+                           ["clip_id", "codec", "n_samples",
+                            "lead_quiet", "trail_quiet", "n_kept"])
+        out["trim_silence"] = f"""
+            SELECT codec, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+                   CAST(SUM(lead_quiet) AS BIGINT) AS total_lead,
+                   CAST(SUM(trail_quiet) AS BIGINT) AS total_trail,
+                   CAST(SUM(n_kept) AS BIGINT) AS total_kept
+            FROM {ts} GROUP BY codec ORDER BY codec
         """
     # HLL registers: per-user hash pinned (xxhash64 twin); register/rho
     # algebra genuine SQL. Constants must mirror operators/sketch.py

@@ -472,6 +472,60 @@ def with_audio_health(
                .withColumn("healthy", ~clipping & ~dropout & ~dc_bias))
 
 
+# --------------------------------------------------------- silence trimming
+
+def trim_silence_np(wave: np.ndarray,
+                    thresh: float = 1e-3) -> tuple:
+    """Leading/trailing silence trim of one decoded clip — the standard
+    speech-corpus preprocessing step, as exact integer counters:
+
+      n_samples    input length
+      lead_quiet   samples before the first |x| ≥ thresh
+      trail_quiet  samples after the last |x| ≥ thresh
+      n_kept       n - lead - trail (0 for an all-quiet clip)
+
+    The threshold sits above μ-law's zero-code decode residual
+    (≈ 8.6e-5) so "silence" is codec-invariant.
+    """
+    n = len(wave)
+    if n == 0:
+        return (0, 0, 0, 0)
+    loud = np.flatnonzero(np.abs(wave) >= thresh)
+    if len(loud) == 0:
+        return (n, n, 0, 0)
+    lead = int(loud[0])
+    trail = int(n - 1 - loud[-1])
+    return (n, lead, trail, n - lead - trail)
+
+
+_TRIM_SCHEMA = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("lead_quiet", T.LongType()),
+    T.StructField("trail_quiet", T.LongType()),
+    T.StructField("n_kept", T.LongType()),
+])
+
+
+def trim_silence_stats(thresh: float = 1e-3):
+    """Factory: pandas UDF decoding + edge-silence scanning per clip in
+    one Arrow pass. Poison rows → nulls."""
+
+    @pandas_udf(_TRIM_SCHEMA)
+    def _trim(bytes_col: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, c in zip(bytes_col, codec):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                rows.append(trim_silence_np(w, thresh))
+            except Exception:
+                rows.append((None, None, None, None))
+        return pd.DataFrame(rows, columns=["n_samples", "lead_quiet",
+                                           "trail_quiet", "n_kept"])
+
+    return _trim
+
+
 # ------------------------------------------------- audio+text pair quality
 
 def clip_text_quality(

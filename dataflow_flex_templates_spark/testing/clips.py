@@ -319,6 +319,46 @@ def make_health_clips_df(spark, n_base: int = AH_N_BASE,
 
 
 # ------------------------------------------------------------------
+# Edge-silence clip fixture: base clips padded with DETERMINISTIC
+# leading/trailing digital silence (i%3 × 40 ms head, i%4 × 30 ms
+# tail) — used by the trim_silence driver query and tests; the padded
+# amounts ARE the ground truth the trim must recover.
+# ------------------------------------------------------------------
+
+TRIM_N_BASE = 45   #: driver-query fixture size
+TRIM_SEED = 17     #: driver-query fixture seed
+
+
+def make_trim_clips_pdf(n_base: int = TRIM_N_BASE,
+                        seed: int = TRIM_SEED) -> pd.DataFrame:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        sr = rng.choices(SR_CHOICES, SR_WEIGHTS)[0]
+        dur = rng.randrange(300, 900)
+        cid = f"tr_{seed}_{i:04d}"
+        codec = CODEC_CHOICES[i % 3]
+        w = reference_waveform(cid, sr, dur)
+        head = np.zeros((i % 3) * int(sr * 0.04), np.float32)
+        tail = np.zeros((i % 4) * int(sr * 0.03), np.float32)
+        padded = np.concatenate([head, w, tail])
+        rows.append((cid, encode_pcm_np(padded, codec), sr, dur, codec,
+                     reference_transcript(cid),
+                     EPOCH + timedelta(seconds=i)))
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript", "event_time"],
+    )
+
+
+def make_trim_clips_df(spark, n_base: int = TRIM_N_BASE,
+                       seed: int = TRIM_SEED):
+    return spark.createDataFrame(make_trim_clips_pdf(n_base, seed),
+                                 schema=clips_spark_schema())
+
+
+# ------------------------------------------------------------------
 # Distributed generator — the scale path. make_clips_pdf is a driver
 # loop (fine at 1e3); benchmarks and any 1e5+ generation must fan the
 # synthesis out to executors. All per-clip randomness is derived from

@@ -219,6 +219,22 @@ def main() -> None:
         for _, r in hc.iterrows()
     ]
 
+    # ---- per-clip edge-silence pins (trim_silence driver query) ------
+    from dataflow_flex_templates_spark.functions.audio import (
+        trim_silence_np,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_trim_clips_pdf,
+    )
+
+    tc = make_trim_clips_pdf()
+    out["trim_silence"] = [
+        [r["clip_id"], r["codec"],
+         *map(int, trim_silence_np(decode_pcm_np(r["bytes"],
+                                                 r["codec"])))]
+        for _, r in tc.iterrows()
+    ]
+
     with open(OUT, "w") as f:
         json.dump(out, f)
     sizes = {k: (len(v) if isinstance(v, list) else v)

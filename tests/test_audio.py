@@ -556,3 +556,42 @@ def test_audio_health_poison_rows_null(spark):
     assert rows["ok"]["n_samples"] == 64
     assert rows["bad_codec"]["n_samples"] is None
     assert rows["truncated"]["n_samples"] is None
+
+
+def test_trim_silence_kernel_and_fixture(spark):
+    """Closed-form kernel cases + exact recovery of the injected
+    head/tail padding on the fixture, through all codec round-trips
+    (Spark path end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        trim_silence_np,
+        trim_silence_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_trim_clips_df,
+    )
+
+    assert trim_silence_np(np.zeros(0, np.float32)) == (0, 0, 0, 0)
+    assert trim_silence_np(np.zeros(50, np.float32)) == (50, 50, 0, 0)
+    w = np.zeros(40, np.float32)
+    w[10] = 0.5
+    w[29] = -0.5
+    assert trim_silence_np(w) == (40, 10, 10, 20)
+
+    clips = make_trim_clips_df(spark)
+    t = trim_silence_stats()(F.col("bytes"), F.col("codec"))
+    rows = {r["clip_id"]: r for r in
+            clips.withColumn("__t__", t)
+                 .select("clip_id", "sr_hz", "__t__.*").collect()}
+    assert len(rows) == 45
+    for cid, r in rows.items():
+        i = int(cid.rsplit("_", 1)[1])
+        sr = r["sr_hz"]
+        head = (i % 3) * int(sr * 0.04)
+        tail = (i % 4) * int(sr * 0.03)
+        # padding is recovered up to the waveform's own quiet edges
+        assert r["lead_quiet"] >= head, cid
+        assert r["trail_quiet"] >= tail, cid
+        assert r["n_samples"] == r["lead_quiet"] + r["trail_quiet"] \
+            + r["n_kept"]
