@@ -133,6 +133,20 @@ def _q_jobspec_ordered_edges(spark, sf_dir):
         "custkey", "partkey", "qty", "n_lines")
 
 
+def _q_graph_degrees(spark, sf_dir):
+    """Graph analytics over the engine's own output: out-degree
+    distribution of the flagship Purchases graph (distinct products
+    per customer → nodes per degree). Two hash aggs over the edge
+    frame — the sanity profile every graph load should publish."""
+    res = _run_flagship(spark, sf_dir)
+    edges = res.target_frames["ORDERED"]
+    deg = (edges.groupBy("custkey")
+           .agg(F.count_distinct("partkey").alias("out_degree")))
+    return (deg.groupBy("out_degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("out_degree"))
+
+
 def _q_where_order_limit(spark, sf_dir):
     """P4 WHERE + A1 group + O1 order + O3 limit through the generated
     SQL of a spec target."""
@@ -1673,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jobspec_customer_nodes": _q_jobspec_customer_nodes,
         "jobspec_part_nodes_agg": _q_jobspec_part_nodes_agg,
         "jobspec_ordered_edges": _q_jobspec_ordered_edges,
+        "graph_degrees": _q_graph_degrees,
         "where_order_limit": _q_where_order_limit,
         "cast_expand": _q_cast_expand,
         "merge_lww": _q_merge_lww,
@@ -1977,6 +1992,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "graph_degrees": """
+            WITH e AS (
+              SELECT DISTINCT c.c_custkey AS ck, l.l_partkey AS pk
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey),
+            d AS (SELECT ck, COUNT(*) AS out_degree FROM e GROUP BY ck)
+            SELECT CAST(out_degree AS BIGINT) AS out_degree,
+                   COUNT(*) AS n_nodes
+            FROM d GROUP BY out_degree ORDER BY out_degree
         """,
         "where_order_limit": """
             SELECT o_custkey AS custkey,
