@@ -386,6 +386,16 @@ def _q_token_counts(spark, sf_dir):
                     bpe_token_count(F.col("text")).alias("bpe_tokens"))
 
 
+def _q_vocabulary(spark, sf_dir):
+    """Top-200 corpus vocabulary (occurrences + doc frequency,
+    deterministic tie-break) — explode → hash agg →
+    TakeOrderedAndProject. Oracle: the same algebra in genuine SQL."""
+    from dataflow_flex_templates_spark.operators.text import vocabulary
+
+    _load(spark, sf_dir)
+    return vocabulary(spark.table("documents"), k=200)
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Context-window chunking: overlapping token-bounded training
     chunks (40-token chunks, 8-token overlap so the small fixture docs
@@ -1702,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
+        "vocabulary": _q_vocabulary,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
         "chunk_dedup": _q_chunk_dedup,
@@ -2227,6 +2238,29 @@ def oracle_sql() -> dict[str, str]:
                        '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
                      AS bpe_tokens
             FROM documents
+        """,
+        # k must mirror _q_vocabulary (200); tie-break (count DESC,
+        # word ASC) is total, so rank/limit are deterministic.
+        "vocabulary": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS word
+              FROM t),
+            c AS (
+              SELECT word, COUNT(*) AS n_occurrences,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM w WHERE length(word) > 0 GROUP BY word),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+                                           word ASC) AS rank
+              FROM c)
+            SELECT CAST(rank AS BIGINT) AS rank, word,
+                   n_occurrences, n_docs
+            FROM r WHERE rank <= 200
         """,
         # Chunk/step constants must mirror _q_doc_chunks (40, overlap 8
         # → step 32); token algebra mirrors token_counts.

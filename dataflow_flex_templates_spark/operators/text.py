@@ -560,3 +560,34 @@ def chunk_dedup(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     F.col(f"k.{id_col}").alias("keeper_id"),
                     F.col("k.chunk_idx").alias("keeper_chunk_idx"),
                     "n_dupes"))
+
+
+# ----------------------------------------------------- vocabulary builder
+
+def vocabulary(df: DataFrame, k: int = 1000, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` corpus vocabulary with counts and document frequency —
+    the tokenizer-training / OOV-analysis precursor. Tokens are the
+    engine's canonical whitespace tokens over :func:`norm_text`.
+    Returns (rank, word, n_occurrences, n_docs), rank by
+    (count DESC, word ASC) so ties are deterministic cross-engine.
+
+    Scale: explode → ONE hash agg with map-side combine (word keys are
+    near-uniform; the "the" head is exactly what partial aggregation
+    collapses before the exchange) → TakeOrderedAndProject(k) — the
+    global sort never materializes, only k rows survive to the final
+    (single-partition but k-sized) rank window.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    words = (df.select(F.col(id_col).alias("id"),
+                       F.explode(toks).alias("word"))
+             .filter(F.length("word") > 0))
+    counts = (words.groupBy("word")
+              .agg(F.count("*").alias("n_occurrences"),
+                   F.count_distinct("id").alias("n_docs")))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "word", "n_occurrences", "n_docs"))

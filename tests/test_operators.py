@@ -870,3 +870,21 @@ def test_edit_distance_pairs_semantics(spark):
     assert got[(1, 2)] == (1, (n - 1) * 1000 // n)
     assert got[(1, 4)] == (5, n * 1000 // (n + 5))
     assert not any(3 in k for k in got)
+
+
+def test_vocabulary_ranking_and_df(spark):
+    """Counts, doc frequency, and the deterministic tie-break."""
+    from dataflow_flex_templates_spark.operators.text import vocabulary
+
+    rows = [(1, "b b a c"), (2, "a b  C."), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["rank"], r["word"], r["n_occurrences"], r["n_docs"])
+           for r in vocabulary(df, k=10).orderBy("rank").collect()]
+    # tokens are norm_text whitespace tokens (case-folded, punctuation
+    # KEPT — same contract as token_count): b:3(2 docs), then the
+    # a < c < c. tie-break on count 1-vs-2
+    assert got == [(1, "b", 3, 2), (2, "a", 2, 2),
+                   (3, "c", 1, 1), (4, "c.", 1, 1)]
+    # k truncates deterministically
+    top2 = [r["word"] for r in vocabulary(df, k=2).collect()]
+    assert top2 == ["b", "a"]
