@@ -475,3 +475,63 @@ def cms_estimate(
             .groupBy(*pcols)
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
                  .alias("est_count")))
+
+
+def bloom_registers_windowed(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    m_bits: int = 1 << 12,
+    k: int = 4,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-event-time-window bloom words — identical plan batch or
+    streaming (BIT_OR is an ordinary agg: watermark eviction and
+    append-mode emission apply as for any windowed count). Emitted
+    window rows later merge with :func:`bloom_merge` (drop the window
+    column) for arbitrary-range membership rollups — e.g. "was this
+    clip_id ingested during any hour of last week" without raw data."""
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+    pos = _bloom_positions(value_col, m_bits, k)
+    proj = (df.select(F.col(time_col), *group_cols,
+                      F.explode(F.array(*pos)).alias("bit_pos"))
+            .select(F.col(time_col), *group_cols,
+                    F.shiftright(F.col("bit_pos"), 6).cast("long")
+                     .alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(bit_pos % 64 as int))")
+                     .alias("bit")))
+    return (proj.groupBy(F.window(F.col(time_col), window_duration),
+                         *group_cols, "word_idx")
+            .agg(F.bit_or("bit").alias("bits"))
+            .select(F.col("window.start").alias("window_start"),
+                    *group_cols, "word_idx", "bits"))
+
+
+def cms_registers_windowed(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    width: int = 1 << 10,
+    depth: int = 4,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-event-time-window CMS counters — the streaming frequency
+    sketch (hot-key detection per hour in depth×width state). Window
+    rows merge with :func:`cms_merge` for range rollups."""
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+    cells = _cms_cells(value_col, width, depth)
+    proj = (df.select(F.col(time_col), *group_cols,
+                      F.explode(F.array(*cells)).alias("c"))
+            .select(F.col(time_col), *group_cols,
+                    F.col("c.row_idx"), F.col("c.col_idx")))
+    return (proj.groupBy(F.window(F.col(time_col), window_duration),
+                         *group_cols, "row_idx", "col_idx")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    *group_cols, "row_idx", "col_idx", "n"))

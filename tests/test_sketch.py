@@ -327,3 +327,69 @@ def test_cms_one_sided_error_and_merge(spark):
               for r in cms_merge(*parts).collect()}
     whole = {(r["row_idx"], r["col_idx"]): r["n"] for r in reg.collect()}
     assert merged == whole
+
+
+def test_bloom_cms_windowed_streaming_parity(spark, tmp_path):
+    """bloom/cms windowed register tables are the SAME plan batch and
+    streaming; emitted windows match the batch registers exactly, and
+    merging window rows reproduces the all-time sketch."""
+    import os
+
+    import pandas as pd
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bloom_merge,
+        bloom_registers,
+        bloom_registers_windowed,
+        cms_merge,
+        cms_registers,
+        cms_registers_windowed,
+    )
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [(base + pd.Timedelta(seconds=i), (i * 7) % 83)
+            for i in range(600)]
+    pdf = pd.DataFrame(rows, columns=["ts", "uid"])
+    inp = str(tmp_path / "in")
+    for i in range(0, len(pdf), 120):
+        spark.createDataFrame(pdf.iloc[i:i + 120],
+                              schema="ts timestamp, uid long") \
+            .coalesce(1).write.mode("append").parquet(inp)
+    batch_df = spark.read.parquet(inp)
+
+    for name, windowed, whole, merge, keycols, valcol in [
+        ("bloom",
+         lambda d, **kw: bloom_registers_windowed(
+             d, "ts", "1 minute", "uid", m_bits=1 << 10, k=3, **kw),
+         lambda d: bloom_registers(d, "uid", m_bits=1 << 10, k=3),
+         bloom_merge, ["word_idx"], "bits"),
+        ("cms",
+         lambda d, **kw: cms_registers_windowed(
+             d, "ts", "1 minute", "uid", width=1 << 8, depth=3, **kw),
+         lambda d: cms_registers(d, "uid", width=1 << 8, depth=3),
+         cms_merge, ["row_idx", "col_idx"], "n"),
+    ]:
+        batch = {tuple(r[c] for c in ("window_start", *keycols)):
+                 r[valcol] for r in windowed(batch_df).collect()}
+        stream = (spark.readStream.schema("ts timestamp, uid long")
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        out = str(tmp_path / f"out_{name}")
+        q = (windowed(stream, watermark="30 seconds")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out)
+             .option("checkpointLocation",
+                     os.path.join(str(tmp_path), f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        emitted = {tuple(r[c] for c in ("window_start", *keycols)):
+                   r[valcol] for r in spark.read.parquet(out).collect()}
+        assert emitted, f"{name}: no windows closed"
+        for kk, v in emitted.items():
+            assert batch[kk] == v, (name, kk)
+        # window rows merge back to the all-time sketch
+        merged = {tuple(r[c] for c in keycols): r[valcol]
+                  for r in merge(
+                      windowed(batch_df).drop("window_start")).collect()}
+        allt = {tuple(r[c] for c in keycols): r[valcol]
+                for r in whole(batch_df).collect()}
+        assert merged == allt, name
