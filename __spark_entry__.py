@@ -396,6 +396,20 @@ def _q_vocabulary(spark, sf_dir):
     return vocabulary(spark.table("documents"), k=200)
 
 
+def _q_oov_rate(spark, sf_dir):
+    """Per-doc OOV stats against the top-10 corpus vocabulary —
+    broadcast vocab join, integer counts. Oracle: the same two-stage
+    algebra in genuine SQL."""
+    from dataflow_flex_templates_spark.operators.text import (
+        oov_stats,
+        vocabulary,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    return oov_stats(docs, vocabulary(docs, k=10))
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Context-window chunking: overlapping token-bounded training
     chunks (40-token chunks, 8-token overlap so the small fixture docs
@@ -1713,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "vocabulary": _q_vocabulary,
+        "oov_rate": _q_oov_rate,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
         "chunk_dedup": _q_chunk_dedup,
@@ -2261,6 +2276,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank, word,
                    n_occurrences, n_docs
             FROM r WHERE rank <= 200
+        """,
+        # k must mirror _q_oov_rate (top-10 vocabulary).
+        "oov_rate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS word
+              FROM t),
+            ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+            c AS (
+              SELECT word, COUNT(*) AS n_occurrences
+              FROM ww GROUP BY word),
+            v AS (
+              SELECT word FROM c
+              ORDER BY n_occurrences DESC, word ASC LIMIT 10),
+            k AS (
+              SELECT ww.doc_id, COUNT(*) AS n_tokens,
+                     SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                       AS oov_tokens
+              FROM ww LEFT JOIN v USING (word) GROUP BY ww.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(k.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(k.oov_tokens, 0) AS BIGINT)
+                     AS oov_tokens
+            FROM documents d LEFT JOIN k USING (doc_id)
         """,
         # Chunk/step constants must mirror _q_doc_chunks (40, overlap 8
         # → step 32); token algebra mirrors token_counts.

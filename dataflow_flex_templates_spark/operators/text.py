@@ -591,3 +591,32 @@ def vocabulary(df: DataFrame, k: int = 1000, text_col: str = "text",
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
     return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "word", "n_occurrences", "n_docs"))
+
+
+def oov_stats(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document out-of-vocabulary stats against a vocabulary table
+    (`word` column, e.g. :func:`vocabulary` output) — the coverage
+    signal tokenizer/vocab decisions are made on. Returns (id,
+    n_tokens, oov_tokens) — exact integers.
+
+    Scale: the vocab is broadcast (top-K is small by construction);
+    the corpus explodes words and left-joins without shuffling; the
+    per-doc rollup is the only exchange, keyed on the doc id."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    words = (df.select(F.col(id_col).alias("id"),
+                       F.explode(toks).alias("word"))
+             .filter(F.length("word") > 0))
+    v = vocab.select("word").distinct().withColumn("__in__", F.lit(1))
+    joined = words.join(F.broadcast(v), "word", "left")
+    counts = (joined.groupBy("id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum(F.when(F.col("__in__").isNull(), 1)
+                         .otherwise(0)).alias("oov_tokens")))
+    return (df.select(F.col(id_col).alias("id")).distinct()
+            .join(counts, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce("oov_tokens", F.lit(0)).cast("long")
+                     .alias("oov_tokens")))

@@ -888,3 +888,20 @@ def test_vocabulary_ranking_and_df(spark):
     # k truncates deterministically
     top2 = [r["word"] for r in vocabulary(df, k=2).collect()]
     assert top2 == ["b", "a"]
+
+
+def test_oov_stats_counts(spark):
+    """OOV counts against an explicit vocab; empty docs report (0, 0);
+    the vocab side is broadcast."""
+    from dataflow_flex_templates_spark.operators.text import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a zz"), (2, "zz yy"), (3, "")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "word string")
+    out = oov_stats(docs, vocab)
+    got = {r["doc_id"]: (r["n_tokens"], r["oov_tokens"])
+           for r in out.collect()}
+    assert got == {1: (4, 1), 2: (2, 2), 3: (0, 0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
