@@ -756,6 +756,20 @@ def _q_audio_health(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_utterance_segments(spark, sf_dir):
+    """VAD-run utterance splitting: one row per voiced segment
+    (clip_id, seg_idx, start_frame, n_frames) — decode + segment in
+    one Arrow pass, JVM posexplode. Oracle: the runs re-derived by the
+    numpy twin, pinned as a VALUES table (exact integers)."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        utterance_segments,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    return utterance_segments(clips).orderBy("clip_id", "seg_idx")
+
+
 def _q_trim_silence(spark, sf_dir):
     """Leading/trailing silence trim over the padded-silence fixture —
     one Arrow decode pass to exact integer trim counters, per-codec
@@ -1754,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": _q_audio_fp_neardup,
         "audio_health": _q_audio_health,
         "trim_silence": _q_trim_silence,
+        "utterance_segments": _q_utterance_segments,
         "bloom_registers": _q_bloom_registers,
         "cms_registers": _q_cms_registers,
         "hll_user_registers": _q_hll_user_registers,
@@ -3198,6 +3213,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(clipped) AS BIGINT) AS total_clipped,
                    CAST(MAX(max_quiet_run) AS BIGINT) AS max_quiet_run
             FROM f GROUP BY codec ORDER BY codec
+        """
+    # Utterance segments: twin-pinned VAD runs (exact integers).
+    if "utterance_segments" in const:
+        us = _values_table(const["utterance_segments"],
+                           ["clip_id", "seg_idx", "start_frame",
+                            "n_frames"])
+        out["utterance_segments"] = f"""
+            SELECT clip_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+                   CAST(start_frame AS BIGINT) AS start_frame,
+                   CAST(n_frames AS BIGINT) AS n_frames
+            FROM {us} ORDER BY clip_id, seg_idx
         """
     # Trim-silence: per-clip counters pinned; per-codec rollup SQL.
     if "trim_silence" in const:

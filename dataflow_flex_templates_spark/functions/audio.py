@@ -472,6 +472,72 @@ def with_audio_health(
                .withColumn("healthy", ~clipping & ~dropout & ~dc_bias))
 
 
+# ------------------------------------------------------ utterance segments
+
+def vad_segment_rows_np(wave: np.ndarray, sr_hz: int,
+                        frame_ms: int = 20,
+                        threshold: float = 0.02) -> list[tuple[int, int]]:
+    """Voiced segments of one clip as (start_frame, n_frames) runs —
+    the utterance splitter speech corpora are built with (long
+    recordings → VAD runs → per-utterance training rows). Frame/gate
+    semantics identical to :func:`vad_segments_np` (same fixture
+    counts), output integer-exact."""
+    n = len(wave)
+    flen = max(int(sr_hz * frame_ms / 1000), 1)
+    n_frames = n // flen
+    if n_frames == 0:
+        return []
+    w = wave[: n_frames * flen].reshape(n_frames, flen)
+    e = np.sqrt(np.einsum("ij,ij->i", w, w, dtype=np.float64) / flen)
+    voiced = e > threshold
+    if not voiced.any():
+        return []
+    d = np.diff(voiced.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if voiced[0]:
+        starts = np.concatenate(([0], starts))
+    if voiced[-1]:
+        ends = np.concatenate((ends, [n_frames]))
+    return [(int(s), int(e_ - s)) for s, e_ in zip(starts, ends)]
+
+
+_SEGMENT_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("start_frame", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+]))
+
+
+def utterance_segments(df: DataFrame, frame_ms: int = 20,
+                       threshold: float = 0.02) -> DataFrame:
+    """One row per voiced segment: (clip_id, seg_idx, start_frame,
+    n_frames). Decode + segment in one Arrow pass; the explode is
+    JVM-side and output-proportional. Poison rows vanish (no segments
+    — indistinguishable from silence by design: a corrupt clip must
+    not kill the stream, and the health scan flags it separately)."""
+
+    @pandas_udf(_SEGMENT_SCHEMA)
+    def _segs(bytes_col: pd.Series, codec: pd.Series, sr: pd.Series
+              ) -> pd.Series:
+        out = []
+        for b, c, s in zip(bytes_col, codec, sr):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                out.append(vad_segment_rows_np(w, int(s), frame_ms,
+                                               threshold))
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+
+    segs = _segs(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    return (df.withColumn("__segs__", segs)
+            .select("clip_id", F.posexplode("__segs__")
+                    .alias("seg_idx", "__s__"))
+            .select("clip_id", F.col("seg_idx").cast("long"),
+                    F.col("__s__.start_frame"), F.col("__s__.n_frames")))
+
+
 # --------------------------------------------------------- silence trimming
 
 def trim_silence_np(wave: np.ndarray,

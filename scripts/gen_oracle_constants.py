@@ -219,6 +219,21 @@ def main() -> None:
         for _, r in hc.iterrows()
     ]
 
+    # ---- per-segment VAD-run pins (utterance_segments driver query) --
+    # Same 300-clip fixture and VAD params as audio_vad_stats; only the
+    # waveform-derived runs are pinned, ordering/rollup genuine SQL.
+    from dataflow_flex_templates_spark.functions.audio import (
+        vad_segment_rows_np,
+    )
+
+    seg_rows = []
+    for _, r in clips.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        for j, (s0, nf) in enumerate(
+                vad_segment_rows_np(w, int(r["sr_hz"]))):
+            seg_rows.append([r["clip_id"], j, s0, nf])
+    out["utterance_segments"] = seg_rows
+
     # ---- per-clip edge-silence pins (trim_silence driver query) ------
     from dataflow_flex_templates_spark.functions.audio import (
         trim_silence_np,

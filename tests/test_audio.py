@@ -595,3 +595,60 @@ def test_trim_silence_kernel_and_fixture(spark):
         assert r["trail_quiet"] >= tail, cid
         assert r["n_samples"] == r["lead_quiet"] + r["trail_quiet"] \
             + r["n_kept"]
+
+
+def test_utterance_segments_consistency(spark):
+    """Segment rows agree with the scalar VAD counters (same frames /
+    voiced totals / run count) and with a crafted quiet-gap clip."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        utterance_segments,
+        vad_segment_rows_np,
+        vad_segments_np,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        make_clips_pdf,
+    )
+
+    # kernel: loud-quiet-loud → exactly two runs at the right frames
+    sr = 16000
+    flen = sr * 20 // 1000
+    w = np.concatenate([
+        np.full(5 * flen, 0.5, np.float32),
+        np.zeros(3 * flen, np.float32),
+        np.full(4 * flen, 0.5, np.float32)])
+    assert vad_segment_rows_np(w, sr) == [(0, 5), (8, 4)]
+    nf, nv, nseg = vad_segments_np(w, sr)
+    assert (nf, nv, nseg) == (12, 9, 2)
+
+    pdf = make_clips_pdf(80, seed=7)
+    df = spark.createDataFrame(pdf, schema=clips_spark_schema())
+    segs = utterance_segments(df).collect()
+    # python twin over the same rows (duplicates included)
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm_np,
+    )
+
+    want = []
+    for _, r in pdf.iterrows():
+        for j, (s0, nfr) in enumerate(vad_segment_rows_np(
+                decode_pcm_np(r["bytes"], r["codec"]), int(r["sr_hz"]))):
+            want.append((r["clip_id"], j, s0, nfr))
+    got = sorted((r["clip_id"], r["seg_idx"], r["start_frame"],
+                  r["n_frames"]) for r in segs)
+    assert got == sorted(want)
+    # totals line up with the scalar counter UDF per clip
+    from dataflow_flex_templates_spark.functions.audio import vad_stats
+
+    v = vad_stats()(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    totals = {r["clip_id"]: (r["v"]["voiced_frames"], r["v"]["n_segments"])
+              for r in df.withColumn("v", v)
+              .select("clip_id", "v").dropDuplicates(["clip_id"]).collect()}
+    by_clip: dict = {}
+    for cid, _, _, nfr in got:
+        a, b = by_clip.get(cid, (0, 0))
+        by_clip[cid] = (a + nfr, b + 1)
+    for cid, (nv_, ns_) in by_clip.items():
+        assert totals[cid] == (nv_, ns_), cid
