@@ -1085,6 +1085,25 @@ def _q_spec_stream_graph(spark, sf_dir):
         "clip_id", "codec", "n_samples", "transcript_norm")
 
 
+def _q_debounce(spark, sf_dir):
+    """Per-key debounce/throttle over events: at most one emission per
+    user per 30-minute cooldown, re-opening relative to the LAST
+    EMISSION (a sequential recurrence no windowed aggregate
+    expresses). Batch path here; streaming parity pytest-proven.
+    Oracle: the recurrence re-derived as a recursive CTE."""
+    from dataflow_flex_templates_spark.streaming.debounce import (
+        debounce_batch,
+    )
+
+    _load(spark, sf_dir)
+    out = debounce_batch(spark.table("events"), "user_id",
+                         cooldown_us=1_800_000_000,
+                         event_time_col="ts", ordinal_col="event_id")
+    return out.select("user_id",
+                      F.unix_micros("event_time").alias("ts_us"),
+                      F.col("ord").alias("event_id"))
+
+
 def _q_cep_sequence_detect(spark, sf_dir):
     """CEP sequence detection (view→click→purchase within 12 h per
     user) over the `events` table replayed as an out-of-order stream:
@@ -1781,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
+        "debounce": _q_debounce,
         "cep_sequence_detect": _q_cep_sequence_detect,
         "cep_absence_detect": _q_cep_absence_detect,
         "text_source_csv": _q_text_source_csv,
@@ -2955,6 +2975,30 @@ def oracle_sql() -> dict[str, str]:
                   AND w.ts > t.ts AND w.ts <= t.ts + 21600000000)
         """,
         # applyInPandasWithState streaming op
+        # Cooldown must mirror _q_debounce (30 min = 1.8e9 us). The
+        # sequential emission recurrence walks each user's time-ordered
+        # events via a recursive CTE.
+        "debounce": """
+            WITH RECURSIVE o AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                       AS rn
+              FROM events),
+            walk AS (
+              SELECT user_id, rn, ts_us, event_id,
+                     TRUE AS emitted, ts_us AS last_emit
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.user_id, o.rn, o.ts_us, o.event_id,
+                     o.ts_us >= w.last_emit + 1800000000 AS emitted,
+                     CASE WHEN o.ts_us >= w.last_emit + 1800000000
+                          THEN o.ts_us ELSE w.last_emit END
+              FROM walk w
+              JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+            SELECT user_id, ts_us, event_id
+            FROM walk WHERE emitted
+        """,
         "cep_sequence_detect": """
             WITH RECURSIVE ev AS (
               SELECT user_id, event_type AS ev, epoch_us(ts) AS ts,

@@ -862,3 +862,88 @@ def test_expire_commits_bounds_log_and_keeps_exactly_once(spark, tmp_path):
     assert rec2["expired_rows"] == total_before + 1
     got = dict((r["k"], r["v"]) for r in t.read_merged(spark).collect())
     assert got == {"a": "v3", "b": "v0", "c": "v1"}
+
+
+def test_run_debounce_kernel():
+    """Closed-form recurrence cases incl. exact-boundary reopen and
+    equal-timestamp ties."""
+    from dataflow_flex_templates_spark.streaming.debounce import (
+        run_debounce,
+    )
+
+    # cooldown 10: 0 emits, 5 suppressed, 10 emits (>= boundary),
+    # 19 suppressed (vs last_emit 10), 20 emits
+    ev = [(0, 1), (5, 2), (10, 3), (19, 4), (20, 5)]
+    out, last = run_debounce(ev, 10)
+    assert out == [(0, 1), (10, 3), (20, 5)] and last == 20
+    # ties: first ordinal emits, second suppressed
+    out, _ = run_debounce([(7, 1), (7, 2)], 10)
+    assert out == [(7, 1)]
+    # cooldown 0: everything emits; resumed state suppresses
+    assert run_debounce([(1, 0), (2, 0)], 0)[0] == [(1, 0), (2, 0)]
+    assert run_debounce([(3, 0)], 10, last_emit=0)[0] == []
+
+
+def test_debounce_stream_equals_batch(spark, tmp_path):
+    """Streaming debounce (watermark-gated buffer) emits exactly the
+    batch recurrence over the same non-late rows — including
+    out-of-order arrivals within the watermark that land in later
+    files."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.streaming.debounce import (
+        debounce_batch,
+        debounce_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("ord", T.LongType()),
+    ])
+    t0 = datetime(2025, 4, 1, tzinfo=timezone.utc)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    # u1 fires every 4s; cooldown 10s → emissions at 0,12,24,...
+    # u2 has an out-of-order row (t=33 arrives before t=31)
+    chunks = [
+        [("u1", ts(0), 0), ("u1", ts(4), 1), ("u2", ts(2), 2)],
+        [("u1", ts(8), 3), ("u1", ts(12), 4), ("u2", ts(33), 5)],
+        [("u1", ts(16), 6), ("u2", ts(31), 7)],   # 31 after 33: disorder
+        [("u1", ts(24), 8), ("u1", ts(20), 9)],
+        [("u1", ts(1000), 10), ("u2", ts(1000), 11)],  # flush the tail
+    ]
+    inp = str(tmp_path / "in")
+    for rows in chunks:
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user", "event_time", "ord"]),
+            schema=schema).coalesce(1).write.mode("append").parquet(inp)
+
+    cooldown = 10_000_000
+    batch_df = spark.read.parquet(inp)
+    want = sorted(tuple(r) for r in debounce_batch(
+        batch_df, "user", cooldown, ordinal_col="ord").collect())
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("event_time", "15 seconds"))
+    out = str(tmp_path / "out")
+    q = (debounce_stream(stream, "user", cooldown, ordinal_col="ord")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # the final flush rows themselves are never finalized (watermark
+    # stops 15 s short) — compare on the finalized prefix
+    want_final = [w for w in want if w[1] < ts(985).replace(tzinfo=None)]
+    assert got == want_final
+    assert len(got) >= 5
