@@ -467,6 +467,18 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal per doc (repetitiveness /
+    perplexity proxy). Oracle: per-doc (raw_len, comp_len) pinned from
+    the identical Python twin; ratio + flag arithmetic genuine SQL."""
+    from dataflow_flex_templates_spark.operators.text import (
+        compression_stats,
+    )
+
+    _load(spark, sf_dir)
+    return compression_stats(spark.table("documents"))
+
+
 def _q_exact_dedup(spark, sf_dir):
     from dataflow_flex_templates_spark.operators.dedup import exact_dedup
 
@@ -1761,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "vocabulary": _q_vocabulary,
         "oov_rate": _q_oov_rate,
+        "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
         "chunk_dedup": _q_chunk_dedup,
@@ -3257,6 +3270,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(clipped) AS BIGINT) AS total_clipped,
                    CAST(MAX(max_quiet_run) AS BIGINT) AS max_quiet_run
             FROM f GROUP BY codec ORDER BY codec
+        """
+    # Compression ratio: per-doc zlib sizes pinned (identical-Python
+    # twin); ratio/flag arithmetic genuine SQL. Threshold must mirror
+    # _q_compression_ratio (300 per-mille).
+    if "compression" in const:
+        cz = _values_table(const["compression"],
+                           ["doc_id", "raw_len", "comp_len"])
+        out["compression_ratio"] = f"""
+            WITH c AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(raw_len AS BIGINT) AS raw_len,
+                     CAST(comp_len AS BIGINT) AS comp_len
+              FROM {cz}),
+            r AS (
+              SELECT *, CASE WHEN raw_len = 0 THEN 1000
+                             ELSE comp_len * 1000 // raw_len
+                        END AS ratio_permille
+              FROM c)
+            SELECT doc_id, raw_len, comp_len,
+                   CAST(ratio_permille AS BIGINT) AS ratio_permille,
+                   ratio_permille < 300 AS repetitive
+            FROM r
         """
     # Utterance segments: twin-pinned VAD runs (exact integers).
     if "utterance_segments" in const:

@@ -620,3 +620,50 @@ def oov_stats(df: DataFrame, vocab: DataFrame, text_col: str = "text",
                      .alias("n_tokens"),
                     F.coalesce("oov_tokens", F.lit(0)).cast("long")
                      .alias("oov_tokens")))
+
+
+# ------------------------------------------------ compression-ratio signal
+
+def compression_profile_np(text: str, level: int = 6) -> tuple[int, int]:
+    """(raw_len, comp_len) of the whitespace-normalized lowercased
+    text under zlib at a fixed level — deterministic for a given zlib
+    version, so the same function is the Spark kernel and the no-Spark
+    oracle twin (the winnowing pattern). Empty text → (0, 0)."""
+    import zlib
+
+    norm = " ".join((text or "").lower().split())
+    if not norm:
+        return (0, 0)
+    raw = norm.encode("utf-8")
+    return (len(raw), len(zlib.compress(raw, level)))
+
+
+def compression_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6,
+                      min_ratio_permille: int = 300) -> DataFrame:
+    """Per-doc compression-ratio quality signal — the cheap
+    perplexity proxy LM pipelines use: highly repetitive / templated
+    text compresses far below natural prose. Returns (id, raw_len,
+    comp_len, ratio_permille, repetitive) with integer arithmetic
+    flags (``ratio_permille = comp_len*1000 div raw_len``; flag when
+    below ``min_ratio_permille``). One Arrow pass (zlib is C-speed on
+    batch strings), one scan, no shuffle."""
+
+    @pandas_udf(T.StructType([
+        T.StructField("raw_len", T.LongType()),
+        T.StructField("comp_len", T.LongType()),
+    ]))
+    def _comp(texts: pd.Series) -> pd.DataFrame:
+        rows = [compression_profile_np(t, level) for t in texts]
+        return pd.DataFrame(rows, columns=["raw_len", "comp_len"])
+
+    c = _comp(F.col(text_col))
+    out = (df.select(F.col(id_col), c.alias("__c__"))
+           .select(id_col, F.col("__c__.raw_len"),
+                   F.col("__c__.comp_len")))
+    ratio = (F.when(F.col("raw_len") == 0, F.lit(1000))
+             .otherwise((F.col("comp_len") * 1000 / F.col("raw_len"))
+                        .cast("long")))
+    return (out.withColumn("ratio_permille", ratio)
+            .withColumn("repetitive",
+                        F.col("ratio_permille") < min_ratio_permille))

@@ -250,6 +250,20 @@ def main() -> None:
         for _, r in tc.iterrows()
     ]
 
+    # ---- per-doc zlib pins (compression_ratio driver query) ----------
+    # zlib output is deterministic at a fixed level for a given zlib
+    # build; the ratio/flag arithmetic is genuine SQL in the oracle.
+    from dataflow_flex_templates_spark.operators.text import (
+        compression_profile_np,
+    )
+
+    full_docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                              columns=["doc_id", "text"]).to_pandas()
+    out["compression"] = [
+        [int(r["doc_id"]), *compression_profile_np(r["text"])]
+        for _, r in full_docs.sort_values("doc_id").iterrows()
+    ]
+
     with open(OUT, "w") as f:
         json.dump(out, f)
     sizes = {k: (len(v) if isinstance(v, list) else v)

@@ -905,3 +905,24 @@ def test_oov_stats_counts(spark):
     assert got == {1: (4, 1), 2: (2, 2), 3: (0, 0)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_compression_stats_signal(spark):
+    """Repetitive text flags, natural-ish text doesn't; empty docs
+    read as ratio 1000; values match the twin exactly."""
+    from dataflow_flex_templates_spark.operators.text import (
+        compression_profile_np,
+        compression_stats,
+    )
+
+    natural = ("the quarterly report shows varied results across seven "
+               "regions with notable divergence between urban retail "
+               "and rural wholesale channels during the spring months")
+    rows = [(1, "spam " * 200), (2, natural), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    assert got[1]["repetitive"] and not got[2]["repetitive"]
+    assert got[3]["ratio_permille"] == 1000 and got[3]["raw_len"] == 0
+    for did, text in rows:
+        raw, comp = compression_profile_np(text)
+        assert (got[did]["raw_len"], got[did]["comp_len"]) == (raw, comp)
