@@ -1097,6 +1097,26 @@ def _q_spec_stream_graph(spark, sf_dir):
         "clip_id", "codec", "n_samples", "transcript_norm")
 
 
+def _q_bloom_dedup(spark, sf_dir):
+    """Bloom-gated first-occurrence dedup (O(1)-state dedup at
+    10^12-key scale): emits each key's first event unless a bloom
+    false positive suppresses it — a deterministic function of the
+    key sequence. Batch path here; streaming parity pytest-proven.
+    Oracle: genuine first-occurrence SQL minus the twin-pinned FP
+    victim set (empty at this size — fully genuine)."""
+    from dataflow_flex_templates_spark.streaming.bloom_dedup import (
+        bloom_dedup_batch,
+    )
+
+    _load(spark, sf_dir)
+    out = bloom_dedup_batch(spark.table("events"), "user_id",
+                            event_time_col="ts", ordinal_col="event_id",
+                            m_bits=1 << 12, n_shards=8, k=4)
+    return out.select("user_id",
+                      F.unix_micros("event_time").alias("ts_us"),
+                      F.col("ord").alias("event_id"))
+
+
 def _q_debounce(spark, sf_dir):
     """Per-key debounce/throttle over events: at most one emission per
     user per 30-minute cooldown, re-opening relative to the LAST
@@ -1813,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
+        "bloom_dedup": _q_bloom_dedup,
         "debounce": _q_debounce,
         "cep_sequence_detect": _q_cep_sequence_detect,
         "cep_absence_detect": _q_cep_absence_detect,
@@ -3292,6 +3313,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ratio_permille AS BIGINT) AS ratio_permille,
                    ratio_permille < 300 AS repetitive
             FROM r
+        """
+    # Bloom dedup: first-occurrence selection is genuine SQL; only the
+    # FP-victim key set (deterministic hash collisions) is twin-pinned
+    # — empty at this fixture size, making the oracle fully genuine.
+    if "bloom_dedup_fp_victims" in const:
+        victims = const["bloom_dedup_fp_victims"]
+        anti = (f"AND user_id NOT IN ({', '.join(map(str, victims))})"
+                if victims else "")
+        out["bloom_dedup"] = f"""
+            SELECT user_id, ts_us, event_id FROM (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                       AS rn
+              FROM events)
+            WHERE rn = 1 {anti}
         """
     # Utterance segments: twin-pinned VAD runs (exact integers).
     if "utterance_segments" in const:

@@ -135,7 +135,10 @@ def detect_sequence(
         else:
             state.update(([t for t, _ in rest], [e for _, e in rest],
                           stage, mstart))
-            state.setTimeoutTimestamp(max(wm_us // 1000, 0) + idle_evict_ms)
+            # non-empty buffer: re-fire on the next watermark advance
+            # (no new traffic needed); empty: long idle-evict horizon
+            wm_ms = max(wm_us // 1000, 0)
+            state.setTimeoutTimestamp(wm_ms + (1 if rest else idle_evict_ms))
         if matches:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(matches),
@@ -253,7 +256,11 @@ def detect_absence(
             state.remove()
         else:
             state.update(([t for t, _ in rest], [e for _, e in rest]))
-            state.setTimeoutTimestamp(max(wm_us // 1000, 0) + idle_evict_ms)
+            # pending triggers must alarm when the watermark passes
+            # their deadline even if the key goes quiet: re-fire on the
+            # next watermark advance while anything is buffered
+            wm_ms = max(wm_us // 1000, 0)
+            state.setTimeoutTimestamp(wm_ms + (1 if rest else idle_evict_ms))
         if alerts:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(alerts),

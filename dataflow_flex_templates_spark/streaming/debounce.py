@@ -143,7 +143,10 @@ def debounce_stream(
         else:
             state.update(([t for t, _ in rest], [o for _, o in rest],
                           last_emit))
-            state.setTimeoutTimestamp(max(wm_us // 1000, 0) + idle_evict_ms)
+            # non-empty buffer: re-fire on the next watermark advance
+            # (no new traffic needed); empty: long idle-evict horizon
+            wm_ms = max(wm_us // 1000, 0)
+            state.setTimeoutTimestamp(wm_ms + (1 if rest else idle_evict_ms))
         if emitted:
             yield pd.DataFrame({
                 key_col: [key[0]] * len(emitted),

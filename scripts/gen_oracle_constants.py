@@ -264,6 +264,37 @@ def main() -> None:
         for _, r in full_docs.sort_values("doc_id").iterrows()
     ]
 
+    # ---- bloom-dedup FP victims (bloom_dedup driver query) -----------
+    # The hash half: first occurrences wrongly suppressed by bloom
+    # false positives, computed by the pure-python kernel over the
+    # event-time-ordered stream. Everything else (first-occurrence
+    # selection) is genuine SQL in the oracle. Params must mirror
+    # _q_bloom_dedup: m_bits=4096, n_shards=8, k=4.
+    from dataflow_flex_templates_spark.streaming.bloom_dedup import (
+        run_bloom_dedup,
+    )
+    from dataflow_flex_templates_spark.testing.xxh import xxh64_long
+
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    by_shard: dict[int, list] = {}
+    for r in ev.itertuples():
+        shard = xxh64_long(int(r.user_id)) % 8
+        by_shard.setdefault(shard, []).append(
+            (int(r.ts_us), int(r.event_id), int(r.user_id)))
+    firsts = {}
+    for r in sorted(ev.itertuples(),
+                    key=lambda x: (x.ts_us, x.event_id)):
+        firsts.setdefault(int(r.user_id), (int(r.ts_us), int(r.event_id)))
+    emitted_keys = set()
+    for shard, items in by_shard.items():
+        em, _ = run_bloom_dedup(sorted(items), [0] * (4096 // 64),
+                                4096, 4)
+        emitted_keys.update(v for _, _, v in em)
+    out["bloom_dedup_fp_victims"] = sorted(
+        int(u) for u in firsts if u not in emitted_keys)
+
     with open(OUT, "w") as f:
         json.dump(out, f)
     sizes = {k: (len(v) if isinstance(v, list) else v)

@@ -194,3 +194,54 @@ def test_detect_absence_streaming_equals_anti_join(spark, tmp_path):
     want = sorted([("u1", ts(100).timestamp()),
                    ("u2", ts(10).timestamp())])
     assert got == want
+
+
+def test_absence_alarm_fires_for_silent_key(spark, tmp_path):
+    """A key that goes completely silent after its trigger must still
+    alarm once OTHER keys' traffic advances the watermark past the
+    deadline — the buffered-state timeout re-arms at watermark+1 so no
+    per-key flush row is ever needed."""
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.streaming.cep import detect_absence
+
+    schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+    t0 = datetime(2025, 3, 1, tzinfo=timezone.utc)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    # u2 orders at t=10 then never appears again, in any file;
+    # only u1's heartbeats advance the watermark.
+    chunks = [
+        [("u1", "hb", ts(0)), ("u2", "order", ts(10))],
+        [("u1", "hb", ts(50))],
+        [("u1", "hb", ts(200))],
+        [("u1", "hb", ts(400))],
+    ]
+    inp = str(tmp_path / "in")
+    for rows in chunks:
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user", "event", "event_time"]),
+            schema=schema).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("event_time", "30 seconds"))
+    alerts = detect_absence(stream, "user", "event",
+                            trigger="order", expected="ship",
+                            within="60 seconds")
+    out = str(tmp_path / "out")
+    q = (alerts.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid:
+                       df.write.mode("append").parquet(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    got = [(r["user"], r["trigger_time"].timestamp())
+           for r in spark.read.parquet(out).collect()]
+    assert got == [("u2", ts(10).timestamp())]

@@ -947,3 +947,100 @@ def test_debounce_stream_equals_batch(spark, tmp_path):
     want_final = [w for w in want if w[1] < ts(985).replace(tzinfo=None)]
     assert got == want_final
     assert len(got) >= 5
+
+
+def test_run_bloom_dedup_kernel():
+    """Kernel invariants: no false negatives (a key never emits twice),
+    chunked feeding with carried words equals one-shot feeding, and a
+    tiny filter forces deterministic false-positive suppression."""
+    from dataflow_flex_templates_spark.streaming.bloom_dedup import (
+        run_bloom_dedup,
+    )
+
+    items = sorted((ts, o, k) for o, (ts, k) in enumerate(
+        (i * 7 % 97, i % 13) for i in range(200)))
+    m_bits, k = 1 << 12, 4
+    whole, _ = run_bloom_dedup(items, [0] * (m_bits // 64), m_bits, k)
+    # no false negatives: at most one emission per key
+    keys = [v for _, _, v in whole]
+    assert len(keys) == len(set(keys))
+    # chunked == whole when words carry over
+    words = [0] * (m_bits // 64)
+    chunked = []
+    for lo in range(0, len(items), 37):
+        em, words = run_bloom_dedup(items[lo:lo + 37], words, m_bits, k)
+        chunked.extend(em)
+    assert chunked == whole
+    # 64-bit filter + many keys → some first occurrences suppressed,
+    # identically on re-run (pure function of the sequence)
+    tiny = [(i, i, i * 1_000_003) for i in range(300)]
+    em1, _ = run_bloom_dedup(tiny, [0], 64, 4)
+    em2, _ = run_bloom_dedup(tiny, [0], 64, 4)
+    assert em1 == em2 and 0 < len(em1) < 300
+
+
+def test_bloom_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming bloom dedup (watermark-gated buffer, persistent words
+    state) emits exactly the batch path's rows over the same finalized
+    prefix — including duplicate keys split across micro-batches and
+    out-of-order arrivals within the watermark."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.streaming.bloom_dedup import (
+        bloom_dedup_batch,
+        bloom_dedup_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("ord", T.LongType()),
+    ])
+    t0 = datetime(2025, 4, 1, tzinfo=timezone.utc)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    # keys 1..6 with duplicates spread across chunks; key 2's true
+    # first occurrence (t=5) arrives in a LATER file than its t=9 row
+    chunks = [
+        [(1, ts(0), 0), (2, ts(9), 1), (3, ts(2), 2)],
+        [(1, ts(12), 3), (2, ts(5), 4), (4, ts(14), 5)],
+        [(5, ts(30), 6), (3, ts(31), 7), (1, ts(33), 8)],
+        [(6, ts(50), 9), (2, ts(51), 10)],
+        [(1, ts(1000), 11), (6, ts(1000), 12)],  # flush the tail
+    ]
+    inp = str(tmp_path / "in")
+    for rows in chunks:
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["key", "event_time", "ord"]),
+            schema=schema).coalesce(1).write.mode("append").parquet(inp)
+
+    kw = dict(event_time_col="event_time", ordinal_col="ord",
+              m_bits=1 << 10, n_shards=4, k=4)
+    batch_df = spark.read.parquet(inp)
+    want = sorted(tuple(r) for r in bloom_dedup_batch(
+        batch_df, "key", **kw).collect())
+    # sanity: key 2 emits its t=5 row (event-time order, not arrival)
+    k2 = [w for w in want if w[0] == 2]
+    assert len(k2) == 1 and k2[0][1] == ts(5).replace(tzinfo=None)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("event_time", "15 seconds"))
+    out = str(tmp_path / "out")
+    q = (bloom_dedup_stream(stream, "key", **kw)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want_final = [w for w in want if w[1] < ts(985).replace(tzinfo=None)]
+    assert got == want_final
+    assert len(got) >= 5
