@@ -1117,6 +1117,89 @@ def _q_bloom_dedup(spark, sf_dir):
                       F.col("ord").alias("event_id"))
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (backward): each purchase event enriched with the
+    user's latest at-or-before view event's value — the align-stream-
+    to-latest-revision operator (clip→newest calibration row at decode
+    time). Spark lacks ASOF JOIN; a naive l.ts>=r.ts join plans as
+    BroadcastNestedLoopJoin. operators/temporal.py rewrites it as
+    union-tag + one window sort per key: single shuffle, O(n log n),
+    no join explosion. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from dataflow_flex_templates_spark.operators.temporal import asof_join
+
+    _load(spark, sf_dir)
+    ev = spark.table("events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max_by("value", "event_id").alias("view_value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id",
+                         F.col("value").alias("purchase_value")))
+    out = asof_join(purchases, views, on="ts", by=["user_id"],
+                    values=["view_value"])
+    # unmatched rows → sentinels, not nulls (cross-engine null
+    # canonicalization is the recurring hash-mismatch source)
+    return out.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "purchase_value",
+        F.coalesce("view_value", F.lit(-1.0)).alias("view_value"),
+        F.coalesce(F.unix_micros(F.col("asof_ts").cast("timestamp")),
+                   F.lit(-1)).alias("asof_ts_us"))
+
+
+def _q_range_join(spark, sf_dir):
+    """Bucketed range join: per promo window (3 days after every
+    97th order's date, no key equality) count lineitem shipments
+    falling inside — windowed incident attribution over a fact table.
+    Never a NestedLoop/Cartesian: intervals explode to 1-day buckets,
+    points hash to one bucket, equi-join + exact recheck (candidate
+    cost bounded by bucket occupancy — the 100-TB path). Oracle: the
+    naive inequality join in DuckDB."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    _load(spark, sf_dir)
+    day_us = 86_400_000_000
+    iv = (spark.table("orders")
+          .filter(F.col("o_orderkey") % 97 == 0)
+          .select("o_orderkey", F.col("o_orderdate").alias("w_start"),
+                  (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"))
+                  .alias("w_end")))
+    pts = spark.table("lineitem").select("l_shipdate")
+    joined = range_join_buckets(iv, pts, "w_start", "w_end",
+                                "l_shipdate", bucket=day_us)
+    return (joined.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_shipped")))
+
+
+def _q_resample_locf(spark, sf_dir):
+    """Fixed-grid resampling with last-observation-carried-forward:
+    one row per user per UTC day between their first and last event,
+    carrying the newest at-or-before event value — the gap-free
+    feature-grid builder. Grid is sequence+explode (JVM), fill is the
+    as-of kernel (one shuffle). Oracle: DuckDB generate_series +
+    ASOF LEFT JOIN."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        resample_locf,
+    )
+
+    _load(spark, sf_dir)
+    obs = (spark.table("events")
+           .groupBy("user_id", "ts")
+           .agg(F.max_by("value", "event_id").alias("value")))
+    out = resample_locf(obs, on="ts", by=["user_id"], values=["value"],
+                        step=86_400_000_000)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("grid_ts").cast("timestamp"))
+        .alias("grid_ts_us"),
+        F.coalesce("value", F.lit(-1.0)).alias("value"),
+        F.coalesce(F.unix_micros(F.col("asof_ts").cast("timestamp")),
+                   F.lit(-1)).alias("asof_ts_us"))
+
+
 def _q_debounce(spark, sf_dir):
     """Per-key debounce/throttle over events: at most one emission per
     user per 30-minute cooldown, re-opening relative to the LAST
@@ -1834,6 +1917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
         "bloom_dedup": _q_bloom_dedup,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "resample_locf": _q_resample_locf,
         "debounce": _q_debounce,
         "cep_sequence_detect": _q_cep_sequence_detect,
         "cep_absence_detect": _q_cep_absence_detect,
@@ -3314,6 +3400,57 @@ def oracle_sql() -> dict[str, str]:
                    ratio_permille < 300 AS repetitive
             FROM r
         """
+    # As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # union-tag + window kernel (equal-time matches included by both).
+    out["asof_join"] = """
+        WITH v AS (
+          SELECT user_id, ts, max_by(value, event_id) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        p AS (
+          SELECT user_id, ts, event_id, value AS purchase_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+               p.purchase_value,
+               COALESCE(v.view_value, -1.0) AS view_value,
+               COALESCE(epoch_us(v.ts), -1) AS asof_ts_us
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+    # Range join: the oracle is the naive inequality join the Spark
+    # side refuses to plan (bucket explosion + equi-join instead).
+    out["range_join"] = """
+        SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped
+        FROM (SELECT o_orderkey, o_orderdate AS w0,
+                     o_orderdate + INTERVAL 3 DAY AS w1
+              FROM orders WHERE o_orderkey % 97 = 0) o
+        JOIN lineitem l
+          ON l.l_shipdate >= o.w0 AND l.l_shipdate < o.w1
+        GROUP BY o.o_orderkey
+    """
+    # LOCF resample: per-user daily grid via generate_series, filled
+    # with DuckDB ASOF LEFT JOIN — same epoch-aligned grid arithmetic
+    # as resample_locf (floor to step in integer microseconds).
+    out["resample_locf"] = """
+        WITH o AS (
+          SELECT user_id, ts, max_by(value, event_id) AS value
+          FROM events GROUP BY user_id, ts),
+        b AS (
+          SELECT user_id,
+                 make_timestamp((epoch_us(MIN(ts)) // 86400000000)
+                                * 86400000000) AS g0,
+                 MAX(ts) AS t1
+          FROM o GROUP BY user_id),
+        g AS (
+          SELECT user_id,
+                 unnest(generate_series(g0, t1, INTERVAL 1 DAY))
+                   AS grid_ts
+          FROM b)
+        SELECT g.user_id, epoch_us(g.grid_ts) AS grid_ts_us,
+               COALESCE(o.value, -1.0) AS value,
+               COALESCE(epoch_us(o.ts), -1) AS asof_ts_us
+        FROM g ASOF LEFT JOIN o
+          ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+    """
     # Bloom dedup: first-occurrence selection is genuine SQL; only the
     # FP-victim key set (deterministic hash collisions) is twin-pinned
     # — empty at this fixture size, making the oracle fully genuine.

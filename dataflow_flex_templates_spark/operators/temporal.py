@@ -1,0 +1,227 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join,
+bucketed range join, and fixed-grid LOCF resampling.
+
+All three are single-shuffle compositions of DataFrame primitives —
+no Python in the hot path, no non-equi join ever reaches the planner
+(a naive ``l.ts >= r.ts`` join plans as BroadcastNestedLoopJoin /
+CartesianProduct, which is O(n·m) and unusable at 100 TB):
+
+- ``asof_join``: the classic union-tag + last(ignorenulls) window
+  kernel. Probe and build rows are unioned, sorted once per key by
+  (time, side), and the running "last build row seen" is carried
+  forward — one shuffle on the key, O(n log n) per partition, linear
+  state. The same kernel runs backward (latest build <= probe) and
+  forward (earliest build >= probe) as-of.
+- ``range_join_buckets``: interval × point join via fixed-width
+  bucket explosion. Each interval is replicated to the O(len/width)
+  buckets it covers, points hash to exactly one bucket, and the join
+  is a plain equi-join on bucket id (+ optional keys) with the exact
+  predicate re-checked — candidate cost is bounded by bucket
+  occupancy, never |intervals|×|points|. Pick ``bucket`` near the
+  median interval length so replication stays O(1) per interval.
+- ``resample_locf``: per-key fixed-step grid (epoch-aligned) filled
+  by last-observation-carried-forward — grid generation is
+  ``sequence``+``explode`` (JVM-side), the fill is ``asof_join``.
+
+Reference parity note: the reference engine has no temporal joins —
+these cover SURVEY.md's training-pipeline extension surface (aligning
+clip streams to the latest config/calibration revision, windowed
+incident attribution, gap-free feature grids).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SIDE = "__asof_side__"
+_MATCH_T = "__asof_match_t__"
+
+
+_TS_TYPES = (T.TimestampType, T.TimestampNTZType)
+
+
+def _as_long(col, dtype) -> "F.Column":
+    """Numeric image of a time column: microseconds for timestamps
+    (incl. NTZ — a bare cast-to-long would truncate to seconds), the
+    value itself for integral/float types."""
+    if isinstance(dtype, _TS_TYPES):
+        return F.unix_micros(col.cast("timestamp"))
+    return col.cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    values: Sequence[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+    right_ord_col: str | None = None,
+    match_time_col: str | None = "asof_ts",
+) -> DataFrame:
+    """As-of join: for every left row, attach ``values`` from the
+    single right row with the same ``by`` key and the latest
+    ``on`` <= left's (backward) or earliest >= left's (forward),
+    ties at equal time matching. Left outer: unmatched rows keep
+    nulls.
+
+    Right rows where ALL ``values`` are null act as missing
+    observations (the carry-forward skips them). For deterministic
+    results right must be unique per (by, on) — or pass
+    ``right_ord_col`` and the largest ordinal wins among equal
+    timestamps.
+
+    ``tolerance``: maximum |left.on - right.on| for a match, in
+    microseconds for timestamp columns / raw units for numeric ones;
+    matches farther away revert to null.
+
+    Plan shape: unionByName (no shuffle) → one exchange on ``by`` →
+    single window sort shared by every carried column. Nothing
+    non-equi reaches the join planner.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    ord_cols = [right_ord_col] if right_ord_col else []
+    clash = ((set(values) | set(ord_cols) | {_SIDE, _MATCH_T})
+             & set(left.columns))
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    on_type = right.schema[on].dataType
+
+    l_tag = left.withColumn(_SIDE, F.lit(1))
+    r_tag = (right.select(*by, on, *values, *ord_cols)
+             .withColumn(_SIDE, F.lit(0)))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # sort (time, side, ord): build rows precede the probe row at equal
+    # time (equal-time matches allowed), ord ascending so the largest
+    # ordinal is the innermost build row and wins last(); the probe
+    # row's null ord must NOT participate in ordering before side does
+    t = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    order = [t, F.col(_SIDE).asc()] + [F.col(c).asc() for c in ord_cols]
+    w = (Window.partitionBy(*by).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    # carry the ENTIRE matched build row as one struct — per-column
+    # carry would stitch values from different build rows, which is
+    # not an as-of join (and diverges from SQL ASOF semantics)
+    payload = F.when(F.col(_SIDE) == 0,
+                     F.struct(F.col(on).alias(_MATCH_T),
+                              *[F.col(v) for v in values]))
+    filled = u.withColumn("__asof_m__",
+                          F.last(payload, ignorenulls=True).over(w))
+
+    out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE, *ord_cols)
+    for v in values:
+        out = out.withColumn(v, F.col(f"__asof_m__.{v}"))
+    out = (out.withColumn(_MATCH_T, F.col(f"__asof_m__.{_MATCH_T}"))
+           .drop("__asof_m__"))
+    if tolerance is not None:
+        lt = _as_long(F.col(on), on_type)
+        rt = _as_long(F.col(_MATCH_T), on_type)
+        gap = (lt - rt) if direction == "backward" else (rt - lt)
+        ok = F.col(_MATCH_T).isNotNull() & (gap <= F.lit(int(tolerance)))
+        for v in values:
+            out = out.withColumn(v, F.when(ok, F.col(v)))
+        out = out.withColumn(_MATCH_T, F.when(ok, F.col(_MATCH_T)))
+    if match_time_col:
+        out = out.withColumnRenamed(_MATCH_T, match_time_col)
+    else:
+        out = out.drop(_MATCH_T)
+    return out
+
+
+def range_join_buckets(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bucket: int,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Interval × point join on ``start <= point < end`` (half-open),
+    optionally also equi-keyed on ``by``, WITHOUT a non-equi join:
+    intervals explode to the fixed-width buckets they cover, points
+    hash to exactly one bucket, the join is a bucket equi-join and the
+    exact predicate is re-applied. Each qualifying pair surfaces
+    exactly once (a point lives in one bucket).
+
+    ``bucket`` is the width in microseconds (timestamp columns) or raw
+    units (numeric). Cost: |intervals| × ceil(len/bucket) replicated
+    rows; an interval spanning B buckets appears B times, so size the
+    bucket near the median interval length.
+    """
+    if bucket <= 0:
+        raise ValueError("bucket width must be positive")
+    clash = set(intervals.columns) & set(points.columns) - set(by)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    s_type = intervals.schema[start_col].dataType
+    p_type = points.schema[point_col].dataType
+
+    s_l = _as_long(F.col(start_col), s_type)
+    e_l = _as_long(F.col(end_col), s_type)
+    iv = (intervals.filter(e_l > s_l)
+          .withColumn("__bkt__", F.explode(F.sequence(
+              F.floor(s_l / bucket), F.floor((e_l - 1) / bucket)))))
+    pt = points.withColumn(
+        "__bkt__", F.floor(_as_long(F.col(point_col), p_type) / bucket))
+
+    cond = [iv["__bkt__"] == pt["__bkt__"]]
+    cond += [iv[k] == pt[k] for k in by]
+    joined = (iv.join(pt, cond, "inner")
+              .filter((pt[point_col] >= iv[start_col])
+                      & (pt[point_col] < iv[end_col])))
+    keep = [iv[c] for c in intervals.columns] + \
+           [pt[c] for c in points.columns if c not in by]
+    return joined.select(*keep)
+
+
+def resample_locf(
+    df: DataFrame,
+    on: str,
+    by: Sequence[str],
+    values: Sequence[str],
+    step: int,
+    right_ord_col: str | None = None,
+    grid_col: str = "grid_ts",
+) -> DataFrame:
+    """Per-key fixed-step resampling with last-observation-carried-
+    forward: emit one row per key per grid tick between the key's
+    first observation (floored to the epoch-aligned ``step`` grid) and
+    its last, each carrying the most recent at-or-before observation
+    of every value column. Grid ticks before the first observation
+    (only the floored tick can be) carry nulls.
+
+    ``step`` in microseconds for timestamp ``on`` / raw units for
+    numeric. Grid generation is sequence+explode per key — pure JVM —
+    and the fill is :func:`asof_join`'s single-shuffle kernel.
+    """
+    if step <= 0:
+        raise ValueError("step must be positive")
+    on_type = df.schema[on].dataType
+    is_ts = isinstance(on_type, _TS_TYPES)
+    t_long = _as_long(F.col(on), on_type)
+
+    bounds = df.groupBy(*by).agg(
+        F.min(t_long).alias("__t0__"), F.max(t_long).alias("__t1__"))
+    g0 = F.floor(F.col("__t0__") / step) * step
+    ticks = F.sequence(g0, F.col("__t1__"), F.lit(int(step)))
+    grid = bounds.select(*by, F.explode(ticks).alias("__g__"))
+    # cast back to the source's exact timestamp flavor (TZ vs NTZ) so
+    # the union inside asof_join type-checks
+    gexpr = (F.timestamp_micros(F.col("__g__")).cast(on_type) if is_ts
+             else F.col("__g__").cast(on_type))
+    grid = grid.select(*by, gexpr.alias(on))
+
+    out = asof_join(grid, df.select(*by, on, *values, *(
+        [right_ord_col] if right_ord_col else [])),
+        on=on, by=by, values=list(values),
+        right_ord_col=right_ord_col, match_time_col="asof_ts")
+    return out.withColumnRenamed(on, grid_col)

@@ -1,0 +1,172 @@
+"""Temporal operators: as-of join, bucketed range join, LOCF resample.
+
+Each operator is checked against an independent reference: a
+brute-force python computation for the as-of kernel and a naive
+non-equi Spark join for the bucketed range join — the operators must
+be exact rewrites of those semantics, only with scalable plans.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflow_flex_templates_spark.operators.temporal import (
+    asof_join,
+    range_join_buckets,
+    resample_locf,
+)
+
+T0 = datetime(2025, 6, 1, tzinfo=timezone.utc)
+
+
+def ts(s: float) -> datetime:
+    return T0 + timedelta(seconds=s)
+
+
+def _brute_asof(left_rows, right_rows, direction="backward",
+                tolerance=None):
+    """(key, t) probes against (key, t, v, ord) builds, pure python."""
+    out = []
+    for k, lt in left_rows:
+        cands = [r for r in right_rows if r[0] == k
+                 and (r[1] <= lt if direction == "backward" else r[1] >= lt)]
+        if cands:
+            # nearest time; among ties the largest ord wins
+            best_t = (max if direction == "backward" else min)(
+                c[1] for c in cands)
+            best = max((c for c in cands if c[1] == best_t),
+                       key=lambda c: c[3])
+            gap = abs(lt - best[1])
+            if tolerance is not None and gap > tolerance:
+                out.append((k, lt, None, None))
+            else:
+                out.append((k, lt, best[2], best[1]))
+        else:
+            out.append((k, lt, None, None))
+    return sorted(out, key=lambda x: (x[0], x[1]))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_bruteforce(spark, direction):
+    rng = random.Random(42)
+    left_rows = [(rng.randrange(6), rng.randrange(1000))
+                 for _ in range(300)]
+    right_rows = [(rng.randrange(6), rng.randrange(1000),
+                   float(i), i) for i in range(200)]
+    # inject exact time collisions (probe==build and build==build)
+    right_rows += [(0, left_rows[0][1], 777.0, 9000),
+                   (0, left_rows[0][1], 778.0, 9001)]
+
+    l_df = spark.createDataFrame(left_rows, "k int, t long")
+    r_df = spark.createDataFrame(right_rows, "k int, t long, v double, o long")
+
+    got = sorted(
+        (r["k"], r["t"], r["v"],
+         r["asof_ts"]) for r in asof_join(
+            l_df, r_df, on="t", by=["k"], values=["v"],
+            direction=direction, right_ord_col="o").collect())
+    want = _brute_asof(left_rows, right_rows, direction)
+    assert got == [(k, t, v, mt) for k, t, v, mt in want]
+
+
+def test_asof_join_tolerance_and_timestamps(spark):
+    l_df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "t": [ts(100), ts(500), ts(100)]}))
+    r_df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2],
+                      "t": [ts(90), ts(100), ts(400)],
+                      "v": [1.0, 2.0, 3.0]}))
+    out = {(r["k"], r["t"].replace(tzinfo=timezone.utc)): (r["v"], r["asof_ts"])
+           for r in asof_join(l_df, r_df, on="t", by=["k"], values=["v"],
+                              tolerance=60 * 1_000_000).collect()}
+    assert out[(1, ts(100))][0] == 2.0          # equal-time match
+    assert out[(1, ts(500))] == (None, None)    # 400 s gap > 60 s tol
+    assert out[(2, ts(100))] == (None, None)    # no build row before
+
+
+def test_asof_join_struct_carry_not_columnwise(spark):
+    """A build row with a null value column must surface that null —
+    not a stitched older non-null from a different row (SQL ASOF
+    semantics)."""
+    l_df = spark.createDataFrame([(1, 10)], "k int, t long")
+    r_df = spark.createDataFrame(
+        [(1, 1, 5.0, 5.0), (1, 2, 7.0, None)],
+        "k int, t long, a double, b double")
+    row = asof_join(l_df, r_df, on="t", by=["k"],
+                    values=["a", "b"]).collect()[0]
+    assert (row["a"], row["b"], row["asof_ts"]) == (7.0, None, 2)
+
+
+def test_asof_join_rejects_column_collision(spark):
+    l_df = spark.createDataFrame([(1, 1, 2.0)], "k int, t long, v double")
+    r_df = spark.createDataFrame([(1, 1, 3.0)], "k int, t long, v double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(l_df, r_df, on="t", by=["k"], values=["v"])
+
+
+def test_range_join_buckets_matches_naive(spark):
+    rng = random.Random(7)
+    ivs = [(i, rng.randrange(0, 5000),) for i in range(80)]
+    ivs = [(i, s, s + rng.randrange(1, 400)) for i, s in ivs]
+    pts = [(j, rng.randrange(0, 5500)) for j in range(600)]
+    iv_df = spark.createDataFrame(ivs, "iv_id int, s long, e long")
+    pt_df = spark.createDataFrame(pts, "pt_id int, p long")
+
+    got = sorted((r["iv_id"], r["pt_id"]) for r in range_join_buckets(
+        iv_df, pt_df, "s", "e", "p", bucket=128).collect())
+    want = sorted((i, j) for i, s, e in ivs for j, p in pts
+                  if s <= p < e)
+    assert got == want
+    # half-open: a point exactly at e is excluded, at s included
+    assert all(s <= p < e for (i, j) in got
+               for (i2, s, e) in ivs if i2 == i
+               for (j2, p) in pts if j2 == j)
+
+
+def test_range_join_buckets_keyed_and_timestamps(spark):
+    iv_df = spark.createDataFrame(
+        pd.DataFrame({"u": [1, 2], "s": [ts(0), ts(0)],
+                      "e": [ts(100), ts(100)]}))
+    pt_df = spark.createDataFrame(
+        pd.DataFrame({"u": [1, 1, 2], "p": [ts(50), ts(150), ts(50)],
+                      "pt_id": [10, 11, 12]}))
+    got = sorted((r["u"], r["pt_id"]) for r in range_join_buckets(
+        iv_df, pt_df, "s", "e", "p", bucket=30 * 1_000_000,
+        by=["u"]).collect())
+    assert got == [(1, 10), (2, 12)]  # key match required; 150s outside
+
+
+def test_range_join_no_nested_loop_in_plan(spark):
+    iv_df = spark.createDataFrame([(1, 0, 10)], "iv_id int, s long, e long")
+    pt_df = spark.createDataFrame([(1, 5)], "pt_id int, p long")
+    plan = range_join_buckets(iv_df, pt_df, "s", "e", "p",
+                              bucket=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_resample_locf_daily_grid(spark):
+    day = 86_400_000_000
+    obs = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "t": [ts(3600), ts(2 * 86400 + 60), ts(4 * 86400), ts(0)],
+        "v": [10.0, 20.0, 30.0, 5.0],
+    })
+    out = resample_locf(spark.createDataFrame(obs), on="t", by=["k"],
+                        values=["v"], step=day)
+    got = sorted((r["k"], r["grid_ts"].replace(tzinfo=timezone.utc),
+                  r["v"]) for r in out.collect())
+    assert got == [
+        (1, ts(0), None),            # grid floor precedes first obs
+        (1, ts(86400), 10.0),
+        (1, ts(2 * 86400), 10.0),    # tick at 2d is before obs at 2d+60s
+        (1, ts(3 * 86400), 20.0),
+        (1, ts(4 * 86400), 30.0),    # tick == obs time: equal-time match
+        (2, ts(0), 5.0),
+    ]
