@@ -1200,6 +1200,60 @@ def _q_resample_locf(spark, sf_dir):
                    F.lit(-1)).alias("asof_ts_us"))
 
 
+def _q_asof_enrich_stream(spark, sf_dir):
+    """CONTINUOUS as-of enrichment (streaming twin of `asof_join`):
+    purchase and view events arrive on two watermarked streams;
+    each finalized purchase emits with the user's latest at-or-before
+    view observation, carried in O(1) keyed state across micro-batches
+    (streaming/asof_stream.py). Emission set is a pure function of
+    (input, watermark delay), independent of batching: a probe emits
+    iff ts <= final watermark = min(max purchase ts, max view ts)
+    floored to ms minus the 1 h delay. Oracle: DuckDB ASOF LEFT JOIN
+    with the same cutoff re-derived in SQL."""
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.asof_stream import (
+        asof_enrich_stream,
+    )
+
+    _load(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_asof_")
+    ev = spark.table("events")
+    (ev.filter(F.col("event_type") == "purchase")
+     .select("user_id", "ts", "event_id")
+     .repartition(4).write.mode("overwrite").parquet(f"{root}/probe"))
+    (ev.filter(F.col("event_type") == "view")
+     .select("user_id", "ts", "event_id", "value")
+     .repartition(4).write.mode("overwrite").parquet(f"{root}/build"))
+
+    p_schema = "user_id long, ts timestamp, event_id long"
+    b_schema = "user_id long, ts timestamp, event_id long, value double"
+    probe = (spark.readStream.schema(p_schema)
+             .option("maxFilesPerTrigger", 2).parquet(f"{root}/probe")
+             .withWatermark("ts", "1 hour"))
+    build = (spark.readStream.schema(b_schema)
+             .option("maxFilesPerTrigger", 2).parquet(f"{root}/build")
+             .withWatermark("ts", "1 hour"))
+    q = (asof_enrich_stream(probe, build, on="ts", by="user_id",
+                            values=["value"], probe_ord_col="event_id",
+                            build_ord_col="event_id")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    out = spark.read.parquet(f"{root}/out")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("event_time").cast("timestamp"))
+        .alias("ts_us"),
+        F.col("ord").alias("event_id"),
+        F.coalesce("value", F.lit(-1.0)).alias("view_value"),
+        F.coalesce(F.unix_micros(F.col("asof_ts").cast("timestamp")),
+                   F.lit(-1)).alias("asof_ts_us"),
+        F.coalesce("asof_ord", F.lit(-1)).alias("asof_ord"))
+
+
 def _q_debounce(spark, sf_dir):
     """Per-key debounce/throttle over events: at most one emission per
     user per 30-minute cooldown, re-opening relative to the LAST
@@ -1918,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _q_stream_stream_join,
         "bloom_dedup": _q_bloom_dedup,
         "asof_join": _q_asof_join,
+        "asof_enrich_stream": _q_asof_enrich_stream,
         "range_join": _q_range_join,
         "resample_locf": _q_resample_locf,
         "debounce": _q_debounce,
@@ -3415,6 +3470,33 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(epoch_us(v.ts), -1) AS asof_ts_us
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+    # Streaming as-of: same ASOF oracle, restricted to probes the
+    # final watermark finalized — wm = min(max side maxima) floored to
+    # ms (Spark's EventTimeStats tracks ms) minus the 1 h delay. Build
+    # rows needed by any finalized probe are themselves finalized
+    # (their ts <= probe ts <= wm), so no cutoff on the build side.
+    out["asof_enrich_stream"] = """
+        WITH v AS (
+          SELECT user_id, ts, max_by(value, event_id) AS value,
+                 MAX(event_id) AS event_id
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        p AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+        wm AS (
+          SELECT (LEAST(
+                    (SELECT MAX(epoch_us(ts)) // 1000 FROM p),
+                    (SELECT MAX(epoch_us(ts)) // 1000
+                     FROM events WHERE event_type = 'view'))
+                  - 3600000) * 1000 AS wm_us)
+        SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id,
+               COALESCE(v.value, -1.0) AS view_value,
+               COALESCE(epoch_us(v.ts), -1) AS asof_ts_us,
+               COALESCE(v.event_id, -1) AS asof_ord
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts, wm
+        WHERE epoch_us(p.ts) <= wm.wm_us
     """
     # Range join: the oracle is the naive inequality join the Spark
     # side refuses to plan (bucket explosion + equi-join instead).
