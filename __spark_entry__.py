@@ -768,6 +768,30 @@ def _q_audio_health(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_audio_loudness(spark, sf_dir):
+    """Loudness normalization (gain staging) over the clip fixture:
+    decode → per-clip int64 gain counters (RMS nano-units, gain in
+    milli-dB to a hot -3 dBFS target, post-gain clip count and peak) in
+    one Arrow pass, rolled up per codec with exact integer SUM/MAX
+    arithmetic. Oracle: per-clip counters pinned from the numpy twin,
+    rollup genuine SQL."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        loudness_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    ld = loudness_stats(target_db=-3.0)(F.col("bytes"), F.col("codec"))
+    return (clips.withColumn("__ld__", ld)
+            .groupBy("codec")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__ld__.rms_q").alias("sum_rms_q"),
+                 F.sum("__ld__.gain_mdb").alias("sum_gain_mdb"),
+                 F.sum("__ld__.post_clipped").alias("total_post_clipped"),
+                 F.max("__ld__.post_peak_q").alias("max_post_peak_q"))
+            .orderBy("codec"))
+
+
 def _q_utterance_segments(spark, sf_dir):
     """VAD-run utterance splitting: one row per voiced segment
     (clip_id, seg_idx, start_frame, n_frames) — decode + segment in
@@ -1956,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
         "audio_health": _q_audio_health,
+        "audio_loudness": _q_audio_loudness,
         "trim_silence": _q_trim_silence,
         "utterance_segments": _q_utterance_segments,
         "bloom_registers": _q_bloom_registers,
@@ -3432,6 +3457,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(clipped) AS BIGINT) AS total_clipped,
                    CAST(MAX(max_quiet_run) AS BIGINT) AS max_quiet_run
             FROM f GROUP BY codec ORDER BY codec
+        """
+    # Loudness: per-clip int64 gain counters twin-pinned; per-codec
+    # rollup genuine SQL (exact integer SUM/MAX, no float rounding).
+    if "audio_loudness" in const:
+        al = _values_table(const["audio_loudness"],
+                           ["clip_id", "codec", "rms_q", "gain_mdb",
+                            "post_clipped", "post_peak_q"])
+        out["audio_loudness"] = f"""
+            SELECT codec, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rms_q) AS BIGINT) AS sum_rms_q,
+                   CAST(SUM(gain_mdb) AS BIGINT) AS sum_gain_mdb,
+                   CAST(SUM(post_clipped) AS BIGINT)
+                     AS total_post_clipped,
+                   CAST(MAX(post_peak_q) AS BIGINT) AS max_post_peak_q
+            FROM {al} GROUP BY codec ORDER BY codec
         """
     # Compression ratio: per-doc zlib sizes pinned (identical-Python
     # twin); ratio/flag arithmetic genuine SQL. Threshold must mirror

@@ -707,3 +707,68 @@ def fingerprint_np(wave: np.ndarray, sr_hz: int, frame_ms: int = 64,
             packed |= c << (shift * k)
         out[f] = packed
     return out
+
+
+# ------------------------------------------------------------------
+# Loudness normalization (gain staging) — the standard pre-training
+# normalization step: how much gain takes each clip to a target RMS
+# level, and what that gain would clip. Every output is an exact
+# int64 (nano-unit / milli-dB quantization at the clip boundary, the
+# audio_health_np pattern), so per-codec rollups are pure integer
+# SUM/MAX arithmetic and the twin-pinned oracle never touches float
+# rounding.
+# ------------------------------------------------------------------
+
+def loudness_norm_np(wave: np.ndarray, target_db: float = -20.0,
+                     peak_limit: float = 0.99) -> tuple:
+    """Gain-staging scan of one decoded clip:
+
+      rms_q         round(rms * 1e9) — input RMS in nano-units
+      gain_mdb      round((target_db - rms_dbfs) * 1000) — the gain,
+                    in milli-dB, that moves the clip to target_db
+                    (silent clips floor the RMS at 1e-9 ≡ -180 dBFS)
+      post_clipped  samples with |x|·g > peak_limit AFTER applying the
+                    quantized gain g = 10^(gain_mdb/20000) — how much
+                    a naive (limiter-free) normalize would clip
+      post_peak_q   round(max|x|·g * 1e9) — post-gain peak
+    """
+    n = len(wave)
+    if n == 0:
+        return (0, 0, 0, 0)
+    w = wave.astype(np.float64, copy=False)
+    rms = math.sqrt(float(np.dot(w, w)) / n)
+    rms_q = int(round(rms * 1e9))
+    gain_db = target_db - 20.0 * math.log10(max(rms, 1e-9))
+    gain_mdb = int(round(gain_db * 1000.0))
+    g = 10.0 ** (gain_mdb / 20000.0)
+    a = np.abs(w) * g
+    return (rms_q, gain_mdb, int(np.count_nonzero(a > peak_limit)),
+            int(round(float(a.max()) * 1e9)))
+
+
+_LOUDNESS_SCHEMA = T.StructType([
+    T.StructField("rms_q", T.LongType()),
+    T.StructField("gain_mdb", T.LongType()),
+    T.StructField("post_clipped", T.LongType()),
+    T.StructField("post_peak_q", T.LongType()),
+])
+
+
+def loudness_stats(target_db: float = -20.0, peak_limit: float = 0.99):
+    """Factory: pandas UDF decoding + gain-staging each clip in one
+    Arrow pass. Poison rows → nulls."""
+
+    @pandas_udf(_LOUDNESS_SCHEMA)
+    def _loud(bytes_col: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, c in zip(bytes_col, codec):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                rows.append(loudness_norm_np(w, target_db, peak_limit))
+            except Exception:
+                rows.append((None, None, None, None))
+        return pd.DataFrame(rows, columns=["rms_q", "gain_mdb",
+                                           "post_clipped", "post_peak_q"])
+
+    return _loud

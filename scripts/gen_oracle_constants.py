@@ -219,6 +219,22 @@ def main() -> None:
         for _, r in hc.iterrows()
     ]
 
+    # ---- per-clip loudness pins (audio_loudness driver query) --------
+    # Per-clip int64 gain-staging counters from the numpy twin; the
+    # per-codec rollup is genuine SQL in the oracle. Params must mirror
+    # _q_audio_loudness: target_db=-3 (hot target so the post-gain
+    # clip counter actually exercises nonzero), peak_limit=0.99.
+    from dataflow_flex_templates_spark.functions.audio import (
+        loudness_norm_np,
+    )
+
+    out["audio_loudness"] = [
+        [r["clip_id"], r["codec"],
+         *map(int, loudness_norm_np(
+             decode_pcm_np(r["bytes"], r["codec"]), target_db=-3.0))]
+        for _, r in clips.iterrows()
+    ]
+
     # ---- per-segment VAD-run pins (utterance_segments driver query) --
     # Same 300-clip fixture and VAD params as audio_vad_stats; only the
     # waveform-derived runs are pinned, ordering/rollup genuine SQL.

@@ -652,3 +652,72 @@ def test_utterance_segments_consistency(spark):
         by_clip[cid] = (a + nfr, b + 1)
     for cid, (nv_, ns_) in by_clip.items():
         assert totals[cid] == (nv_, ns_), cid
+
+
+def test_loudness_kernel_units():
+    """Known waveforms → closed-form gain staging: a full-scale square
+    wave at 0 dBFS RMS needs exactly target_db of gain; silence floors
+    at -180 dBFS; post-gain clipping counts samples above the limit
+    under the QUANTIZED gain."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        loudness_norm_np,
+    )
+
+    sq = np.ones(1000, np.float32)              # RMS = 1.0 = 0 dBFS
+    rms_q, gain_mdb, clipped, peak_q = loudness_norm_np(sq, -3.0)
+    assert rms_q == 1_000_000_000
+    assert gain_mdb == -3000                    # exactly -3 dB
+    g = 10.0 ** (-3000 / 20000.0)
+    assert clipped == (1000 if g > 0.99 else 0) == 0
+    assert peak_q == round(g * 1e9)
+
+    # half-scale square → RMS -6.0206 dBFS; +3.0206 dB of gain to hit
+    # -3, post peak ≈ 0.708 < 0.99 → no clipping
+    hq = np.full(1000, 0.5, np.float32)
+    rms_q, gain_mdb, clipped, peak_q = loudness_norm_np(hq, -3.0)
+    assert rms_q == 500_000_000 and clipped == 0
+    assert gain_mdb == round((-3.0 + 20 * np.log10(2.0)) * 1000)
+
+    # gain pushes the peak over the limit → every sample counts
+    loud = np.full(100, 0.125, np.float32)      # needs ~+15 dB
+    _, gain_mdb, clipped, peak_q = loudness_norm_np(loud, 0.0)
+    assert clipped == 100 and peak_q > 990_000_000
+
+    # silence: floored RMS, huge positive gain, zero stays zero
+    z = np.zeros(50, np.float32)
+    rms_q, gain_mdb, clipped, peak_q = loudness_norm_np(z, -20.0)
+    assert (rms_q, clipped, peak_q) == (0, 0, 0)
+    assert gain_mdb == 160_000                  # -20 - (-180) dB
+
+    assert loudness_norm_np(np.zeros(0, np.float32)) == (0, 0, 0, 0)
+
+
+def test_loudness_udf_matches_twin(spark):
+    """The Arrow UDF over the 300-clip fixture reproduces the pinned
+    per-clip twin counters bit-for-bit (same kernel, two engines)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        loudness_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    const_path = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_flex_templates_spark",
+        "testing", "oracle_constants.json")
+    pins = {r[0]: tuple(r[2:]) for r in
+            json.load(open(const_path))["audio_loudness"]}
+
+    clips = make_clips_df(spark, 300, seed=42)
+    got = {r["clip_id"]: (r["__ld__"]["rms_q"], r["__ld__"]["gain_mdb"],
+                          r["__ld__"]["post_clipped"],
+                          r["__ld__"]["post_peak_q"])
+           for r in clips.withColumn(
+               "__ld__", loudness_stats(target_db=-3.0)(
+                   F.col("bytes"), F.col("codec"))).collect()}
+    assert got == pins
