@@ -792,6 +792,25 @@ def _q_audio_loudness(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_audio_mel_stats(spark, sf_dir):
+    """ASR front-end features: framed power spectrogram → triangular
+    HTK-mel filterbank → per-band mean log energy, quantized to
+    int64 milli-log units at the clip boundary, rolled up per codec
+    with exact integer SUMs. Oracle: per-clip band vectors pinned
+    from the numpy twin, rollup genuine SQL."""
+    from dataflow_flex_templates_spark.functions.audio import mel_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    mel = mel_stats()(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    bands = [F.sum(F.element_at("__mel__", i + 1)).alias(f"sum_m{i}")
+             for i in range(8)]
+    return (clips.withColumn("__mel__", mel)
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n"), *bands)
+            .orderBy("codec"))
+
+
 def _q_utterance_segments(spark, sf_dir):
     """VAD-run utterance splitting: one row per voiced segment
     (clip_id, seg_idx, start_frame, n_frames) — decode + segment in
@@ -1981,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": _q_audio_fp_neardup,
         "audio_health": _q_audio_health,
         "audio_loudness": _q_audio_loudness,
+        "audio_mel_stats": _q_audio_mel_stats,
         "trim_silence": _q_trim_silence,
         "utterance_segments": _q_utterance_segments,
         "bloom_registers": _q_bloom_registers,
@@ -3472,6 +3492,18 @@ def oracle_sql() -> dict[str, str]:
                      AS total_post_clipped,
                    CAST(MAX(post_peak_q) AS BIGINT) AS max_post_peak_q
             FROM {al} GROUP BY codec ORDER BY codec
+        """
+    # Log-mel: per-clip int64 band vectors twin-pinned; per-codec band
+    # rollup genuine SQL (exact integer SUMs).
+    if "audio_mel" in const:
+        am = _values_table(const["audio_mel"],
+                           ["clip_id", "codec"]
+                           + [f"m{i}" for i in range(8)])
+        sums = ", ".join(f"CAST(SUM(m{i}) AS BIGINT) AS sum_m{i}"
+                         for i in range(8))
+        out["audio_mel_stats"] = f"""
+            SELECT codec, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+            FROM {am} GROUP BY codec ORDER BY codec
         """
     # Compression ratio: per-doc zlib sizes pinned (identical-Python
     # twin); ratio/flag arithmetic genuine SQL. Threshold must mirror

@@ -772,3 +772,80 @@ def loudness_stats(target_db: float = -20.0, peak_limit: float = 0.99):
                                            "post_clipped", "post_peak_q"])
 
     return _loud
+
+
+# ------------------------------------------------------------------
+# Log-mel filterbank energies — the ASR training front-end: framed
+# power spectrogram → triangular HTK-mel filterbank → per-band mean
+# log energy, quantized to milli-units (int64) at the clip boundary
+# so cross-clip aggregation is exact integer arithmetic (the
+# audio_health / loudness oracle pattern).
+# ------------------------------------------------------------------
+
+def _mel_filterbank(sr_hz: int, n_fft: int, n_mels: int,
+                    fmin: float = 0.0,
+                    fmax: float | None = None) -> np.ndarray:
+    """Triangular mel filterbank (HTK scale, m = 2595·log10(1+f/700)),
+    shape (n_mels, n_fft//2 + 1). Pure float64 — deterministic."""
+    fmax = fmax if fmax is not None else sr_hz / 2.0
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bins = np.fft.rfftfreq(n_fft, d=1.0 / sr_hz)
+    fb = np.zeros((n_mels, len(bins)), np.float64)
+    for i in range(n_mels):
+        lo, mid, hi = hz_pts[i], hz_pts[i + 1], hz_pts[i + 2]
+        up = (bins - lo) / max(mid - lo, 1e-12)
+        down = (hi - bins) / max(hi - mid, 1e-12)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def mel_energies_np(wave: np.ndarray, sr_hz: int, n_mels: int = 8,
+                    n_fft: int = 256, hop: int = 128) -> list[int]:
+    """Per-band mean log10 mel energy of one clip, quantized to
+    milli-log units: round(mean_frames(log10(fb @ |rfft|² + 1e-10))
+    · 1000) per band — int64, so codec rollups are exact SUMs. Short
+    clips zero-pad to one frame; empty clips return the silence
+    floor (-10 log-units → -10000 milli) in every band."""
+    w = np.asarray(wave, np.float64)
+    if len(w) < n_fft:
+        w = np.pad(w, (0, n_fft - len(w)))
+    n_frames = 1 + (len(w) - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = w[idx]
+    win = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(n_fft, dtype=np.float64) / n_fft)
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    fb = _mel_filterbank(sr_hz, n_fft, n_mels)
+    logm = np.log10(spec @ fb.T + 1e-10).mean(axis=0)
+    return [int(round(float(x) * 1000.0)) for x in logm]
+
+
+def mel_stats(n_mels: int = 8, n_fft: int = 256, hop: int = 128):
+    """Factory: pandas UDF decoding + mel-analyzing each clip in one
+    Arrow pass → array<long> of milli-log band energies. Poison rows
+    → null."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _mel(bytes_col: pd.Series, codec: pd.Series,
+             sr_col: pd.Series) -> pd.Series:
+        rows = []
+        for b, c, sr in zip(bytes_col, codec, sr_col):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                rows.append(mel_energies_np(w, int(sr), n_mels,
+                                            n_fft, hop))
+            except Exception:
+                rows.append(None)
+        return pd.Series(rows)
+
+    return _mel

@@ -235,6 +235,21 @@ def main() -> None:
         for _, r in clips.iterrows()
     ]
 
+    # ---- per-clip log-mel pins (audio_mel_stats driver query) --------
+    # Per-clip milli-log-unit band energies (int64) from the numpy
+    # twin; per-codec band rollup is genuine SQL. Params must mirror
+    # _q_audio_mel_stats: n_mels=8, n_fft=256, hop=128.
+    from dataflow_flex_templates_spark.functions.audio import (
+        mel_energies_np,
+    )
+
+    out["audio_mel"] = [
+        [r["clip_id"], r["codec"],
+         *mel_energies_np(decode_pcm_np(r["bytes"], r["codec"]),
+                          int(r["sr_hz"]))]
+        for _, r in clips.iterrows()
+    ]
+
     # ---- per-segment VAD-run pins (utterance_segments driver query) --
     # Same 300-clip fixture and VAD params as audio_vad_stats; only the
     # waveform-derived runs are pinned, ordering/rollup genuine SQL.

@@ -721,3 +721,50 @@ def test_loudness_udf_matches_twin(spark):
                "__ld__", loudness_stats(target_db=-3.0)(
                    F.col("bytes"), F.col("codec"))).collect()}
     assert got == pins
+
+
+def test_mel_kernel_band_selectivity():
+    """Pure tones land their energy in the mel band containing the
+    tone frequency; silence returns the -10000 milli floor in every
+    band; empty clips pad to one frame of silence."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        _mel_filterbank,
+        mel_energies_np,
+    )
+
+    t = np.arange(16000) / 16000.0
+    for f_hz in (300.0, 1000.0, 3000.0):
+        w = np.sin(2 * np.pi * f_hz * t).astype(np.float32)
+        m = mel_energies_np(w, 16000)
+        fb = _mel_filterbank(16000, 256, 8)
+        bins = np.fft.rfftfreq(256, d=1.0 / 16000)
+        expect_band = int(np.argmax(fb[:, np.argmin(np.abs(bins - f_hz))]))
+        assert int(np.argmax(m)) == expect_band, (f_hz, m)
+    assert mel_energies_np(np.zeros(0, np.float32), 16000) == [-10000] * 8
+    assert mel_energies_np(np.zeros(100, np.float32), 16000) == [-10000] * 8
+
+
+def test_mel_udf_matches_twin(spark):
+    """The Arrow UDF over the 300-clip fixture reproduces the pinned
+    per-clip twin band vectors bit-for-bit."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import mel_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    const_path = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_flex_templates_spark",
+        "testing", "oracle_constants.json")
+    pins = {r[0]: list(r[2:]) for r in
+            json.load(open(const_path))["audio_mel"]}
+
+    clips = make_clips_df(spark, 300, seed=42)
+    got = {r["clip_id"]: list(r["__mel__"]) for r in clips.withColumn(
+        "__mel__", mel_stats()(F.col("bytes"), F.col("codec"),
+                               F.col("sr_hz"))).collect()}
+    assert got == pins
