@@ -1160,6 +1160,27 @@ def _q_bloom_dedup(spark, sf_dir):
                       F.col("ord").alias("event_id"))
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank, 10 iterations, over the supplier→part
+    supply graph (distinct lineitem pairs; part ids offset so the two
+    key spaces don't collide). Ranks live in nano-units with integer
+    multiply/floor-div/sum per iteration — exactly associative, so the
+    DuckDB oracle (the same recurrence unrolled as 10 chained CTEs)
+    reproduces every rank bit-for-bit; a float formulation would drift
+    across engines after the first SUM reassociation."""
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        pagerank_int,
+    )
+
+    _load(spark, sf_dir)
+    e = (spark.table("lineitem")
+         .select(F.col("l_suppkey").cast("long").alias("src"),
+                 (F.col("l_partkey") + F.lit(1_000_000))
+                 .cast("long").alias("dst"))
+         .distinct())
+    return pagerank_int(e, iterations=10).select("node", "rank_q")
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (backward): each purchase event enriched with the
     user's latest at-or-before view event's value — the align-stream-
@@ -2016,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
         "bloom_dedup": _q_bloom_dedup,
+        "pagerank": _q_pagerank,
         "asof_join": _q_asof_join,
         "asof_enrich_stream": _q_asof_enrich_stream,
         "range_join": _q_range_join,
@@ -3527,6 +3549,16 @@ def oracle_sql() -> dict[str, str]:
                    ratio_permille < 300 AS repetitive
             FROM r
         """
+    # PageRank: the identical integer recurrence unrolled as 10
+    # chained CTEs (generated) — bit-exact with the Spark loop.
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        pagerank_unrolled_sql,
+    )
+    out["pagerank"] = pagerank_unrolled_sql(
+        "edges", iterations=10,
+        edges_sql="SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, "
+                  "CAST(l_partkey + 1000000 AS BIGINT) AS dst "
+                  "FROM lineitem")
     # As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
     # union-tag + window kernel (equal-time matches included by both).
     out["asof_join"] = """

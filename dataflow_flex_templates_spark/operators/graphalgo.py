@@ -1,0 +1,151 @@
+"""Iterative graph algorithms over edge DataFrames, built integer-
+exact so a SQL oracle can replay every iteration bit-for-bit.
+
+`operators/dedup.py` already covers connected components (pointer-
+jumping min-label propagation); this module adds PageRank — the
+canonical "iterate a join+aggregate to fixpoint" workload whose float
+formulation is NOT cross-engine reproducible (each engine's SUM
+reassociates differently, and after 10 iterations the drift is in the
+leading digits of the tail ranks). The fix is the same quantization
+discipline as the audio oracles: ranks live in integer nano-units,
+every per-iteration operation is integer multiply / floor-divide /
+sum — all exactly associative — so Spark, DuckDB (unrolled CTEs), and
+a python twin produce identical int64 ranks after any number of
+iterations.
+
+Semantics (documented simplification, identical in every engine):
+r_0(v) = SCALE // N;
+r_{k+1}(v) = BASE + Σ_{u→v} (r_k(u) * d_num) // (d_den * outdeg(u))
+with BASE = ((SCALE // N) * (d_den - d_num)) // d_den, damping
+d_num/d_den = 85/100. Dangling-node mass is NOT redistributed (it
+decays) — the classic simplification; ranks still order nodes
+correctly and total mass is monotone, which is all a corpus-ranking
+pipeline needs.
+
+Scale shape: one shuffle per iteration (groupBy dst), contributions
+computed edge-local after a rank⨝outdeg broadcast-or-shuffle join on
+src. Iteration count is fixed (not convergence-tested) so the plan is
+static; at 10^12 edges each iteration is exactly one fact-table
+shuffle and `localCheckpoint(eager=True)` cuts the lineage between
+iterations (the dedup_clusters pattern) so plan depth stays O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    d_num: int = 85,
+    d_den: int = 100,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list (duplicate
+    edges count once — dedup upstream if needed). Returns
+    (node, rank_q) with rank_q in SCALE-units. ``checkpoint_every``:
+    localCheckpoint the rank frame every k iterations (0 = never;
+    needed for long runs so lineage doesn't grow unboundedly)."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.count()  # one scalar job up front — static after
+    r0 = SCALE // n_nodes
+    base = (r0 * (d_den - d_num)) // d_den
+
+    rank = nodes.withColumn("rank_q", F.lit(r0))
+    for it in range(iterations):
+        # integer floor-div: Spark's / on longs is double division —
+        # use explicit DIV to stay in exact int64 arithmetic
+        contrib = (e.join(rank, e["src"] == rank["node"])
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr(f"(rank_q * {d_num}) div "
+                                  f"({d_den} * outdeg)").alias("c_q")))
+        rank = (nodes.join(contrib.groupBy("node")
+                           .agg(F.sum("c_q").alias("s_q")),
+                           "node", "left")
+                .select("node",
+                        (F.lit(base) + F.coalesce("s_q", F.lit(0)))
+                        .alias("rank_q")))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint(eager=True)
+    return rank
+
+
+def pagerank_int_py(
+    edges: list[tuple[int, int]],
+    iterations: int = 10,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> dict[int, int]:
+    """Pure-python twin of :func:`pagerank_int` — same integer
+    recurrence, for tests (no Spark, no SQL)."""
+    eset = sorted(set(edges))
+    nodes = sorted({s for s, _ in eset} | {d for _, d in eset})
+    outdeg: dict[int, int] = {}
+    for s, _ in eset:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r0 = SCALE // len(nodes)
+    base = (r0 * (d_den - d_num)) // d_den
+    rank = {v: r0 for v in nodes}
+    for _ in range(iterations):
+        acc = {v: 0 for v in nodes}
+        for s, d in eset:
+            acc[d] += (rank[s] * d_num) // (d_den * outdeg[s])
+        rank = {v: base + acc[v] for v in nodes}
+    return rank
+
+
+def pagerank_unrolled_sql(
+    edges_cte: str,
+    iterations: int = 10,
+    d_num: int = 85,
+    d_den: int = 100,
+    edges_sql: str | None = None,
+) -> str:
+    """The DuckDB oracle: the SAME integer recurrence unrolled as
+    ``iterations`` chained CTEs over ``edges_cte`` (a CTE name that
+    must yield (src, dst) BIGINT rows; pass ``edges_sql`` to define it
+    inline as the first CTE). Returns SQL selecting (node, rank_q)."""
+    parts = []
+    if edges_sql is not None:
+        parts.append(f" {edges_cte} AS ({edges_sql})")
+    parts.append(f"""
+        nodes AS (SELECT src AS node FROM {edges_cte}
+                  UNION SELECT dst FROM {edges_cte}),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM {edges_cte}
+                   GROUP BY src),
+        consts AS (
+          SELECT ({SCALE} // n) AS r0,
+                 ((({SCALE} // n) * {d_den - d_num}) // {d_den}) AS base
+          FROM nn),
+        r0 AS (SELECT node, (SELECT r0 FROM consts) AS rank_q
+               FROM nodes)""")
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+        r{k} AS (
+          SELECT n.node,
+                 (SELECT base FROM consts)
+                 + COALESCE(SUM((p.rank_q * {d_num})
+                                // ({d_den} * o.outdeg)), 0) AS rank_q
+          FROM nodes n
+          LEFT JOIN {edges_cte} e ON e.dst = n.node
+          LEFT JOIN {prev} p ON p.node = e.src
+          LEFT JOIN outdeg o ON o.src = e.src
+          GROUP BY n.node)""")
+        prev = f"r{k}"
+    return ("WITH " + ",".join(parts)
+            + f" SELECT node, CAST(rank_q AS BIGINT) AS rank_q"
+              f" FROM {prev}")
