@@ -1160,6 +1160,56 @@ def _q_bloom_dedup(spark, sf_dir):
                       F.col("ord").alias("event_id"))
 
 
+def _q_jobspec_join_transform(spark, sf_dir):
+    """Join transform INSIDE the job spec — the reference's own
+    roadmap item (docs/README.md:182 "Supporting join transformations
+    inside the job"), designed and shipped in this engine's grammar:
+    orders joined to customer on custkey inside the target's
+    transform, then grouped per nation-of-customer with aggregates.
+    Oracle: the equivalent plain SQL join+group."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    _load(spark, sf_dir)
+    spec = parse_job_spec(json.dumps({
+        "sources": [
+            {"type": "bigquery", "name": "orders",
+             "query": "SELECT o_orderkey, o_custkey AS custkey, "
+                      "o_totalprice FROM orders"},
+            {"type": "bigquery", "name": "customers",
+             "query": "SELECT c_custkey AS custkey, c_nationkey, "
+                      "c_mktsegment FROM customer"},
+        ],
+        "targets": [{
+            "name": "SegmentNation", "type": "node", "source": "orders",
+            "mode": "append",
+            "transform": {
+                "join": {"with": "customers", "on": ["custkey"],
+                         "how": "inner", "broadcast": True},
+                "group": True,
+                "aggregations": [
+                    {"expr": "count(*)", "field": "n_orders"},
+                    {"expr": "round(sum(o_totalprice), 2)",
+                     "field": "revenue"},
+                ],
+            },
+            "mappings": [
+                {"constant": "SegmentNation", "role": "label"},
+                {"field": "c_nationkey", "name": "nationkey",
+                 "role": "key", "type": "Long"},
+                {"field": "c_mktsegment", "name": "mktsegment",
+                 "role": "key", "type": "String"},
+                {"field": "n_orders", "name": "n_orders",
+                 "role": "property", "type": "Long"},
+                {"field": "revenue", "name": "revenue",
+                 "role": "property", "type": "Float"},
+            ],
+        }],
+    }))
+    out = run_job(spark, spec).target_frames["SegmentNation"]
+    return out.select("nationkey", "mktsegment", "n_orders", "revenue")
+
+
 def _q_pagerank(spark, sf_dir):
     """Integer-exact PageRank, 10 iterations, over the supplier→part
     supply graph (distinct lineitem pairs; part ids offset so the two
@@ -2037,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
         "bloom_dedup": _q_bloom_dedup,
+        "jobspec_join_transform": _q_jobspec_join_transform,
         "pagerank": _q_pagerank,
         "asof_join": _q_asof_join,
         "asof_enrich_stream": _q_asof_enrich_stream,
@@ -3549,6 +3600,17 @@ def oracle_sql() -> dict[str, str]:
                    ratio_permille < 300 AS repetitive
             FROM r
         """
+    # Join transform inside the job spec (reference roadmap item):
+    # the oracle is the equivalent plain SQL join+group.
+    out["jobspec_join_transform"] = """
+        SELECT c.c_nationkey AS nationkey,
+               c.c_mktsegment AS mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               round(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_mktsegment
+    """
     # PageRank: the identical integer recurrence unrolled as 10
     # chained CTEs (generated) — bit-exact with the Spark loop.
     from dataflow_flex_templates_spark.operators.graphalgo import (

@@ -188,6 +188,13 @@ def run_job(
                 spark, spec.actions, "nodes", http_fn)
             nodes_done = True
         src_df = frames[target.source]
+        if target.transform.join is not None:
+            from dataflow_flex_templates_spark.plans.compiler import (
+                apply_join,
+            )
+
+            j = target.transform.join
+            src_df = apply_join(src_df, frames[j.with_source], j)
         out = apply_target(spark, src_df, target)
         result.target_frames[target.name] = out
         if target.target_type == TargetType.node:

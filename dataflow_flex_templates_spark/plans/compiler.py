@@ -187,6 +187,30 @@ class CompiledTarget:
     prop_cols: list[str]
 
 
+def apply_join(left: DataFrame, right: DataFrame, join) -> DataFrame:
+    """Source-to-source equi-join declared in a target's transform
+    (spec/model.py JoinSpec — the reference's docs/README.md:182
+    roadmap item, shipped here). Keys are same-named columns; the
+    joined side contributes only columns the primary side doesn't
+    already have (its ordinal never leaks — the primary's event-time
+    ordinal stays the LWW order). ``broadcast=true`` marks a
+    dimension-small side; otherwise Catalyst/AQE picks the strategy.
+    Works unchanged as a stream-static join when ``left`` streams."""
+    missing = [k for k in join.on
+               if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(
+            f"join keys missing from a side: {missing} "
+            f"(left: {left.columns}, right: {right.columns})")
+    keep = [c for c in right.columns
+            if c in join.on
+            or (c not in left.columns and c != ORDINAL_COL)]
+    r = right.select(*keep)
+    if join.broadcast:
+        r = F.broadcast(r)
+    return left.join(r, on=list(join.on), how=join.how)
+
+
 def compile_target(target: Target, source_cols: list[str] | None = None) -> CompiledTarget:
     out_cols: list[tuple[Mapping, str]] = []
     key_cols: list[str] = []

@@ -130,6 +130,29 @@ class WindowSpec:
 
 
 @dataclass
+class JoinSpec:
+    """Source-to-source join declared inside a target's transform —
+    the reference's own roadmap item ("Supporting join transformations
+    inside the job", docs/README.md:182), never parsed or implemented
+    there; this grammar ships it:
+
+        "transform": {"join": {"with": "<source name>",
+                               "on": ["key", ...],
+                               "how": "inner" | "left",
+                               "broadcast": true|false}}
+
+    Keys are same-named columns on both sides (equi-join); the joined
+    source contributes only columns the primary source doesn't already
+    have (deterministic collision rule). In streaming jobs the joined
+    side is read once as a STATIC frame → a stream-static join."""
+
+    with_source: str = ""
+    on: list[str] = dc_field(default_factory=list)
+    how: str = "inner"              # inner | left
+    broadcast: bool = False         # hint: joined side is dimension-small
+
+
+@dataclass
 class Transform:
     """Per-target relational transform (the whole "planner" surface of
     the reference — utils/ModelUtils.getTargetSql:153-229)."""
@@ -140,6 +163,7 @@ class Transform:
     order_by: str = ""
     limit: int = -1
     window: "WindowSpec | None" = None   # streaming extension
+    join: "JoinSpec | None" = None       # roadmap-item extension
 
     @property
     def is_identity(self) -> bool:

@@ -35,6 +35,7 @@ from dataflow_flex_templates_spark.spec.model import (
     Target,
     TargetType,
     Transform,
+    JoinSpec,
     WindowSpec,
 )
 
@@ -241,6 +242,15 @@ def _parse_transform(t: dict | None) -> Transform:
             slide=w.get("slide", "") or "",
             gap=w.get("gap", "") or "",
         )
+    j = t.get("join")
+    join = None
+    if j:
+        join = JoinSpec(
+            with_source=j.get("with", j.get("with_source", "")) or "",
+            on=[str(k) for k in (j.get("on", []) or [])],
+            how=(j.get("how", "inner") or "inner").lower(),
+            broadcast=bool(j.get("broadcast", False)),
+        )
     return Transform(
         group=bool(t.get("group", False)),
         aggregations=aggs,
@@ -248,6 +258,7 @@ def _parse_transform(t: dict | None) -> Transform:
         order_by=t.get("order_by", "") or "",
         limit=int(t.get("limit", -1) if t.get("limit") is not None else -1),
         window=window,
+        join=join,
     )
 
 

@@ -62,6 +62,21 @@ def validate_job_spec(spec: JobSpec, strict_order_by: bool = False,
         where = f"target '{t.name}'"
         if t.source and t.source not in spec.sources:
             errors.append(f"{where}: unknown source '{t.source}'")
+        j = t.transform.join
+        if j is not None:
+            if not j.with_source:
+                errors.append(f"{where}: join needs a 'with' source")
+            elif j.with_source not in spec.sources:
+                errors.append(f"{where}: join with unknown source "
+                              f"'{j.with_source}'")
+            elif j.with_source == t.source:
+                errors.append(f"{where}: join 'with' must name a "
+                              f"different source than the target's")
+            if not j.on:
+                errors.append(f"{where}: join needs at least one 'on' key")
+            if j.how not in ("inner", "left"):
+                errors.append(f"{where}: join 'how' must be inner|left, "
+                              f"got '{j.how}'")
         if t.target_type == TargetType.node:
             if not t.labels:
                 errors.append(f"{where}: node target needs at least one label")

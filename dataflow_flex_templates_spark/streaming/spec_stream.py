@@ -264,6 +264,8 @@ class SpecStreamJob:
         active = [t for t in spec.targets if t.active]
         #: row-level targets — foreachBatch MERGE path
         self._targets: list[Target] = []
+        #: static frames for join-transform sources (filled in start())
+        self._join_frames: dict[str, DataFrame] = {}
         #: grouped+windowed targets — stateful streaming agg queries
         self._win_targets: list[Target] = []
         for t in active:
@@ -359,7 +361,16 @@ class SpecStreamJob:
             # D2: spec.targets is nodes-first after refactor.
             cfg = self.spec.config
             for t in self._targets:
-                out = apply_target(spark, prepared, t, keep_ordinal=True)
+                inp = prepared
+                if t.transform.join is not None:
+                    from dataflow_flex_templates_spark.plans.compiler import (
+                        apply_join,
+                    )
+
+                    j = t.transform.join
+                    inp = apply_join(
+                        inp, self._join_frames[j.with_source], j)
+                out = apply_target(spark, inp, t, keep_ordinal=True)
                 # W5 write-parallelism knob (CreateKvTransform analogue):
                 # applied only when the spec sets it explicitly.
                 key = ("node_write_parallelism"
@@ -445,6 +456,19 @@ class SpecStreamJob:
         self.action_results += run_actions(
             spark, self.spec.actions, "sources", self.http_fn)
 
+        # Join-transform sources (roadmap-item extension) read ONCE as
+        # static frames → every declared join is a stream-static join.
+        from dataflow_flex_templates_spark.sources.readers import (
+            read_source,
+        )
+
+        self._join_frames = {}
+        for t in self.spec.targets:
+            j = t.transform.join
+            if j is not None and j.with_source not in self._join_frames:
+                self._join_frames[j.with_source] = read_source(
+                    spark, self.spec.sources[j.with_source])
+
         queries = []
         if self._targets:
             row_stream = self.read_stream(spark)
@@ -468,6 +492,14 @@ class SpecStreamJob:
             queries.append(writer.start())
         for t in self._win_targets:
             stream = self.read_stream(spark)
+            if t.transform.join is not None:
+                from dataflow_flex_templates_spark.plans.compiler import (
+                    apply_join,
+                )
+
+                jw = t.transform.join
+                stream = apply_join(
+                    stream, self._join_frames[jw.with_source], jw)
             # Each windowed target is its own streaming query re-reading
             # the source; running the shared prepare stage (vectorized
             # PCM decode — the dominant cost) for a window that only
