@@ -53,6 +53,11 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh",
     "cosine_topk",
+    # temporal joins (round 3): single-shuffle as-of kernel and the
+    # bucket-exploded range join — both non-equi shapes that would be
+    # NestedLoop disasters if planned naively
+    "asof_join",
+    "range_join",
 ]
 
 
