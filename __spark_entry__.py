@@ -396,6 +396,18 @@ def _q_vocabulary(spark, sf_dir):
     return vocabulary(spark.table("documents"), k=200)
 
 
+def _q_salient_terms(spark, sf_dir):
+    """Top-3 salient terms per document — TF-IDF family with an
+    integer rarity weight (scale // df) so scores are exactly
+    reproducible cross-engine (log-IDF rides libm rounding). One tf
+    agg + one broadcast-able df agg + a WindowGroupLimit top-k.
+    Oracle: the identical integer algebra in SQL."""
+    from dataflow_flex_templates_spark.operators.text import salient_terms
+
+    _load(spark, sf_dir)
+    return salient_terms(spark.table("documents"), k=3)
+
+
 def _q_oov_rate(spark, sf_dir):
     """Per-doc OOV stats against the top-10 corpus vocabulary —
     broadcast vocab join, integer counts. Oracle: the same two-stage
@@ -2043,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "vocabulary": _q_vocabulary,
+        "salient_terms": _q_salient_terms,
         "oov_rate": _q_oov_rate,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
@@ -2584,6 +2597,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k must mirror _q_vocabulary (200); tie-break (count DESC,
         # word ASC) is total, so rank/limit are deterministic.
+        "salient_terms": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t),
+            wf AS (SELECT * FROM w WHERE length(term) > 0),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM wf GROUP BY doc_id, term),
+            dfq AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM wf GROUP BY term),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     tf.tf * (1000000 // dfq.df) AS score_q
+              FROM tf JOIN dfq USING (term)),
+            r AS (
+              SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score_q DESC, term ASC) AS rank
+              FROM s)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+                   CAST(score_q AS BIGINT) AS score_q
+            FROM r WHERE rank <= 3
+        """,
         "vocabulary": r"""
             WITH t AS (
               SELECT doc_id,

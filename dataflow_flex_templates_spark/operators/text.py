@@ -667,3 +667,36 @@ def compression_stats(df: DataFrame, text_col: str = "text",
     return (out.withColumn("ratio_permille", ratio)
             .withColumn("repetitive",
                         F.col("ratio_permille") < min_ratio_permille))
+
+
+def salient_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Top-``k`` salient terms per document — the TF-IDF family with
+    the rarity weight kept in EXACT integer arithmetic so a SQL oracle
+    reproduces every score bit-for-bit: ``weight_q(term) = scale //
+    df(term)`` (integer inverse document frequency; a log-IDF would
+    ride each engine's libm and is not cross-engine stable at the
+    rounding boundary), ``score_q = tf · weight_q``. Ranking by
+    (score_q DESC, term ASC) makes ties deterministic.
+
+    Scale shape: explode → tf hash-agg (map-side combine collapses the
+    Zipf head) → df hash-agg (vocabulary-sized, broadcast-able) → one
+    per-doc top-k window, which Spark plans with WindowGroupLimit
+    pushdown (partial top-k before the shuffle)."""
+    from pyspark.sql import Window
+
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    words = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+             .filter(F.length("term") > 0))
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (words.groupBy("term")
+             .agg(F.count_distinct(id_col).alias("df")))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score_q",
+                          F.col("tf") * F.expr(f"{scale} div df")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("score_q"), F.asc("term")))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "tf", "df", "score_q"))

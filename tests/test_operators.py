@@ -926,3 +926,23 @@ def test_compression_stats_signal(spark):
     for did, text in rows:
         raw, comp = compression_profile_np(text)
         assert (got[did]["raw_len"], got[did]["comp_len"]) == (raw, comp)
+
+
+def test_salient_terms_integer_scores(spark):
+    """Rarity-weighted top-k: hand-checkable integer scores, exact
+    ties broken by term, rare terms dominate frequent ones."""
+    from dataflow_flex_templates_spark.operators.text import salient_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha common"), (2, "beta common"),
+         (3, "common common gamma")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"],
+                                      r["score_q"])
+           for r in salient_terms(docs, k=2, scale=600).collect()}
+    # df: alpha 1, beta 1, gamma 1, common 3 → weights 600, 600, 600, 200
+    assert out[(1, 1)] == ("alpha", 2, 1, 1200)   # tf 2 · 600
+    assert out[(1, 2)] == ("common", 1, 3, 200)
+    assert out[(2, 1)] == ("beta", 1, 1, 600)
+    assert out[(3, 1)] == ("gamma", 1, 1, 600)
+    assert out[(3, 2)] == ("common", 2, 3, 400)
