@@ -396,6 +396,22 @@ def _q_vocabulary(spark, sf_dir):
     return vocabulary(spark.table("documents"), k=200)
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (training-mix upweighting):
+    50 documents drawn with probability increasing in n_chars —
+    integer priorities (md5-prefix uniform // weight) so the SQL
+    oracle replays the exact selection. Plans as
+    TakeOrderedAndProject (no full-input shuffle)."""
+    from dataflow_flex_templates_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    _load(spark, sf_dir)
+    out = weighted_sample(spark.table("documents"), k=50,
+                          weight_col="n_chars")
+    return out.select("doc_id", "n_chars", "priority_q")
+
+
 def _q_salient_terms(spark, sf_dir):
     """Top-3 salient terms per document — TF-IDF family with an
     integer rarity weight (scale // df) so scores are exactly
@@ -2056,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "vocabulary": _q_vocabulary,
         "salient_terms": _q_salient_terms,
+        "weighted_sample": _q_weighted_sample,
         "oov_rate": _q_oov_rate,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
@@ -2597,6 +2614,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k must mirror _q_vocabulary (200); tie-break (count DESC,
         # word ASC) is total, so rank/limit are deterministic.
+        "weighted_sample": """
+            WITH p AS (
+              SELECT doc_id, n_chars,
+                     (CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                           AS BIGINT) * 1000000000) // n_chars
+                       AS priority_q
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars, priority_q
+            FROM p ORDER BY priority_q ASC, doc_id ASC LIMIT 50
+        """,
         "salient_terms": r"""
             WITH t AS (
               SELECT doc_id,

@@ -91,3 +91,33 @@ def stratified_sample_sql(fractions: dict[str, float],
         f"({stratum_col} NOT IN ({strata}) AND {pred(default_fraction)})"
         if fractions else pred(default_fraction))
     return " OR ".join(clauses)
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    scale: int = 10**9) -> DataFrame:
+    """Deterministic weighted sampling without replacement: each row
+    gets integer priority ``(h · scale) // w`` where ``h`` is the
+    28-bit integer value of its id's md5 prefix (uniform) and ``w``
+    its weight; the ``k`` smallest priorities win (ties break by id).
+    Heavier rows draw proportionally smaller priorities, giving a
+    reproducible weight-biased sample — the Efraimidis–Spirakis
+    priority trick with a uniform (not exponential) numerator, traded
+    deliberately: exponential priorities need ``ln`` and float order,
+    which no SQL oracle can replay bit-for-bit; the integer form is
+    exact in every engine. Rows with non-positive weight never
+    qualify.
+
+    Scale: one projection + global top-k = TakeOrderedAndProject —
+    no shuffle of the full input, only k rows survive per partition.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7),
+               16, 10).cast("long")
+    w = F.col(weight_col).cast("long")
+    key = F.expr(f"__h__ * {scale} div __w__")
+    return (df.withColumn("__h__", h).withColumn("__w__", w)
+            .filter(F.col("__w__") > 0)
+            .withColumn("priority_q", key)
+            .orderBy(F.asc("priority_q"), F.asc(id_col))
+            .limit(k)
+            .drop("__h__", "__w__"))

@@ -946,3 +946,34 @@ def test_salient_terms_integer_scores(spark):
     assert out[(2, 1)] == ("beta", 1, 1, 600)
     assert out[(3, 1)] == ("gamma", 1, 1, 600)
     assert out[(3, 2)] == ("common", 2, 3, 400)
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier rows must be overrepresented, the selection must be a
+    pure function of (ids, weights), and priorities must follow the
+    integer recurrence exactly."""
+    import hashlib
+
+    from dataflow_flex_templates_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 100 if i % 10 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r["doc_id"], r["priority_q"])
+           for r in weighted_sample(df, k=100, weight_col="w").collect()]
+
+    def prio(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16)
+        return (h * 10**9) // w
+
+    want = sorted(((prio(i, w), i) for i, w in rows))[:100]
+    assert got == [(i, p) for p, i in want]
+    # 10% of rows carry 100x weight → they should dominate the sample
+    heavy = sum(1 for i, _ in got if i % 10 == 0)
+    assert heavy > 60
+    # zero/negative weights never qualify
+    df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 7)],
+                                "doc_id long, w long")
+    assert [r["doc_id"] for r in
+            weighted_sample(df2, 10, "w").collect()] == [3]
