@@ -839,6 +839,25 @@ def _q_audio_mel_stats(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_audio_mfcc_stats(spark, sf_dir):
+    """MFCCs (orthonormal DCT-II of the quantized log-mel vector) —
+    the last stage of the standard ASR front-end chain
+    decode→mel→MFCC, int64 milli-units per coefficient, per-codec
+    exact integer SUM rollup. Oracle: per-clip coefficient vectors
+    pinned from the numpy twin, rollup genuine SQL."""
+    from dataflow_flex_templates_spark.functions.audio import mfcc_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    mf = mfcc_stats()(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    coefs = [F.sum(F.element_at("__mf__", i + 1)).alias(f"sum_c{i}")
+             for i in range(5)]
+    return (clips.withColumn("__mf__", mf)
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n"), *coefs)
+            .orderBy("codec"))
+
+
 def _q_utterance_segments(spark, sf_dir):
     """VAD-run utterance splitting: one row per voiced segment
     (clip_id, seg_idx, start_frame, n_frames) — decode + segment in
@@ -2102,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_health": _q_audio_health,
         "audio_loudness": _q_audio_loudness,
         "audio_mel_stats": _q_audio_mel_stats,
+        "audio_mfcc_stats": _q_audio_mfcc_stats,
         "trim_silence": _q_trim_silence,
         "utterance_segments": _q_utterance_segments,
         "bloom_registers": _q_bloom_registers,
@@ -3647,6 +3667,17 @@ def oracle_sql() -> dict[str, str]:
         out["audio_mel_stats"] = f"""
             SELECT codec, CAST(COUNT(*) AS BIGINT) AS n, {sums}
             FROM {am} GROUP BY codec ORDER BY codec
+        """
+    # MFCC: per-clip int64 coefficient vectors twin-pinned; rollup SQL.
+    if "audio_mfcc" in const:
+        amf = _values_table(const["audio_mfcc"],
+                            ["clip_id", "codec"]
+                            + [f"c{i}" for i in range(5)])
+        csums = ", ".join(f"CAST(SUM(c{i}) AS BIGINT) AS sum_c{i}"
+                          for i in range(5))
+        out["audio_mfcc_stats"] = f"""
+            SELECT codec, CAST(COUNT(*) AS BIGINT) AS n, {csums}
+            FROM {amf} GROUP BY codec ORDER BY codec
         """
     # Compression ratio: per-doc zlib sizes pinned (identical-Python
     # twin); ratio/flag arithmetic genuine SQL. Threshold must mirror

@@ -849,3 +849,46 @@ def mel_stats(n_mels: int = 8, n_fft: int = 256, hop: int = 128):
         return pd.Series(rows)
 
     return _mel
+
+
+def mfcc_np(wave: np.ndarray, sr_hz: int, n_mfcc: int = 5,
+            n_mels: int = 8, n_fft: int = 256,
+            hop: int = 128) -> list[int]:
+    """MFCCs of one clip — the orthonormal DCT-II of the clip's mean
+    log-mel vector (:func:`mel_energies_np`), quantized to milli-units
+    (int64). The DCT input is the ALREADY-QUANTIZED integer mel vector
+    (exact), so identical integers → identical float64 products in a
+    fixed summation order → identical rounded coefficients on every
+    engine that shares this kernel."""
+    mel_milli = mel_energies_np(wave, sr_hz, n_mels, n_fft, hop)
+    x = np.asarray(mel_milli, np.float64) / 1000.0
+    m = np.arange(n_mels, dtype=np.float64)
+    out = []
+    for n in range(n_mfcc):
+        basis = np.cos(np.pi * n * (m + 0.5) / n_mels)
+        scale = math.sqrt(1.0 / n_mels) if n == 0 \
+            else math.sqrt(2.0 / n_mels)
+        out.append(int(round(float(np.dot(x, basis)) * scale * 1000.0)))
+    return out
+
+
+def mfcc_stats(n_mfcc: int = 5, n_mels: int = 8, n_fft: int = 256,
+               hop: int = 128):
+    """Factory: pandas UDF decoding + MFCC per clip in one Arrow pass
+    → array<long> milli-unit coefficients. Poison rows → null."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _mfcc(bytes_col: pd.Series, codec: pd.Series,
+              sr_col: pd.Series) -> pd.Series:
+        rows = []
+        for b, c, sr in zip(bytes_col, codec, sr_col):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                rows.append(mfcc_np(w, int(sr), n_mfcc, n_mels,
+                                    n_fft, hop))
+            except Exception:
+                rows.append(None)
+        return pd.Series(rows)
+
+    return _mfcc

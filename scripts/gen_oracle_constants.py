@@ -250,6 +250,18 @@ def main() -> None:
         for _, r in clips.iterrows()
     ]
 
+    # ---- per-clip MFCC pins (audio_mfcc_stats driver query) ----------
+    # Quantized DCT-II of the (already-int) log-mel vector; per-codec
+    # rollup genuine SQL. Params mirror _q_audio_mfcc_stats: n_mfcc=5.
+    from dataflow_flex_templates_spark.functions.audio import mfcc_np
+
+    out["audio_mfcc"] = [
+        [r["clip_id"], r["codec"],
+         *mfcc_np(decode_pcm_np(r["bytes"], r["codec"]),
+                  int(r["sr_hz"]))]
+        for _, r in clips.iterrows()
+    ]
+
     # ---- per-segment VAD-run pins (utterance_segments driver query) --
     # Same 300-clip fixture and VAD params as audio_vad_stats; only the
     # waveform-derived runs are pinned, ordering/rollup genuine SQL.

@@ -768,3 +768,49 @@ def test_mel_udf_matches_twin(spark):
         "__mel__", mel_stats()(F.col("bytes"), F.col("codec"),
                                F.col("sr_hz"))).collect()}
     assert got == pins
+
+
+def test_mfcc_kernel_properties():
+    """DCT-II sanity: a flat mel vector projects entirely onto c0
+    (all higher coefficients zero), and c0 equals sqrt(M)·mean·1000
+    under the orthonormal scaling; UDF-vs-twin parity rides the
+    pinned constants like mel."""
+    import json
+    import math
+    import os
+
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import mfcc_np
+
+    # silence → every mel band at the -10 log floor → flat vector
+    z = mfcc_np(np.zeros(1000, np.float32), 16000)
+    assert z[0] == round(math.sqrt(8) * -10.0 * 1000)
+    assert z[1:] == [0, 0, 0, 0]
+
+    const_path = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_flex_templates_spark",
+        "testing", "oracle_constants.json")
+    pins = json.load(open(const_path))["audio_mfcc"]
+    assert len(pins) == 302 and all(len(r) == 7 for r in pins)
+
+
+def test_mfcc_udf_matches_twin(spark):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import mfcc_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    const_path = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_flex_templates_spark",
+        "testing", "oracle_constants.json")
+    pins = {r[0]: list(r[2:]) for r in
+            json.load(open(const_path))["audio_mfcc"]}
+    clips = make_clips_df(spark, 300, seed=42)
+    got = {r["clip_id"]: list(r["__mf__"]) for r in clips.withColumn(
+        "__mf__", mfcc_stats()(F.col("bytes"), F.col("codec"),
+                               F.col("sr_hz"))).collect()}
+    assert got == pins
