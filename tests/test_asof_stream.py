@@ -153,3 +153,82 @@ def test_asof_enrich_stream_equals_batch(spark, tmp_path):
     assert by_key[(1, 5)][0] == 0.8
     assert by_key[(3, 3)] == (2.5, ts(30), 301)
     assert by_key[(1, 4)][0] == 0.5 and by_key[(1, 2)][0] == 0.5
+
+
+def test_asof_enrich_stream_kill_and_resume(spark, tmp_path):
+    """Kill the enrichment stream mid-run and restart from the
+    checkpoint: the carried observation and the undecided buffer must
+    resume from the state store, and the final output must equal an
+    uninterrupted run (== the batch reference)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.temporal import asof_join
+
+    probe_schema = "k long, event_time timestamp, ord long"
+    build_schema = "k long, event_time timestamp, ord long, gain double"
+
+    # revision in file 1, probes spread over files 2-5, flush tail
+    build_rows = [[(1, ts(0), 100, 0.5), (2, ts(0), 200, 1.5)],
+                  [], [], [], [(1, ts(2000), 999, 9.9)]]
+    probe_rows = [[(1, ts(5), 1)], [(2, ts(20), 2)],
+                  [(1, ts(40), 3)], [(2, ts(60), 4), (1, ts(80), 5)],
+                  [(1, ts(2000), 6)]]
+    p_dir, b_dir = str(tmp_path / "p"), str(tmp_path / "b")
+    for rows in probe_rows:
+        spark.createDataFrame(rows or [], probe_schema).coalesce(1) \
+            .write.mode("append").parquet(p_dir)
+    for rows in build_rows:
+        spark.createDataFrame(rows or [], build_schema).coalesce(1) \
+            .write.mode("append").parquet(b_dir)
+
+    def mk_query(out, ck):
+        probe = (spark.readStream.schema(probe_schema)
+                 .option("maxFilesPerTrigger", 1).parquet(p_dir)
+                 .withWatermark("event_time", "10 seconds"))
+        build = (spark.readStream.schema(build_schema)
+                 .option("maxFilesPerTrigger", 1).parquet(b_dir)
+                 .withWatermark("event_time", "10 seconds"))
+        from dataflow_flex_templates_spark.streaming.asof_stream import (
+            asof_enrich_stream,
+        )
+
+        return (asof_enrich_stream(probe, build, on="event_time",
+                                   by="k", values=["gain"],
+                                   probe_ord_col="ord",
+                                   build_ord_col="ord")
+                .writeStream.outputMode("append").format("parquet")
+                .option("path", out).option("checkpointLocation", ck)
+                .trigger(availableNow=True))
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = mk_query(out, ck).start()
+    # kill after at least one committed micro-batch
+    deadline = time.time() + 300
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = mk_query(out, ck).start()
+    q2.awaitTermination(600)
+
+    got = sorted(
+        (r["k"], r["event_time"], r["ord"], r["gain"], r["asof_ord"])
+        for r in spark.read.parquet(out).collect())
+    assert len(got) == len(set(got)), "duplicate emissions after resume"
+
+    want_df = asof_join(
+        spark.read.parquet(p_dir),
+        spark.read.parquet(b_dir)
+        .groupBy("k", "event_time")
+        .agg(F.max_by("gain", "ord").alias("gain"),
+             F.max("ord").alias("bord")),
+        on="event_time", by=["k"], values=["gain", "bord"])
+    cutoff = ts(1990).replace(tzinfo=None)
+    want = sorted(
+        (r["k"], r["event_time"], r["ord"], r["gain"], r["bord"])
+        for r in want_df.collect() if r["event_time"] < cutoff)
+    assert got == want and len(got) == 5
