@@ -1415,6 +1415,31 @@ def _q_asof_enrich_stream(spark, sf_dir):
         F.coalesce("asof_ord", F.lit(-1)).alias("asof_ord"))
 
 
+def _q_cusum_changepoint(spark, sf_dir):
+    """CUSUM drift/burst alarms over per-type hourly event counts —
+    S_t = max(0, S_{t-1} + x_t - target - slack), alarm and reset at
+    S >= threshold. A sequential per-key recurrence (like debounce /
+    MERGE-LWW) in pure integer arithmetic; downstream of any windowed
+    aggregate it is the standard error-burst detector. Oracle: the
+    recurrence re-derived as a recursive CTE."""
+    from dataflow_flex_templates_spark.operators.changepoint import (
+        cusum_alarms,
+    )
+
+    _load(spark, sf_dir)
+    hourly = (spark.table("events")
+              .groupBy("event_type",
+                       F.window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("x"))
+              .select("event_type", F.col("w.start").alias("ts"), "x"))
+    out = cusum_alarms(hourly, "event_type", "x",
+                       target=3, slack=0, threshold=8, time_col="ts")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "s_q")
+
+
 def _q_debounce(spark, sf_dir):
     """Per-key debounce/throttle over events: at most one emission per
     user per 30-minute cooldown, re-opening relative to the LAST
@@ -2143,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich_stream": _q_asof_enrich_stream,
         "range_join": _q_range_join,
         "resample_locf": _q_resample_locf,
+        "cusum_changepoint": _q_cusum_changepoint,
         "debounce": _q_debounce,
         "cep_sequence_detect": _q_cep_sequence_detect,
         "cep_absence_detect": _q_cep_absence_detect,
@@ -3361,6 +3387,35 @@ def oracle_sql() -> dict[str, str]:
         # Cooldown must mirror _q_debounce (30 min = 1.8e9 us). The
         # sequential emission recurrence walks each user's time-ordered
         # events via a recursive CTE.
+        "cusum_changepoint": """
+            WITH RECURSIVE h AS (
+              SELECT event_type,
+                     epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS w_us,
+                     CAST(COUNT(*) AS BIGINT) AS x,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY time_bucket(INTERVAL 1 HOUR, ts)) AS rn
+              FROM events
+              GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)),
+            walk AS (
+              SELECT event_type, rn, w_us,
+                     greatest(0, x - 3) AS s_pre,
+                     CASE WHEN greatest(0, x - 3) >= 8 THEN 0
+                          ELSE greatest(0, x - 3) END AS s,
+                     greatest(0, x - 3) >= 8 AS alarm
+              FROM h WHERE rn = 1
+              UNION ALL
+              SELECT h.event_type, h.rn, h.w_us,
+                     greatest(0, w.s + h.x - 3),
+                     CASE WHEN greatest(0, w.s + h.x - 3) >= 8 THEN 0
+                          ELSE greatest(0, w.s + h.x - 3) END,
+                     greatest(0, w.s + h.x - 3) >= 8
+              FROM walk w
+              JOIN h ON h.event_type = w.event_type AND h.rn = w.rn + 1)
+            SELECT event_type, w_us AS ts_us,
+                   CAST(s_pre AS BIGINT) AS s_q
+            FROM walk WHERE alarm
+        """,
         "debounce": """
             WITH RECURSIVE o AS (
               SELECT user_id, epoch_us(ts) AS ts_us, event_id,

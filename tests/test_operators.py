@@ -977,3 +977,36 @@ def test_weighted_sample_bias_and_determinism(spark):
                                 "doc_id long, w long")
     assert [r["doc_id"] for r in
             weighted_sample(df2, 10, "w").collect()] == [3]
+
+
+def test_cusum_kernel_and_batch(spark):
+    """Hand-traced CUSUM: accumulation, reset-on-alarm, floor at 0 —
+    and the batch operator reproduces the kernel per key with
+    unsorted input."""
+    from datetime import datetime, timezone
+
+    from dataflow_flex_templates_spark.operators.changepoint import (
+        cusum_alarms,
+        run_cusum,
+    )
+
+    # target 5, slack 1, threshold 6: x=10 → S=4; x=9 → S=7 ALARM,
+    # reset; x=2 → floor at 0; x=12 → S=6 ALARM
+    items = [(1, 10), (2, 9), (3, 2), (4, 12)]
+    alarms, s = run_cusum(items, target=5, slack=1, threshold=6)
+    assert alarms == [(2, 7), (4, 6)] and s == 0
+    # carried state across chunks == one-shot
+    a1, s1 = run_cusum(items[:2], 5, 1, 6)
+    a2, s2 = run_cusum(items[2:], 5, 1, 6, s=s1)
+    assert a1 + a2 == alarms and s2 == s
+
+    def t(us):
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc)
+
+    rows = [("a", t(u), x) for u, x in items[::-1]]  # reversed arrival
+    rows += [("b", t(1), 100)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x long")
+    got = sorted((r["k"], r["ts"].timestamp(), r["s_q"]) for r in
+                 cusum_alarms(df, "k", "x", target=5, slack=1,
+                              threshold=6).collect())
+    assert got == [("a", 2e-6, 7), ("a", 4e-6, 6), ("b", 1e-6, 94)]
