@@ -1257,6 +1257,52 @@ def _q_jobspec_join_transform(spark, sf_dir):
     return out.select("nationkey", "mktsegment", "n_orders", "revenue")
 
 
+def _q_jobspec_union_transform(spark, sf_dir):
+    """Union transform inside the job spec (multi-shard ingest): two
+    SQL sources covering disjoint halves of orders are appended
+    (unionByName) before the grouped aggregate — one logical source
+    from N physical shards. Oracle: the same aggregate over the whole
+    table."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+
+    _load(spark, sf_dir)
+    spec = parse_job_spec(json.dumps({
+        "sources": [
+            {"type": "bigquery", "name": "even",
+             "query": "SELECT o_orderkey, o_orderstatus, o_totalprice "
+                      "FROM orders WHERE o_orderkey % 2 = 0"},
+            {"type": "bigquery", "name": "odd",
+             "query": "SELECT o_orderkey, o_orderstatus, o_totalprice "
+                      "FROM orders WHERE o_orderkey % 2 = 1"},
+        ],
+        "targets": [{
+            "name": "Status", "type": "node", "source": "even",
+            "mode": "append",
+            "transform": {
+                "union": ["odd"],
+                "group": True,
+                "aggregations": [
+                    {"expr": "count(*)", "field": "n_orders"},
+                    {"expr": "round(sum(o_totalprice), 2)",
+                     "field": "revenue"},
+                ],
+            },
+            "mappings": [
+                {"constant": "Status", "role": "label"},
+                {"field": "o_orderstatus", "name": "status",
+                 "role": "key", "type": "String"},
+                {"field": "n_orders", "name": "n_orders",
+                 "role": "property", "type": "Long"},
+                {"field": "revenue", "name": "revenue",
+                 "role": "property", "type": "Float"},
+            ],
+        }],
+    }))
+    out = run_job(spark, spec).target_frames["Status"]
+    return out.select("status", "n_orders", "revenue")
+
+
 def _q_pagerank(spark, sf_dir):
     """Integer-exact PageRank, 10 iterations, over the supplier→part
     supply graph (distinct lineitem pairs; part ids offset so the two
@@ -2163,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _q_stream_stream_join,
         "bloom_dedup": _q_bloom_dedup,
         "jobspec_join_transform": _q_jobspec_join_transform,
+        "jobspec_union_transform": _q_jobspec_union_transform,
         "pagerank": _q_pagerank,
         "asof_join": _q_asof_join,
         "asof_enrich_stream": _q_asof_enrich_stream,
@@ -3766,6 +3813,13 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey, c.c_mktsegment
+    """
+    # Union transform: shards re-assembled = the whole table.
+    out["jobspec_union_transform"] = """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               round(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_orderstatus
     """
     # PageRank: the identical integer recurrence unrolled as 10
     # chained CTEs (generated) — bit-exact with the Spark loop.

@@ -188,6 +188,11 @@ def run_job(
                 spark, spec.actions, "nodes", http_fn)
             nodes_done = True
         src_df = frames[target.source]
+        for u in target.transform.union:
+            # multi-shard ingest: append BEFORE join/where/group so the
+            # whole transform sees one logical source
+            src_df = src_df.unionByName(frames[u],
+                                        allowMissingColumns=True)
         if target.transform.join is not None:
             from dataflow_flex_templates_spark.plans.compiler import (
                 apply_join,

@@ -164,6 +164,11 @@ class Transform:
     limit: int = -1
     window: "WindowSpec | None" = None   # streaming extension
     join: "JoinSpec | None" = None       # roadmap-item extension
+    #: Multi-shard ingest: other sources appended (unionByName, missing
+    #: columns null) to the target's source BEFORE join/where/group.
+    #: Batch-only — in a streaming job a static union would re-append
+    #: every micro-batch (SpecStreamJob rejects it).
+    union: list[str] = dc_field(default_factory=list)
 
     @property
     def is_identity(self) -> bool:

@@ -259,6 +259,7 @@ def _parse_transform(t: dict | None) -> Transform:
         limit=int(t.get("limit", -1) if t.get("limit") is not None else -1),
         window=window,
         join=join,
+        union=[str(u) for u in (t.get("union", []) or [])],
     )
 
 

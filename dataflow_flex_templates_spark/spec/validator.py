@@ -77,6 +77,12 @@ def validate_job_spec(spec: JobSpec, strict_order_by: bool = False,
             if j.how not in ("inner", "left"):
                 errors.append(f"{where}: join 'how' must be inner|left, "
                               f"got '{j.how}'")
+        for u in t.transform.union:
+            if u not in spec.sources:
+                errors.append(f"{where}: union with unknown source '{u}'")
+            elif u == t.source:
+                errors.append(f"{where}: union must name a different "
+                              f"source than the target's")
         if t.target_type == TargetType.node:
             if not t.labels:
                 errors.append(f"{where}: node target needs at least one label")

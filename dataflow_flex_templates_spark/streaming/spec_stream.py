@@ -270,6 +270,12 @@ class SpecStreamJob:
         self._win_targets: list[Target] = []
         for t in active:
             tr = t.transform
+            if tr.union:
+                raise ValueError(
+                    f"target '{t.name}': union transforms are batch-only"
+                    " — a static union would re-append its rows every"
+                    " micro-batch; model multi-shard streams as multiple"
+                    " input files/dirs instead")
             if tr.window is not None:
                 self._win_targets.append(t)
                 ct = compile_target(t)

@@ -178,3 +178,53 @@ def test_stream_static_join_matches_batch(spark):
         assert {v for _, _, v, _ in got} == {"acme", "bell"}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_union_transform_batch_and_validation(spark):
+    """Union transform: shards re-assemble before the transform;
+    missing columns null-fill; validator rejects unknown/self names;
+    SpecStreamJob rejects union outright (batch-only semantics)."""
+    from dataflow_flex_templates_spark.graph.build import run_job
+    from dataflow_flex_templates_spark.spec.validator import (
+        SpecValidationError,
+        validate_job_spec,
+    )
+
+    def spec_d(union):
+        return {
+            "sources": [
+                {"type": "bigquery", "name": "a", "query": "SELECT 1"},
+                {"type": "bigquery", "name": "b", "query": "SELECT 1"},
+            ],
+            "targets": [{"name": "T", "type": "node", "source": "a",
+                         "mode": "append",
+                         "transform": {"union": union},
+                         "mappings": [
+                             {"constant": "T", "role": "label"},
+                             {"field": "k", "name": "k", "role": "key",
+                              "type": "Long"},
+                             {"field": "v", "name": "v",
+                              "role": "property", "type": "Long"},
+                         ]}],
+        }
+
+    fa = spark.createDataFrame([(1, 10)], "k long, v long")
+    fb = spark.createDataFrame([(2,)], "k long")  # missing v → null
+    out = run_job(spark, _parse(spec_d(["b"])),
+                  source_frames={"a": fa, "b": fb}).target_frames["T"]
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == \
+        [(1, 10), (2, None)]
+
+    for union, msg in [(["nope"], "unknown source"),
+                       (["a"], "different source")]:
+        with pytest.raises(SpecValidationError, match=msg):
+            validate_job_spec(_parse(spec_d(union)))
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    with pytest.raises(ValueError, match="batch-only"):
+        SpecStreamJob(_parse(spec_d(["b"])), input_dir="/tmp/x",
+                      input_schema="k long, v long",
+                      output_dir="/tmp/y", checkpoint_dir="/tmp/z")
