@@ -472,8 +472,14 @@ class SpecStreamJob:
         for t in self.spec.targets:
             j = t.transform.join
             if j is not None and j.with_source not in self._join_frames:
+                # ordinal=False: a static dimension has no arrival
+                # order to carry, and monotonically_increasing_id in
+                # the joined subtree fails streaming analysis even
+                # when pruned (the unsupported-ops check runs on the
+                # analyzed plan, before column pruning)
                 self._join_frames[j.with_source] = read_source(
-                    spark, self.spec.sources[j.with_source])
+                    spark, self.spec.sources[j.with_source],
+                    ordinal=False)
 
         queries = []
         if self._targets:

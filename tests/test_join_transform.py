@@ -228,3 +228,91 @@ def test_union_transform_batch_and_validation(spark):
         SpecStreamJob(_parse(spec_d(["b"])), input_dir="/tmp/x",
                       input_schema="k long, v long",
                       output_dir="/tmp/y", checkpoint_dir="/tmp/z")
+
+
+def test_windowed_target_with_join(spark):
+    """A WINDOWED grouped target whose group key comes from a joined
+    static dimension (stream-static join ahead of the stateful
+    windowed aggregate) matches the batch GROUP BY over the joined
+    input."""
+    import duckdb
+
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        make_clips_pdf,
+    )
+
+    spec_dict = {
+        "sources": [
+            {"type": "bigquery", "name": "clips", "query": "SELECT 1"},
+            {"type": "text", "name": "codecs",
+             "ordered_field_names": "codec,vendor",
+             "data": [["pcm_s16le", "acme"], ["pcm_f32le", "acme"],
+                      ["ulaw", "bell"]]},
+        ],
+        "targets": [{
+            "name": "VendorWindow", "type": "node", "source": "clips",
+            "mode": "merge",
+            "transform": {
+                "join": {"with": "codecs", "on": ["codec"],
+                         "how": "inner", "broadcast": True},
+                "group": True,
+                "window": {"type": "tumbling", "duration": "10 seconds"},
+                "aggregations": [
+                    {"expr": "count(*)", "field": "n_clips"},
+                    {"expr": "sum(dur_ms)", "field": "total_ms"},
+                ],
+            },
+            "mappings": [
+                {"constant": "VendorWindow", "role": "label"},
+                {"field": "vendor", "name": "vendor", "role": "key",
+                 "type": "String"},
+                {"field": "n_clips", "name": "n_clips",
+                 "role": "property", "type": "Long"},
+                {"field": "total_ms", "name": "total_ms",
+                 "role": "property", "type": "Long"},
+            ],
+        }],
+    }
+
+    root = tempfile.mkdtemp(prefix="join_win_")
+    try:
+        inp = os.path.join(root, "input")
+        pdf = make_clips_pdf(150, seed=17, dup_rate=0.0, late_rate=0.0,
+                             max_dur_ms=300)
+        chunk = len(pdf) // 4 + 1
+        for i in range(0, len(pdf), chunk):
+            spark.createDataFrame(pdf.iloc[i:i + chunk],
+                                  schema=clips_spark_schema()) \
+                .coalesce(1).write.mode("append").parquet(inp)
+
+        job = SpecStreamJob(
+            _parse(spec_dict), input_dir=inp,
+            input_schema=clips_spark_schema(),
+            output_dir=os.path.join(root, "out"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            watermark="60 seconds", max_files_per_trigger=2)
+        job.run_to_completion(spark, timeout_s=600)
+        got = job.read_merged(spark, "VendorWindow").toPandas()
+        if got["window_start"].dt.tz is None:
+            got["window_start"] = \
+                got["window_start"].dt.tz_localize("UTC")
+
+        vendor = {"pcm_s16le": "acme", "pcm_f32le": "acme",
+                  "ulaw": "bell"}
+        pdf2 = pdf.assign(vendor=pdf["codec"].map(vendor))
+        oracle = duckdb.sql(
+            "SELECT time_bucket(INTERVAL 10 SECONDS, event_time) ws, "
+            "vendor, count(*) n, sum(dur_ms) tot FROM pdf2 "
+            "GROUP BY 1, 2").df()
+        om = {(r["ws"], r["vendor"]): (r["n"], r["tot"])
+              for _, r in oracle.iterrows()}
+        assert len(got) == len(om) > 0
+        for _, r in got.iterrows():
+            assert (r["n_clips"], r["total_ms"]) == \
+                om[(r["window_start"], r["vendor"])]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
