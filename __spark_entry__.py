@@ -1407,6 +1407,79 @@ def _q_resample_locf(spark, sf_dir):
                    F.lit(-1)).alias("asof_ts_us"))
 
 
+def _q_streaming_features(spark, sf_dir):
+    """CONTINUOUS ASR feature extraction: the clip stream decodes and
+    computes loudness gain-staging + 8-band log-mel INSIDE the
+    spec-driven streaming pipeline (vectorized Arrow UDFs in
+    prepare_fn, MERGE-LWW per clip, exactly-once sink), proving the
+    audio front-end runs end-to-end in the continuous engine — not
+    just as batch queries. Oracle: the twin-pinned per-clip integer
+    features joined in SQL (duplicate fixture rows carry identical
+    payloads, so DISTINCT collapses them)."""
+    import tempfile
+
+    from dataflow_flex_templates_spark.spec.parser import parse_job_spec
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        make_clips_pdf,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_feat_")
+    pdf = make_clips_pdf(300, seed=42)   # the oracle pins' fixture
+    chunk = len(pdf) // 4 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk],
+                              schema=clips_spark_schema()) \
+            .coalesce(1).write.mode("append").parquet(f"{root}/in")
+
+    def prepare(df):
+        from dataflow_flex_templates_spark.functions.audio import (
+            loudness_stats,
+            mel_stats,
+        )
+
+        out = (df.withColumn("__ld__", loudness_stats(target_db=-3.0)(
+                   F.col("bytes"), F.col("codec")))
+               .withColumn("__mel__", mel_stats()(
+                   F.col("bytes"), F.col("codec"), F.col("sr_hz"))))
+        out = (out.withColumn("gain_mdb", F.col("__ld__.gain_mdb"))
+               .withColumn("post_clipped", F.col("__ld__.post_clipped")))
+        for i in range(8):
+            out = out.withColumn(f"mel_{i}",
+                                 F.element_at("__mel__", i + 1))
+        return out.drop("bytes", "__ld__", "__mel__")
+
+    mappings = [
+        {"constant": "FeatClip", "role": "label"},
+        {"field": "clip_id", "name": "clip_id", "role": "key",
+         "type": "String"},
+        {"field": "gain_mdb", "name": "gain_mdb", "role": "property",
+         "type": "Long"},
+        {"field": "post_clipped", "name": "post_clipped",
+         "role": "property", "type": "Long"},
+    ] + [{"field": f"mel_{i}", "name": f"mel_{i}", "role": "property",
+          "type": "Long"} for i in range(8)]
+    spec = parse_job_spec(json.dumps({
+        "sources": [{"type": "bigquery", "name": "clips",
+                     "query": "SELECT 1"}],
+        "targets": [{"name": "FeatClip", "type": "node",
+                     "source": "clips", "mode": "merge",
+                     "mappings": mappings}],
+    }))
+    job = SpecStreamJob(
+        spec, input_dir=f"{root}/in", input_schema=clips_spark_schema(),
+        output_dir=f"{root}/out", checkpoint_dir=f"{root}/ckpt",
+        watermark="60 seconds", max_files_per_trigger=2,
+        prepare_fn=prepare)
+    job.run_to_completion(spark)
+    return job.read_merged(spark, "FeatClip").select(
+        "clip_id", "gain_mdb", "post_clipped",
+        *[f"mel_{i}" for i in range(8)])
+
+
 def _q_asof_enrich_stream(spark, sf_dir):
     """CONTINUOUS as-of enrichment (streaming twin of `asof_join`):
     purchase and view events arrive on two watermarked streams;
@@ -2213,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "asof_join": _q_asof_join,
         "asof_enrich_stream": _q_asof_enrich_stream,
+        "streaming_features": _q_streaming_features,
         "range_join": _q_range_join,
         "resample_locf": _q_resample_locf,
         "cusum_changepoint": _q_cusum_changepoint,
@@ -3769,6 +3843,25 @@ def oracle_sql() -> dict[str, str]:
         out["audio_mel_stats"] = f"""
             SELECT codec, CAST(COUNT(*) AS BIGINT) AS n, {sums}
             FROM {am} GROUP BY codec ORDER BY codec
+        """
+    # Streaming feature pipeline: per-clip loudness+mel pins joined
+    # (duplicate fixture rows carry identical payloads → DISTINCT).
+    if "audio_loudness" in const and "audio_mel" in const:
+        al2 = _values_table(const["audio_loudness"],
+                            ["clip_id", "codec", "rms_q", "gain_mdb",
+                             "post_clipped", "post_peak_q"])
+        am2 = _values_table(const["audio_mel"],
+                            ["clip_id", "codec"]
+                            + [f"m{i}" for i in range(8)])
+        mel_cols = ", ".join(f"CAST(m.m{i} AS BIGINT) AS mel_{i}"
+                             for i in range(8))
+        out["streaming_features"] = f"""
+            SELECT DISTINCT l.clip_id,
+                   CAST(l.gain_mdb AS BIGINT) AS gain_mdb,
+                   CAST(l.post_clipped AS BIGINT) AS post_clipped,
+                   {mel_cols}
+            FROM (SELECT * FROM {al2}) l
+            JOIN (SELECT * FROM {am2}) m ON l.clip_id = m.clip_id
         """
     # MFCC: per-clip int64 coefficient vectors twin-pinned; rollup SQL.
     if "audio_mfcc" in const:
