@@ -1257,6 +1257,40 @@ def _q_jobspec_join_transform(spark, sf_dir):
     return out.select("nationkey", "mktsegment", "n_orders", "revenue")
 
 
+def _q_bloom_prejoin(spark, sf_dir):
+    """Runtime-filter pattern end-to-end: a Bloom filter built from
+    the dimension side's keys (BUILDING-segment customers) broadcasts
+    and prunes the orders scan BEFORE the exact join — no false
+    negatives, so pruned ⨝ dim ≡ orders ⨝ dim, which is exactly what
+    the oracle checks (plain SQL semi-join + group). At 100 TB this is
+    the pre-join fact-scan pruning documented in docs/SCALE.md; the
+    probe side never shuffles (register table broadcasts)."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_registers,
+    )
+
+    _load(spark, sf_dir)
+    dim = (spark.table("customer")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select(F.col("c_custkey").alias("key")))
+    regs = bloom_registers(dim, "key", m_bits=1 << 14, k=4)
+    orders = spark.table("orders").select("o_custkey", "o_orderstatus")
+    # probe the DISTINCT key set (bloom_might_contain's contract —
+    # it collapses probe-row multiplicity), then rejoin the surviving
+    # keys to the fact rows; both joins broadcast
+    cand = bloom_might_contain(
+        regs, orders.select("o_custkey").distinct(),
+        "o_custkey", m_bits=1 << 14, k=4)
+    keep = cand.filter("might_contain").select("o_custkey")
+    pruned = orders.join(F.broadcast(keep), "o_custkey")
+    exact = pruned.join(F.broadcast(dim),
+                        pruned["o_custkey"] == dim["key"])
+    return (exact.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderstatus"))
+
+
 def _q_jobspec_union_transform(spark, sf_dir):
     """Union transform inside the job spec (multi-shard ingest): two
     SQL sources covering disjoint halves of orders are appended
@@ -2283,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "jobspec_join_transform": _q_jobspec_join_transform,
         "jobspec_union_transform": _q_jobspec_union_transform,
+        "bloom_prejoin": _q_bloom_prejoin,
         "pagerank": _q_pagerank,
         "asof_join": _q_asof_join,
         "asof_enrich_stream": _q_asof_enrich_stream,
@@ -3906,6 +3941,15 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey, c.c_mktsegment
+    """
+    # Bloom prejoin: no false negatives → pruned ⨝ dim ≡ plain join.
+    out["bloom_prejoin"] = """
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
     """
     # Union transform: shards re-assembled = the whole table.
     out["jobspec_union_transform"] = """
