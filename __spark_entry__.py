@@ -1257,6 +1257,23 @@ def _q_jobspec_join_transform(spark, sf_dir):
     return out.select("nationkey", "mktsegment", "n_orders", "revenue")
 
 
+def _q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (degree-ordered orientation, the
+    O(m^1.5) Schank–Wagner algorithm) over a deterministic 150-node
+    graph derived from orders. Exact integer order key (deg·2^32 +
+    node) makes the orientation — and therefore every wedge and
+    triangle — reproducible in the SQL oracle."""
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        triangle_counts,
+    )
+
+    _load(spark, sf_dir)
+    e = (spark.table("orders")
+         .select((F.col("o_custkey") % 150).cast("long").alias("src"),
+                 (F.col("o_orderkey") % 150).cast("long").alias("dst")))
+    return triangle_counts(e)
+
+
 def _q_bloom_prejoin(spark, sf_dir):
     """Runtime-filter pattern end-to-end: a Bloom filter built from
     the dimension side's keys (BUILDING-segment customers) broadcasts
@@ -2318,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jobspec_join_transform": _q_jobspec_join_transform,
         "jobspec_union_transform": _q_jobspec_union_transform,
         "bloom_prejoin": _q_bloom_prejoin,
+        "triangle_count": _q_triangle_count,
         "pagerank": _q_pagerank,
         "asof_join": _q_asof_join,
         "asof_enrich_stream": _q_asof_enrich_stream,
@@ -3941,6 +3959,42 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey, c.c_mktsegment
+    """
+    # Triangle counting: the same degree-ordered orientation algebra.
+    out["triangle_count"] = """
+        WITH e0 AS (
+          SELECT o_custkey % 150 AS a, o_orderkey % 150 AS b
+          FROM orders),
+        und AS (
+          SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+          FROM e0 WHERE a <> b),
+        nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+        deg AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM und
+            UNION ALL SELECT b FROM und) GROUP BY node),
+        dk AS (SELECT node, deg * 4294967296 + node AS k FROM deg),
+        o AS (
+          SELECT CASE WHEN da.k < db.k THEN und.a ELSE und.b END AS u,
+                 CASE WHEN da.k < db.k THEN und.b ELSE und.a END AS v,
+                 greatest(da.k, db.k) AS kv
+          FROM und
+          JOIN dk da ON da.node = und.a
+          JOIN dk db ON db.node = und.b),
+        ww AS (
+          SELECT o1.u, o1.v, o2.v AS w
+          FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.kv < o2.kv),
+        tri AS (
+          SELECT ww.u, ww.v, ww.w FROM ww
+          JOIN o ON o.u = ww.v AND o.v = ww.w),
+        corners AS (
+          SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri),
+        cnt AS (SELECT node, COUNT(*) AS n FROM corners GROUP BY node)
+        SELECT CAST(n.node AS BIGINT) AS node,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+        FROM nodes n LEFT JOIN cnt c ON c.node = n.node
     """
     # Bloom prejoin: no false negatives → pruned ⨝ dim ≡ plain join.
     out["bloom_prejoin"] = """

@@ -149,3 +149,83 @@ def pagerank_unrolled_sql(
     return ("WITH " + ",".join(parts)
             + f" SELECT node, CAST(rank_q AS BIGINT) AS rank_q"
               f" FROM {prev}")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph (duplicate /
+    reversed / self-loop edges tolerated), via the degree-ordered
+    orientation (Schank–Wagner): orient every edge from the lower
+    (degree, node) endpoint to the higher, making a DAG in which each
+    triangle appears exactly once as wedge u→v, u→w (v before w) plus
+    edge v→w. Wedge fan-out is bounded by ORIENTED out-degree ≤
+    O(sqrt(m)) — the standard O(m^1.5) bound — instead of raw degree,
+    which is what makes this survive power-law graphs at scale.
+    Returns (node, n_triangles) for every node (0 included).
+
+    All joins are equi-joins on node ids; the order key is the exact
+    integer deg·2^32 + node, so orientation is deterministic and a SQL
+    oracle replays it bit-for-bit.
+    """
+    e_raw = edges.select(F.col(src_col).alias("a"),
+                         F.col(dst_col).alias("b"))
+    und = (e_raw.filter(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b"))
+           .distinct())
+    nodes = (und.select(F.col("a").alias("node"))
+             .unionByName(und.select(F.col("b").alias("node")))
+             .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    key = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("k")
+    dk = deg.select("node", key)
+    ea = und.join(dk.withColumnRenamed("node", "a")
+                  .withColumnRenamed("k", "ka"), "a")
+    eab = ea.join(dk.withColumnRenamed("node", "b")
+                  .withColumnRenamed("k", "kb"), "b")
+    oriented = eab.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a"))
+         .otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b"))
+         .otherwise(F.col("a")).alias("v"),
+        F.greatest("ka", "kb").alias("kv"))
+    o1 = oriented.select(F.col("u"), F.col("v"), F.col("kv"))
+    o2 = (oriented.select(F.col("u"), F.col("v").alias("w"),
+                          F.col("kv").alias("kw")))
+    wedges = (o1.join(o2, "u")
+              .filter(F.col("kv") < F.col("kw"))
+              .select("u", "v", "w"))
+    tri = wedges.join(oriented.select(F.col("u").alias("v"),
+                                      F.col("v").alias("w")),
+                      ["v", "w"])
+    corners = (tri.select(F.col("u").alias("node"))
+               .unionByName(tri.select(F.col("v").alias("node")))
+               .unionByName(tri.select(F.col("w").alias("node"))))
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    return (nodes.join(counts, "node", "left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .alias("n_triangles")))
+
+
+def triangle_counts_py(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Pure-python twin: brute-force triangle membership counts."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    adj: dict[int, set] = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {v: 0 for v in nodes}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # count each triangle once per unordered triple
+                out[a] += 1
+                out[b] += 1
+                out[c] += 1
+    return out

@@ -53,3 +53,28 @@ def test_pagerank_spark_equals_python_and_sql(spark, iters):
     oracle = {int(n): int(q)
               for n, q in duckdb.sql(sql).fetchall()}
     assert oracle == want
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        triangle_counts,
+        triangle_counts_py,
+    )
+
+    # K4 + pendant: every K4 vertex is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 9), (9, 9)]  # pendant + self-loop (ignored)
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+    import random
+    rng = random.Random(11)
+    rnd = [(rng.randrange(25), rng.randrange(25)) for _ in range(180)]
+    # reversed duplicates must not double-count
+    rnd += [(b, a) for a, b in rnd[:30]]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(
+        spark.createDataFrame(rnd, "src long, dst long")).collect()}
+    want = triangle_counts_py(rnd)
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
