@@ -1585,6 +1585,35 @@ def _q_asof_enrich_stream(spark, sf_dir):
         F.coalesce("asof_ord", F.lit(-1)).alias("asof_ord"))
 
 
+def _q_sessionize(spark, sf_dir):
+    """Batch sessionization: assign each event a per-user session id
+    (30-min inactivity gap) — the cumulative-flag window idiom
+    (session_id = running sum of gap>threshold markers), the batch
+    complement of the streaming session_window aggregate. One shuffle
+    on user_id, two window passes over the same sort. Oracle: the
+    identical window algebra in SQL."""
+    _load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")),
+                  "event_id"))
+    gap_us = 30 * 60 * 1_000_000
+    ev = (spark.table("events")
+          .withColumn("ts_us",
+                      F.unix_micros(F.col("ts").cast("timestamp")))
+          .withColumn("prev_us", F.lag("ts_us").over(w))
+          .withColumn("new_sess",
+                      (F.col("prev_us").isNull()
+                       | (F.col("ts_us") - F.col("prev_us") > gap_us))
+                      .cast("long")))
+    w2 = (Window.partitionBy("user_id")
+          .orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.withColumn("session_id", F.sum("new_sess").over(w2))
+            .select("user_id", "ts_us", "event_id", "session_id"))
+
+
 def _q_cusum_changepoint(spark, sf_dir):
     """CUSUM drift/burst alarms over per-type hourly event counts —
     S_t = max(0, S_{t-1} + x_t - target - slack), alarm and reset at
@@ -2342,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_features": _q_streaming_features,
         "range_join": _q_range_join,
         "resample_locf": _q_resample_locf,
+        "sessionize": _q_sessionize,
         "cusum_changepoint": _q_cusum_changepoint,
         "debounce": _q_debounce,
         "cep_sequence_detect": _q_cep_sequence_detect,
@@ -3561,6 +3591,25 @@ def oracle_sql() -> dict[str, str]:
         # Cooldown must mirror _q_debounce (30 min = 1.8e9 us). The
         # sequential emission recurrence walks each user's time-ordered
         # events via a recursive CTE.
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_us
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN prev_us IS NULL
+                               OR ts_us - prev_us > 1800000000
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e)
+            SELECT user_id, ts_us, event_id,
+                   CAST(SUM(new_sess) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f
+        """,
         "cusum_changepoint": """
             WITH RECURSIVE h AS (
               SELECT event_type,
