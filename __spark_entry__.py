@@ -858,6 +858,56 @@ def _q_audio_mfcc_stats(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_audio_pitch_stats(spark, sf_dir):
+    """Pitch / zero-crossing prosody features (FFT-autocorrelation
+    argmax over the 50–400 Hz lag band, integer-quantized at the clip
+    boundary) — the flat-pitch / tone-contamination curation signal.
+    One Arrow decode pass, per-codec exact integer rollup. Oracle:
+    per-clip integers pinned from the numpy twin, rollup genuine SQL."""
+    from dataflow_flex_templates_spark.functions.audio import pitch_stats
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    p = pitch_stats()(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    return (clips.withColumn("__p__", p)
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__p__.zcr_n").alias("sum_zcr"),
+                 F.sum("__p__.pitch_lag").alias("sum_lag"),
+                 F.sum("__p__.pitch_mhz").alias("sum_pitch_mhz"),
+                 F.sum("__p__.conf_ppm").alias("sum_conf_ppm"))
+            .orderBy("codec"))
+
+
+def _q_audio_transcode(spark, sf_dir):
+    """Lossy-extension-codec ingest gate (G.711 A-law + IMA ADPCM,
+    functions/codecs.py): decode each clip and score it against the
+    reference waveform re-derived from clip_id alone — the per-row
+    decoded-PCM SNR invariant as a measured column. ADPCM is 4
+    bits/sample, so at a 100 TB scan this codec path reads 1/4 the
+    bytes of pcm_s16le. Oracle: per-clip integers pinned from the
+    numpy twin, per-codec rollup genuine SQL."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        transcode_fidelity_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 200, seed=77, max_dur_ms=800,
+                          codec_choices=["alaw", "adpcm_ima"])
+    tc = transcode_fidelity_stats()(
+        F.col("bytes"), F.col("codec"), F.col("clip_id"),
+        F.col("sr_hz"), F.col("dur_ms"))
+    return (clips.withColumn("__tc__", tc)
+            .groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__tc__.n_samples").alias("sum_samples"),
+                 F.sum("__tc__.sum_abs_q").alias("sum_abs_q"),
+                 F.min("__tc__.snr_mdb").alias("min_snr_mdb"),
+                 F.sum((F.col("__tc__.snr_mdb") >= F.lit(30000))
+                       .cast("long")).alias("clips_snr30_ok"))
+            .orderBy("codec"))
+
+
 def _q_utterance_segments(spark, sf_dir):
     """VAD-run utterance splitting: one row per voiced segment
     (clip_id, seg_idx, start_frame, n_frames) — decode + segment in
@@ -2346,6 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loudness": _q_audio_loudness,
         "audio_mel_stats": _q_audio_mel_stats,
         "audio_mfcc_stats": _q_audio_mfcc_stats,
+        "audio_pitch_stats": _q_audio_pitch_stats,
+        "audio_transcode": _q_audio_transcode,
         "trim_silence": _q_trim_silence,
         "utterance_segments": _q_utterance_segments,
         "bloom_registers": _q_bloom_registers,
@@ -3975,6 +4027,34 @@ def oracle_sql() -> dict[str, str]:
         out["audio_mfcc_stats"] = f"""
             SELECT codec, CAST(COUNT(*) AS BIGINT) AS n, {csums}
             FROM {amf} GROUP BY codec ORDER BY codec
+        """
+    # Pitch/ZCR: per-clip int64 prosody features twin-pinned; rollup SQL.
+    if "audio_pitch" in const:
+        ap = _values_table(const["audio_pitch"],
+                           ["clip_id", "codec", "zcr_n", "pitch_lag",
+                            "pitch_mhz", "conf_ppm"])
+        out["audio_pitch_stats"] = f"""
+            SELECT codec, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(zcr_n) AS BIGINT) AS sum_zcr,
+                   CAST(SUM(pitch_lag) AS BIGINT) AS sum_lag,
+                   CAST(SUM(pitch_mhz) AS BIGINT) AS sum_pitch_mhz,
+                   CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm
+            FROM {ap} GROUP BY codec ORDER BY codec
+        """
+    # Transcode fidelity: per-clip decode-vs-reference integers pinned
+    # (lossy alaw/adpcm_ima fixture); rollup + SNR gate genuine SQL.
+    if "audio_transcode" in const:
+        at = _values_table(const["audio_transcode"],
+                           ["clip_id", "codec", "n_samples",
+                            "sum_abs_q", "snr_mdb"])
+        out["audio_transcode"] = f"""
+            SELECT codec, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_samples) AS BIGINT) AS sum_samples,
+                   CAST(SUM(sum_abs_q) AS BIGINT) AS sum_abs_q,
+                   CAST(MIN(snr_mdb) AS BIGINT) AS min_snr_mdb,
+                   CAST(SUM(CASE WHEN snr_mdb >= 30000 THEN 1 ELSE 0
+                            END) AS BIGINT) AS clips_snr30_ok
+            FROM {at} GROUP BY codec ORDER BY codec
         """
     # Compression ratio: per-doc zlib sizes pinned (identical-Python
     # twin); ratio/flag arithmetic genuine SQL. Threshold must mirror

@@ -14,6 +14,8 @@ Codecs (all public-textbook formats):
   pcm_s16le — little-endian int16 PCM, scale 1/32767
   pcm_f32le — little-endian float32 PCM (lossless)
   ulaw      — continuous μ-law companding (μ=255), 8-bit
+  alaw      — ITU-T G.711 A-law, 8-bit (functions/codecs.py)
+  adpcm_ima — IMA/DVI ADPCM, 4 bits/sample (functions/codecs.py)
 
 μ-law here is the analytic companding curve (y = sgn(x)·ln(1+μ|x|)/ln(1+μ))
 quantized to 8 bits — matching encoder in testing/clips.py.
@@ -65,6 +67,16 @@ def decode_pcm_np(buf: bytes | bytearray | memoryview, codec: str) -> np.ndarray
         return np.frombuffer(buf, dtype="<f4").astype(np.float32)
     if codec == "ulaw":
         return _ULAW_LUT[np.frombuffer(buf, dtype=np.uint8)]
+    if codec == "alaw":
+        from dataflow_flex_templates_spark.functions.codecs import (
+            alaw_decode_np,
+        )
+        return alaw_decode_np(buf)
+    if codec == "adpcm_ima":
+        from dataflow_flex_templates_spark.functions.codecs import (
+            adpcm_ima_decode_np,
+        )
+        return adpcm_ima_decode_np(buf)
     raise ValueError(f"unknown codec: {codec}")
 
 
@@ -78,6 +90,16 @@ def encode_pcm_np(wave: np.ndarray, codec: str) -> bytes:
     if codec == "ulaw":
         y = np.sign(w) * np.log1p(_MU * np.abs(w)) / _LN1P_MU
         return ((y + 1.0) / 2.0 * 255.0).round().astype(np.uint8).tobytes()
+    if codec == "alaw":
+        from dataflow_flex_templates_spark.functions.codecs import (
+            alaw_encode_np,
+        )
+        return alaw_encode_np(w)
+    if codec == "adpcm_ima":
+        from dataflow_flex_templates_spark.functions.codecs import (
+            adpcm_ima_encode_np,
+        )
+        return adpcm_ima_encode_np(w)
     raise ValueError(f"unknown codec: {codec}")
 
 
@@ -892,3 +914,124 @@ def mfcc_stats(n_mfcc: int = 5, n_mels: int = 8, n_fft: int = 256,
         return pd.Series(rows)
 
     return _mfcc
+
+
+# ------------------------------------------------------------------
+# Pitch / zero-crossing features — prosody signals for training-data
+# curation (flat-pitch synthetic speech, hum/tone contamination).
+# Integer-quantized at the clip boundary (the loudness/mel oracle
+# pattern) so cross-clip rollups are exact integer arithmetic.
+# ------------------------------------------------------------------
+
+def pitch_zcr_np(wave: np.ndarray, sr_hz: int,
+                 f_lo: float = 50.0, f_hi: float = 400.0) -> tuple:
+    """(zcr_n, pitch_lag, pitch_mhz, conf_ppm) of one decoded clip.
+
+    zcr_n      sign-change count (int)
+    pitch_lag  argmax of the FFT autocorrelation over lags
+               [sr/f_hi, sr/f_lo] (samples)
+    pitch_mhz  round(1000 · sr / lag) — pitch in milli-Hz
+    conf_ppm   round(1e6 · r[lag]/r[0]) — periodicity confidence
+
+    One rfft/irfft pair per clip (O(n log n), no O(n·lags) dot
+    products); float64 throughout, quantized once at the boundary.
+    """
+    w = np.asarray(wave, dtype=np.float64)
+    n = len(w)
+    if n < 8:
+        return 0, 0, 0, 0
+    zcr = int(np.count_nonzero(np.signbit(w[1:]) != np.signbit(w[:-1])))
+    lo = max(2, int(sr_hz / f_hi))
+    hi = min(n - 1, int(sr_hz / f_lo))
+    if hi <= lo:
+        return zcr, 0, 0, 0
+    nfft = 1
+    while nfft < 2 * n:
+        nfft <<= 1
+    spec = np.fft.rfft(w, nfft)
+    r = np.fft.irfft(spec * np.conj(spec), nfft)[:hi + 1]
+    if r[0] <= 0:
+        return zcr, 0, 0, 0
+    lag = int(np.argmax(r[lo:hi + 1])) + lo
+    conf = float(r[lag] / r[0])
+    return (zcr, lag, int(round(1000.0 * sr_hz / lag)),
+            int(round(conf * 1e6)))
+
+
+_PITCH_SCHEMA = T.StructType([
+    T.StructField("zcr_n", T.LongType()),
+    T.StructField("pitch_lag", T.LongType()),
+    T.StructField("pitch_mhz", T.LongType()),
+    T.StructField("conf_ppm", T.LongType()),
+])
+
+
+def pitch_stats(f_lo: float = 50.0, f_hi: float = 400.0):
+    """Factory: pandas UDF decoding + pitch/ZCR per clip in one Arrow
+    pass. Poison rows → nulls."""
+
+    @pandas_udf(_PITCH_SCHEMA)
+    def _pitch(bytes_col: pd.Series, codec: pd.Series,
+               sr_col: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, c, sr in zip(bytes_col, codec, sr_col):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+                rows.append(pitch_zcr_np(w, int(sr), f_lo, f_hi))
+            except Exception:
+                rows.append((None, None, None, None))
+        return pd.DataFrame(rows, columns=["zcr_n", "pitch_lag",
+                                           "pitch_mhz", "conf_ppm"])
+
+    return _pitch
+
+
+# ------------------------------------------------------------------
+# Transcode fidelity — the per-row decoded-PCM invariant (BASELINE
+# input_hint: SNR ≥ 30 dB vs the reference waveform) as a first-class
+# measured column, so lossy-codec ingest (alaw, adpcm_ima) is gated by
+# data, not by assumption. The reference waveform is re-derived from
+# clip_id alone (testing/clips.py seeds it by a stable hash), so no
+# ground-truth bytes ship through the plan.
+# ------------------------------------------------------------------
+
+_TRANSCODE_SCHEMA = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_abs_q", T.LongType()),
+    T.StructField("snr_mdb", T.LongType()),
+])
+
+
+def transcode_fidelity_stats():
+    """Factory: pandas UDF decoding each clip and scoring it against
+    its re-derived reference waveform in one Arrow pass:
+
+      n_samples  decoded sample count
+      sum_abs_q  Σ round(|x|·1e6) — int64 energy proxy, exact to sum
+      snr_mdb    round(snr_db(ref, decoded) · 1000)
+
+    Poison rows → nulls."""
+
+    @pandas_udf(_TRANSCODE_SCHEMA)
+    def _tc(bytes_col: pd.Series, codec: pd.Series, cid_col: pd.Series,
+            sr_col: pd.Series, dur_col: pd.Series) -> pd.DataFrame:
+        from dataflow_flex_templates_spark.testing.clips import (
+            reference_waveform,
+        )
+        rows = []
+        for b, c, cid, sr, dur in zip(bytes_col, codec, cid_col,
+                                      sr_col, dur_col):
+            try:
+                w = decode_pcm_np(b, c)
+                ref = reference_waveform(cid, int(sr), int(dur))
+                sum_abs_q = int(np.abs(np.round(
+                    w.astype(np.float64) * 1e6)).astype(np.int64).sum())
+                rows.append((len(w), sum_abs_q,
+                             int(round(snr_db(ref, w) * 1000.0))))
+            except Exception:
+                rows.append((None, None, None))
+        return pd.DataFrame(rows, columns=["n_samples", "sum_abs_q",
+                                           "snr_mdb"])
+
+    return _tc

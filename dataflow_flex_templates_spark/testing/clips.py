@@ -88,6 +88,8 @@ def make_clips_pdf(
     watermark_s: int = 60,
     max_dur_ms: int = 2000,
     max_step_ms: int = 50,
+    codec_choices: list[str] | None = None,
+    codec_weights: list[float] | None = None,
 ) -> pd.DataFrame:
     """Generate n clips (+ duplicates) as a pandas DataFrame.
 
@@ -95,12 +97,15 @@ def make_clips_pdf(
     a late tail (≫ watermark) for drop/count tests.
     """
     rng = random.Random(seed)
+    codecs = codec_choices if codec_choices is not None else CODEC_CHOICES
+    weights = codec_weights if codec_weights is not None else (
+        CODEC_WEIGHTS if codec_choices is None else [1.0] * len(codecs))
     rows = []
     t = EPOCH
     for i in range(n):
         clip_id = f"clip_{i:012d}"
         sr = rng.choices(SR_CHOICES, SR_WEIGHTS)[0]
-        codec = rng.choices(CODEC_CHOICES, CODEC_WEIGHTS)[0]
+        codec = rng.choices(codecs, weights)[0]
         dur = rng.randrange(200, max_dur_ms)
         w = reference_waveform(clip_id, sr, dur)
         payload = encode_pcm_np(w, codec)

@@ -338,6 +338,41 @@ def main() -> None:
     out["bloom_dedup_fp_victims"] = sorted(
         int(u) for u in firsts if u not in emitted_keys)
 
+    # ---- per-clip pitch/ZCR pins (audio_pitch_stats driver query) ----
+    # Same 300-clip fixture as loudness/mel; per-clip integer pitch
+    # features from the numpy twin, per-codec rollup genuine SQL.
+    from dataflow_flex_templates_spark.functions.audio import pitch_zcr_np
+
+    out["audio_pitch"] = [
+        [r["clip_id"], r["codec"],
+         *map(int, pitch_zcr_np(decode_pcm_np(r["bytes"], r["codec"]),
+                                int(r["sr_hz"])))]
+        for _, r in clips.iterrows()
+    ]
+
+    # ---- per-clip transcode-fidelity pins (audio_transcode query) ----
+    # Lossy-extension-codec fixture (alaw + adpcm_ima, seed 77); the
+    # pins replicate transcode_fidelity_stats' per-clip math exactly:
+    # decoded length, int64 |x| energy proxy, SNR vs the re-derived
+    # reference waveform in milli-dB. Rollup genuine SQL.
+    from dataflow_flex_templates_spark.functions.audio import snr_db
+    from dataflow_flex_templates_spark.testing.clips import (
+        reference_waveform,
+    )
+
+    tc_clips = make_clips_pdf(200, seed=77, max_dur_ms=800,
+                              codec_choices=["alaw", "adpcm_ima"])
+    tc_rows = []
+    for _, r in tc_clips.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        ref = reference_waveform(r["clip_id"], int(r["sr_hz"]),
+                                 int(r["dur_ms"]))
+        sum_abs_q = int(np.abs(np.round(
+            w.astype(np.float64) * 1e6)).astype(np.int64).sum())
+        tc_rows.append([r["clip_id"], r["codec"], len(w), sum_abs_q,
+                        int(round(snr_db(ref, w) * 1000.0))])
+    out["audio_transcode"] = tc_rows
+
     with open(OUT, "w") as f:
         json.dump(out, f)
     sizes = {k: (len(v) if isinstance(v, list) else v)
