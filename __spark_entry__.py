@@ -908,6 +908,34 @@ def _q_audio_transcode(spark, sf_dir):
             .orderBy("codec"))
 
 
+def _q_wav_ingest(spark, sf_dir):
+    """WAV/RIFF container ingest (sources/wav.py): binaryFile scan →
+    chunk-walk parse → clip-table rows, stereo downmixed by exact
+    integer mean, LIST-chunk pad bytes walked, one truncated poison
+    file degrading to ok=false. Oracle: the fixture facts are fully
+    derivable without Spark (testing/wavio.py twin), pinned as VALUES."""
+    import tempfile
+
+    from dataflow_flex_templates_spark.sources.wav import read_wav_dir
+    from dataflow_flex_templates_spark.testing.wavio import (
+        write_wav_fixture_dir,
+    )
+
+    d = tempfile.mkdtemp(prefix="wav_fixture_")
+    write_wav_fixture_dir(d, n_files=40)
+    # poison row's NULL fields → -1 sentinel: NaN-vs-NaN compares
+    # unequal in the driver's value canonicalization
+    return (read_wav_dir(spark, d)
+            .select("clip_id", "ok",
+                    F.coalesce("sr_hz", F.lit(-1)).alias("sr_hz"),
+                    F.coalesce("n_channels", F.lit(-1))
+                     .alias("n_channels"),
+                    F.coalesce("n_frames", F.lit(-1)).alias("n_frames"),
+                    F.coalesce("dur_ms", F.lit(-1)).alias("dur_ms"),
+                    F.coalesce("sum_abs", F.lit(-1)).alias("sum_abs"))
+            .orderBy("clip_id"))
+
+
 def _q_utterance_segments(spark, sf_dir):
     """VAD-run utterance splitting: one row per voiced segment
     (clip_id, seg_idx, start_frame, n_frames) — decode + segment in
@@ -2398,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mfcc_stats": _q_audio_mfcc_stats,
         "audio_pitch_stats": _q_audio_pitch_stats,
         "audio_transcode": _q_audio_transcode,
+        "wav_ingest": _q_wav_ingest,
         "trim_silence": _q_trim_silence,
         "utterance_segments": _q_utterance_segments,
         "bloom_registers": _q_bloom_registers,
@@ -2482,6 +2511,8 @@ def _constants() -> dict:
 def _values_table(rows, cols: list[str]) -> str:
     """Render rows as a DuckDB inline VALUES relation."""
     def lit(v):
+        if v is None:
+            return "NULL"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, bool):
@@ -4040,6 +4071,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(pitch_mhz) AS BIGINT) AS sum_pitch_mhz,
                    CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm
             FROM {ap} GROUP BY codec ORDER BY codec
+        """
+    # WAV ingest: fixture facts fully derivable without Spark
+    # (testing/wavio.py writer/parser twin) — pinned VALUES, the
+    # SELECT/ORDER genuine SQL; the poison file carries NULL fields.
+    if "wav_ingest" in const:
+        wv = _values_table(const["wav_ingest"],
+                           ["clip_id", "ok", "sr_hz", "n_channels",
+                            "n_frames", "dur_ms", "sum_abs"])
+        out["wav_ingest"] = f"""
+            SELECT clip_id, ok, CAST(sr_hz AS INTEGER) AS sr_hz,
+                   CAST(n_channels AS INTEGER) AS n_channels,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(dur_ms AS INTEGER) AS dur_ms,
+                   CAST(sum_abs AS BIGINT) AS sum_abs
+            FROM {wv} ORDER BY clip_id
         """
     # Transcode fidelity: per-clip decode-vs-reference integers pinned
     # (lossy alaw/adpcm_ima fixture); rollup + SNR gate genuine SQL.

@@ -373,6 +373,22 @@ def main() -> None:
                         int(round(snr_db(ref, w) * 1000.0))])
     out["audio_transcode"] = tc_rows
 
+    # ---- WAV-ingest fixture facts (wav_ingest driver query) ----------
+    # Fully derivable without Spark: the wavio writer/parser twin IS
+    # the oracle; the poison file (i=13) pins NULL fields.
+    from dataflow_flex_templates_spark.testing.wavio import (
+        make_wav_fixture,
+    )
+
+    wav_rows = []
+    for i in range(40):
+        _, _, facts = make_wav_fixture(i)
+        wav_rows.append([
+            facts["name"], facts["ok"], facts.get("sr_hz", -1),
+            facts.get("n_channels", -1), facts.get("n_frames", -1),
+            facts.get("dur_ms", -1), facts.get("sum_abs", -1)])
+    out["wav_ingest"] = wav_rows
+
     with open(OUT, "w") as f:
         json.dump(out, f)
     sizes = {k: (len(v) if isinstance(v, list) else v)
