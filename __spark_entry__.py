@@ -438,6 +438,57 @@ def _q_oov_rate(spark, sf_dir):
     return oov_stats(docs, vocabulary(docs, k=10))
 
 
+def _q_corpus_health(spark, sf_dir):
+    """Multi-level corpus composition (ROLLUP over lang × source with
+    explicit grouping bits; exact-integer measures). One Expand +
+    single partial/final hash agg — the provenance-mix monitor a
+    curation pipeline runs per snapshot. Oracle: the identical ROLLUP
+    in DuckDB SQL."""
+    from dataflow_flex_templates_spark.operators.text import corpus_health
+
+    _load(spark, sf_dir)
+    return corpus_health(spark.table("documents"))
+
+
+def _q_pivot_lang_matrix(spark, sf_dir):
+    """Explicit-values PIVOT: source × lang matrix of doc counts and
+    n_chars totals with row margins — ONE partial+final hash agg over
+    CASE expressions, no distinct-discovery pass, schema bounded by
+    the declared value list. Oracle: the identical CASE algebra."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        pivot_matrix,
+    )
+
+    _load(spark, sf_dir)
+    return pivot_matrix(spark.table("documents"), "source", "lang",
+                        ["de", "en", "es", "fr", "zh"], "n_chars")
+
+
+def _q_ewma_chars(spark, sf_dir):
+    """Per-source integer EWMA over the doc_id-ordered n_chars series
+    — the whole recurrence runs JVM-side (array_sort + aggregate fold
+    + posexplode), no Python kernel. Oracle: the same truncating
+    recurrence as a DuckDB recursive CTE."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        ewma_smooth,
+    )
+
+    _load(spark, sf_dir)
+    return ewma_smooth(spark.table("documents"), "source", "doc_id",
+                       "n_chars", alpha_num=3, alpha_den=10)
+
+
+def _q_bigram_novelty(spark, sf_dir):
+    """Per-doc LM-style bigram novelty vs the corpus top-100 bigram
+    head — array-side bigram build (no shuffle), one corpus hash agg,
+    TakeOrdered head, broadcast membership probe, integer permille
+    score. Oracle: the same algebra via DuckDB list SQL."""
+    from dataflow_flex_templates_spark.operators.text import bigram_novelty
+
+    _load(spark, sf_dir)
+    return bigram_novelty(spark.table("documents"), k=100)
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Context-window chunking: overlapping token-bounded training
     chunks (40-token chunks, 8-token overlap so the small fixture docs
@@ -2395,6 +2446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salient_terms": _q_salient_terms,
         "weighted_sample": _q_weighted_sample,
         "oov_rate": _q_oov_rate,
+        "corpus_health": _q_corpus_health,
+        "bigram_novelty": _q_bigram_novelty,
+        "pivot_lang_matrix": _q_pivot_lang_matrix,
+        "ewma_chars": _q_ewma_chars,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3035,6 +3090,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(k.oov_tokens, 0) AS BIGINT)
                      AS oov_tokens
             FROM documents d LEFT JOIN k USING (doc_id)
+        """,
+        # gid formula must mirror corpus_health (grouping(lang)*2 +
+        # grouping(source)); measures are exact integers (sum div
+        # count, never a float mean).
+        "corpus_health": r"""
+            SELECT lang, source,
+                   CAST(GROUPING(lang) AS BIGINT) * 2
+                     + CAST(GROUPING(source) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                   CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars_q
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        # Value list must mirror _q_pivot_lang_matrix; totals count
+        # only the declared values (a lang outside the list is not a
+        # pivot column, so it must not leak into the margins).
+        "pivot_lang_matrix": r"""
+            SELECT source,
+                   CAST(SUM(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(SUM(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(SUM(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+                   CAST(COALESCE(SUM(CASE WHEN lang='de' THEN n_chars END), 0) AS BIGINT) AS sum_de,
+                   CAST(COALESCE(SUM(CASE WHEN lang='en' THEN n_chars END), 0) AS BIGINT) AS sum_en,
+                   CAST(COALESCE(SUM(CASE WHEN lang='es' THEN n_chars END), 0) AS BIGINT) AS sum_es,
+                   CAST(COALESCE(SUM(CASE WHEN lang='fr' THEN n_chars END), 0) AS BIGINT) AS sum_fr,
+                   CAST(COALESCE(SUM(CASE WHEN lang='zh' THEN n_chars END), 0) AS BIGINT) AS sum_zh,
+                   CAST(SUM(CASE WHEN lang IN ('de','en','es','fr','zh')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_total,
+                   CAST(COALESCE(SUM(CASE WHEN lang IN ('de','en','es','fr','zh')
+                            THEN n_chars END), 0) AS BIGINT) AS sum_total
+            FROM documents GROUP BY source
+        """,
+        # alpha (3/10) must mirror _q_ewma_chars; // floors like
+        # Spark's div on the all-positive n_chars series.
+        "ewma_chars": r"""
+            WITH RECURSIVE s AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            e AS (
+              SELECT source, doc_id, n_chars, rn,
+                     n_chars AS ewma_q
+              FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.source, s.doc_id, s.n_chars, s.rn,
+                     (3 * s.n_chars + 7 * e.ewma_q) // 10
+              FROM s JOIN e ON s.source = e.source
+                           AND s.rn = e.rn + 1)
+            SELECT source, doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ewma_q AS BIGINT) AS ewma_q
+            FROM e
+        """,
+        # k must mirror _q_bigram_novelty (top-100 bigram head);
+        # tie-break (n DESC, bigram ASC) mirrors the Spark TakeOrdered.
+        "bigram_novelty": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            ws AS (
+              SELECT doc_id,
+                     list_filter(string_split(nt, ' '),
+                                 x -> length(x) > 0) AS w
+              FROM t),
+            b AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+              FROM ws, UNNEST(range(1, greatest(len(w), 1))) AS r(i)),
+            c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram),
+            h AS (SELECT bigram FROM c
+                  ORDER BY n DESC, bigram ASC LIMIT 100),
+            j AS (
+              SELECT b.doc_id, b.bigram, h.bigram IS NOT NULL AS hit
+              FROM b LEFT JOIN h ON b.bigram = h.bigram)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                   CAST(COUNT(DISTINCT CASE WHEN NOT hit THEN bigram END)
+                     AS BIGINT) AS n_novel_distinct,
+                   CAST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END) * 1000
+                     // COUNT(*) AS BIGINT) AS novelty_permille
+            FROM j GROUP BY doc_id
         """,
         # Chunk/step constants must mirror _q_doc_chunks (40, overlap 8
         # → step 32); token algebra mirrors token_counts.

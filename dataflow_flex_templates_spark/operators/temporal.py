@@ -225,3 +225,55 @@ def resample_locf(
         on=on, by=by, values=list(values),
         right_ord_col=right_ord_col, match_time_col="asof_ts")
     return out.withColumnRenamed(on, grid_col)
+
+
+def ewma_smooth(df: DataFrame, key_col: str, order_col: str,
+                value_col: str, alpha_num: int = 3,
+                alpha_den: int = 10) -> DataFrame:
+    """Per-key exponentially-weighted moving average over an
+    event-time-ordered integer series — the standard smoother for
+    noisy per-clip loudness / rate metrics before alerting on them.
+
+    Integer recurrence (``alpha = alpha_num/alpha_den``), truncating
+    at every step so the oracle replays it bit-for-bit::
+
+        s_1 = v_1
+        s_t = (alpha_num * v_t + (alpha_den - alpha_num) * s_{t-1})
+              div alpha_den
+
+    Unlike CUSUM/debounce (python kernels via applyInPandas), the
+    whole recurrence here runs JVM-side through Catalyst higher-order
+    functions: collect the key's series once, ``array_sort`` by
+    (order, value), then a single ``aggregate`` fold that emits the
+    running smoothed array, ``posexplode`` back to rows. No Python in
+    the loop at all.
+
+    Scale: one shuffle on the key; the fold is sequential per key (the
+    only parallelism a recurrence admits — same argument as
+    changepoint.py). Per-key series must be horizon-bounded (windowed
+    aggregates, not raw events) — the collected array is the state.
+    """
+    dn = alpha_den - alpha_num
+    pairs = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("v"))))
+    # Fold: acc is an array of (o, v, s) structs; each step appends the
+    # next smoothed value computed from the previous element's s.
+    fold = F.expr(f"""
+        aggregate(
+          pairs,
+          CAST(array() AS ARRAY<STRUCT<o: BIGINT, v: BIGINT, s: BIGINT>>),
+          (acc, x) -> array_append(acc, struct(
+            x.o AS o, x.v AS v,
+            CASE WHEN size(acc) = 0 THEN x.v
+                 ELSE ({alpha_num} * x.v
+                       + {dn} * element_at(acc, -1).s) div {alpha_den}
+            END AS s)))
+    """)
+    return (df.groupBy(key_col)
+            .agg(pairs.alias("pairs"))
+            .select(key_col, F.explode(fold).alias("e"))
+            .select(key_col,
+                    F.col("e.o").alias(order_col),
+                    F.col("e.v").alias(value_col),
+                    F.col("e.s").alias("ewma_q")))

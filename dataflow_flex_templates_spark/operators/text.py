@@ -700,3 +700,76 @@ def salient_terms(df: DataFrame, k: int = 3, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(id_col, "rank", "term", "tf", "df", "score_q"))
+
+
+def corpus_health(df: DataFrame, dims: tuple[str, str] = ("lang", "source"),
+                  size_col: str = "n_chars") -> DataFrame:
+    """Multi-level corpus composition report — one ROLLUP pass over the
+    grouping dimensions (per (lang, source), per lang subtotal, grand
+    total) with explicit grouping bits so subtotal rows stay
+    unambiguous even when a dimension itself contains NULLs. The
+    training-data counterpart of the reference's per-target row
+    counters (provenance mix / size budget monitoring).
+
+    All measures are exact integers: doc count, total/max size, and an
+    integer-quantized mean (``sum div count``) — a float mean would
+    ride cross-engine rounding. ``gid`` is ``grouping(dim1)*2 +
+    grouping(dim2)`` (0 = leaf, 1 = dim2 rolled up, 3 = grand total).
+
+    Scale shape: Spark plans ROLLUP as Expand (L+1 rows per input row)
+    feeding ONE partial+final hash aggregate — a single shuffle whose
+    width is the distinct (lang, source) lattice, not the corpus. At
+    10^12 docs the Expand multiplier is absorbed by map-side combine;
+    no per-level rescan of the input."""
+    d1, d2 = dims
+    # grouping() is only legal inside the ROLLUP aggregate itself, so
+    # gid is computed in agg(), not a downstream select.
+    gid = (F.grouping(d1).cast("long") * 2
+           + F.grouping(d2).cast("long")).alias("gid")
+    return (df.rollup(d1, d2)
+            .agg(gid,
+                 F.count("*").cast("long").alias("n_docs"),
+                 F.sum(size_col).cast("long").alias("sum_chars"),
+                 F.max(size_col).cast("long").alias("max_chars"))
+            .withColumn("avg_chars_q",
+                        F.expr("sum_chars div n_docs")))
+
+
+def bigram_novelty(df: DataFrame, k: int = 100, text_col: str = "text",
+                   id_col: str = "doc_id", scale: int = 1000) -> DataFrame:
+    """Per-document language-model-style novelty score: the share of a
+    document's word bigrams that fall OUTSIDE the corpus's top-``k``
+    bigram head. High-novelty docs are either valuable long-tail data
+    or garbage — either way the docs a curation pipeline wants ranked.
+
+    Kept exactly integer (counts + a ``div``-quantized permille) so the
+    SQL oracle reproduces every value: a real LM perplexity would ride
+    libm ``log`` rounding cross-engine. Docs with fewer than two
+    tokens have no bigrams and are absent from the output by design.
+
+    Scale shape: bigrams are built array-side (slice + transform —
+    whole-stage codegen, no shuffle), then ONE corpus-wide hash agg
+    for the head (map-side combine collapses the Zipf head), a global
+    top-k (TakeOrderedAndProject, never a full sort), and a broadcast
+    membership probe — the per-doc agg shuffles on doc_id only. The
+    head is k rows, always broadcast-able; nothing all-pairs."""
+    toks = F.filter(F.split(norm_text(F.col(text_col)), " "),
+                    lambda x: F.length(x) > 0)
+    words = df.select(F.col(id_col), toks.alias("w"))
+    bg = F.explode(F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+    doc_bg = words.select(id_col, bg.alias("bigram"))
+    head = (doc_bg.groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("bigram")).limit(k)
+            .select("bigram", F.lit(1).alias("is_head")))
+    return (doc_bg.join(F.broadcast(head), "bigram", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(F.when(F.col("is_head").isNull(), 1)
+                       .otherwise(0)).alias("n_novel"),
+                 F.count_distinct(
+                     F.when(F.col("is_head").isNull(),
+                            F.col("bigram"))).alias("n_novel_distinct"))
+            .withColumn("novelty_permille",
+                        F.expr(f"n_novel * {scale} div n_bigrams")))

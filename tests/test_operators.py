@@ -1010,3 +1010,74 @@ def test_cusum_kernel_and_batch(spark):
                  cusum_alarms(df, "k", "x", target=5, slack=1,
                               threshold=6).collect())
     assert got == [("a", 2e-6, 7), ("a", 4e-6, 6), ("b", 1e-6, 94)]
+
+
+def test_corpus_health_rollup_levels(spark):
+    """ROLLUP levels carry exact integer measures, and the explicit
+    gid bits disambiguate a NULL dimension value from a rolled-up
+    one (the classic ROLLUP ambiguity)."""
+    from dataflow_flex_templates_spark.operators.text import corpus_health
+
+    rows = [(1, "en", "web", 10), (2, "en", "web", 30),
+            (3, "en", "book", 5), (4, "de", "web", 7),
+            (5, None, "web", 100)]  # NULL lang ≠ rolled-up lang
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long")
+    out = {(r["lang"], r["source"], r["gid"]): r
+           for r in corpus_health(df).collect()}
+    leaf = out[("en", "web", 0)]
+    assert (leaf["n_docs"], leaf["sum_chars"], leaf["max_chars"],
+            leaf["avg_chars_q"]) == (2, 40, 30, 20)
+    sub = out[("en", None, 1)]           # source rolled up
+    assert (sub["n_docs"], sub["sum_chars"]) == (3, 45)
+    # NULL-lang leaf (gid 0) and NULL-lang subtotal (gid 1) are
+    # distinct rows ONLY because gid disambiguates them.
+    assert out[(None, "web", 0)]["n_docs"] == 1
+    assert out[(None, None, 1)]["n_docs"] == 1
+    total = out[(None, None, 3)]
+    assert (total["n_docs"], total["sum_chars"], total["max_chars"],
+            total["avg_chars_q"]) == (5, 152, 100, 30)
+    assert len(out) == 8  # 4 leaves + 3 lang subtotals + grand total
+
+
+def test_bigram_novelty_hand_counts(spark):
+    """Hand-verifiable corpus: with k=1 the head is the most frequent
+    bigram ('a b', tie-broken by name); everything else is novel."""
+    from dataflow_flex_templates_spark.operators.text import (
+        bigram_novelty,
+    )
+
+    rows = [(1, "a b a b"),     # bigrams: a b, b a, a b
+            (2, "a b c"),       # bigrams: a b, b c
+            (3, "x"),           # no bigrams → absent from output
+            (4, "")]            # no tokens → absent
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in bigram_novelty(df, k=1).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_bigrams"], r1["n_novel"], r1["n_novel_distinct"],
+            r1["novelty_permille"]) == (3, 1, 1, 333)
+    r2 = out[2]
+    assert (r2["n_bigrams"], r2["n_novel"], r2["n_novel_distinct"],
+            r2["novelty_permille"]) == (2, 1, 1, 500)
+
+
+def test_pivot_matrix_cells_and_margins(spark):
+    """Explicit-values pivot: empty cells coalesce to 0, undeclared
+    pivot values stay out of both the columns AND the margins."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        pivot_matrix,
+    )
+
+    rows = [("s1", "en", 10), ("s1", "en", 20), ("s1", "de", 5),
+            ("s2", "de", 7), ("s2", "xx", 1000)]  # xx undeclared
+    df = spark.createDataFrame(rows, "source string, lang string, n_chars long")
+    out = {r["source"]: r for r in pivot_matrix(
+        df, "source", "lang", ["de", "en"], "n_chars").collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_de"], s1["n_en"], s1["sum_de"], s1["sum_en"],
+            s1["n_total"], s1["sum_total"]) == (1, 2, 5, 30, 3, 35)
+    # s2: en cell is empty → 0 not null; 'xx' invisible everywhere
+    assert (s2["n_de"], s2["n_en"], s2["sum_de"], s2["sum_en"],
+            s2["n_total"], s2["sum_total"]) == (1, 0, 7, 0, 1, 7)

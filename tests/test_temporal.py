@@ -170,3 +170,20 @@ def test_resample_locf_daily_grid(spark):
         (1, ts(4 * 86400), 30.0),    # tick == obs time: equal-time match
         (2, ts(0), 5.0),
     ]
+
+
+def test_ewma_smooth_integer_recurrence(spark):
+    """Hand-checked truncating EWMA (alpha=3/10): s1=v1, then
+    s_t = (3 v_t + 7 s_{t-1}) div 10; keys fold independently."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        ewma_smooth,
+    )
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 0), ("b", 1, 100)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = [tuple(r) for r in
+           ewma_smooth(df, "k", "t", "v").orderBy("k", "t").collect()]
+    assert out == [("a", 1, 10, 10),   # seed
+                   ("a", 2, 20, 13),   # (60 + 70) div 10
+                   ("a", 3, 0, 9),     # (0 + 91) div 10
+                   ("b", 1, 100, 100)]
