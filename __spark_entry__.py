@@ -478,6 +478,65 @@ def _q_ewma_chars(spark, sf_dir):
                        "n_chars", alpha_num=3, alpha_den=10)
 
 
+def _q_ewma_stream_chars(spark, sf_dir):
+    """The streaming twin of ewma_chars: documents replayed as a
+    chunked file stream (event_time = EPOCH + doc_id s, injective and
+    order-preserving), smoothed by the watermark-gated
+    applyInPandasWithState EWMA whose carry survives micro-batch
+    boundaries. Per-source flush rows far past the end finalize every
+    real row, then are filtered out. Oracle: the SAME recursive CTE
+    as the batch row — the streaming path must land on identical
+    smoothed values."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from dataflow_flex_templates_spark.streaming.ewma import ewma_stream
+    from dataflow_flex_templates_spark.testing.clips import EPOCH
+
+    _load(spark, sf_dir)
+    pdf = (spark.table("documents")
+           .select("source", "doc_id", "n_chars")
+           .orderBy("doc_id").toPandas())
+    pdf["event_time"] = pdf["doc_id"].map(
+        lambda d: EPOCH + timedelta(seconds=int(d)))
+    pdf = pdf[["source", "event_time", "n_chars"]]
+    schema = "source string, event_time timestamp, n_chars long"
+    root = tempfile.mkdtemp(prefix="entry_ewma_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 8 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+    far = EPOCH + timedelta(days=30)
+    flush = pd.DataFrame(
+        [(s, far, 0) for s in sorted(pdf["source"].unique())],
+        columns=["source", "event_time", "n_chars"])
+    spark.createDataFrame(flush, schema=schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("event_time", "10 seconds"))
+    out_dir = os.path.join(root, "out")
+    q = (ewma_stream(stream, "source", "n_chars")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    epoch_us = int(EPOCH.timestamp()) * 1_000_000
+    return (spark.read.parquet(out_dir)
+            .filter(F.col("event_time") < F.lit(EPOCH + timedelta(days=1)))
+            .select("source",
+                    ((F.unix_micros("event_time") - F.lit(epoch_us))
+                     / F.lit(1_000_000)).cast("long").alias("doc_id"),
+                    F.col("value").alias("n_chars"),
+                    "ewma_q"))
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """Per-doc LM-style bigram novelty vs the corpus top-100 bigram
     head — array-side bigram build (no shuffle), one corpus hash agg,
@@ -2450,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_novelty": _q_bigram_novelty,
         "pivot_lang_matrix": _q_pivot_lang_matrix,
         "ewma_chars": _q_ewma_chars,
+        "ewma_stream_chars": _q_ewma_stream_chars,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -2545,6 +2605,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOPWORDS_SQL = ("['a','and','are','as','at','be','by','for','from','has',"
                   "'he','in','is','it','its','of','on','that','the','to',"
                   "'was','were','will','with']")
+
+#: Shared by ewma_chars (batch Catalyst fold) and ewma_stream_chars
+#: (applyInPandasWithState) — both must reproduce this recurrence.
+_EWMA_CHARS_SQL = r"""
+    WITH RECURSIVE s AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    e AS (
+      SELECT source, doc_id, n_chars, rn,
+             n_chars AS ewma_q
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.source, s.doc_id, s.n_chars, s.rn,
+             (3 * s.n_chars + 7 * e.ewma_q) // 10
+      FROM s JOIN e ON s.source = e.source
+                   AND s.rn = e.rn + 1)
+    SELECT source, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ewma_q AS BIGINT) AS ewma_q
+    FROM e
+"""
 
 _CONSTANTS = None
 
@@ -3126,27 +3209,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         # alpha (3/10) must mirror _q_ewma_chars; // floors like
-        # Spark's div on the all-positive n_chars series.
-        "ewma_chars": r"""
-            WITH RECURSIVE s AS (
-              SELECT source, doc_id, n_chars,
-                     row_number() OVER (PARTITION BY source
-                                        ORDER BY doc_id) AS rn
-              FROM documents),
-            e AS (
-              SELECT source, doc_id, n_chars, rn,
-                     n_chars AS ewma_q
-              FROM s WHERE rn = 1
-              UNION ALL
-              SELECT s.source, s.doc_id, s.n_chars, s.rn,
-                     (3 * s.n_chars + 7 * e.ewma_q) // 10
-              FROM s JOIN e ON s.source = e.source
-                           AND s.rn = e.rn + 1)
-            SELECT source, doc_id,
-                   CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(ewma_q AS BIGINT) AS ewma_q
-            FROM e
-        """,
+        # Spark's div on the all-positive n_chars series. The
+        # streaming twin must land on the SAME values, so it shares
+        # the oracle verbatim.
+        "ewma_chars": _EWMA_CHARS_SQL,
+        "ewma_stream_chars": _EWMA_CHARS_SQL,
         # k must mirror _q_bigram_novelty (top-100 bigram head);
         # tie-break (n DESC, bigram ASC) mirrors the Spark TakeOrdered.
         "bigram_novelty": r"""

@@ -241,6 +241,11 @@ def ewma_smooth(df: DataFrame, key_col: str, order_col: str,
         s_t = (alpha_num * v_t + (alpha_den - alpha_num) * s_{t-1})
               div alpha_den
 
+    Values must be NON-NEGATIVE: on negatives the three engines'
+    integer divisions disagree (Spark ``div`` truncates toward zero,
+    python ``//`` and DuckDB ``//`` floor) and the recurrence
+    amplifies the one-off.
+
     Unlike CUSUM/debounce (python kernels via applyInPandas), the
     whole recurrence here runs JVM-side through Catalyst higher-order
     functions: collect the key's series once, ``array_sort`` by
@@ -277,3 +282,22 @@ def ewma_smooth(df: DataFrame, key_col: str, order_col: str,
                     F.col("e.o").alias(order_col),
                     F.col("e.v").alias(value_col),
                     F.col("e.s").alias("ewma_q")))
+
+
+def run_ewma(pairs: list[tuple[int, int]], alpha_num: int,
+             alpha_den: int, carry: int | None = None
+             ) -> tuple[list[tuple[int, int, int]], int | None]:
+    """Feed (order, value) pairs — ALREADY sorted by (order, value),
+    the same tie-break array_sort gives the JVM fold — through the
+    truncating EWMA recurrence, seeding from ``carry`` (the smoothed
+    value carried across micro-batches; None = fresh key). Returns
+    ([(order, value, smoothed)], new_carry). Pure python — shared by
+    the streaming state function and the batch↔streaming parity
+    tests; bit-equal to :func:`ewma_smooth`'s Catalyst fold."""
+    out = []
+    dn = alpha_den - alpha_num
+    for o, v in pairs:
+        carry = v if carry is None else (
+            (alpha_num * v + dn * carry) // alpha_den)
+        out.append((o, v, carry))
+    return out, carry

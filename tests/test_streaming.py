@@ -1044,3 +1044,72 @@ def test_bloom_dedup_stream_equals_batch(spark, tmp_path):
     want_final = [w for w in want if w[1] < ts(985).replace(tzinfo=None)]
     assert got == want_final
     assert len(got) >= 5
+
+
+def test_ewma_stream_equals_batch(spark, tmp_path):
+    """Streaming EWMA (python kernel, watermark-gated state) is
+    byte-equal to the batch Catalyst fold over the same non-late
+    rows, with the carry surviving across micro-batches and
+    out-of-order arrivals inside the watermark re-sorted."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.operators.temporal import (
+        ewma_smooth,
+    )
+    from dataflow_flex_templates_spark.streaming.ewma import ewma_stream
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t0 = datetime(2025, 4, 1, tzinfo=timezone.utc)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    chunks = [
+        [("a", ts(0), 10), ("a", ts(4), 20), ("b", ts(2), 100)],
+        [("a", ts(8), 0), ("b", ts(33), 50)],
+        [("a", ts(16), 40), ("b", ts(31), 0)],   # 31 after 33: disorder
+        [("a", ts(24), 7), ("a", ts(20), 3)],    # disorder within key
+        [("a", ts(1000), 1), ("b", ts(1000), 1)],  # flush the tail
+    ]
+    inp = str(tmp_path / "in")
+    for rows in chunks:
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "event_time", "v"]),
+            schema=schema).coalesce(1).write.mode("append").parquet(inp)
+
+    batch = spark.read.parquet(inp).withColumn(
+        "o", F.unix_micros("event_time"))
+    want = sorted(tuple(r) for r in ewma_smooth(
+        batch, "k", "o", "v").collect())
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("event_time", "15 seconds"))
+    out = str(tmp_path / "out")
+    q = (ewma_stream(stream, "k", "v")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    got = sorted(
+        (r["k"],
+         int(r["event_time"].replace(tzinfo=timezone.utc).timestamp()
+             * 1_000_000),
+         r["value"], r["ewma_q"])
+        for r in spark.read.parquet(out).collect())
+    # flush rows are never finalized (watermark stops 15 s short)
+    want_final = [w for w in want if w[1] < 985_000_000 + int(
+        t0.timestamp() * 1_000_000)]
+    assert got == want_final
+    assert len(got) == 9
