@@ -3,12 +3,13 @@
 The reference engine's mapping grammar has no pivot; a corpus
 dashboard wants the codec × sample-rate matrix as ONE row per codec
 with a column per rate (counts + total duration), not the long-form
-group-by. Spark's ``groupBy().pivot()`` does exactly this — but only
-the explicit-values form is scale-safe: without a value list Spark
-runs an extra distinct() pass over the pivot column to discover
-values, and an unbounded value set means an unbounded schema. At
+group-by. Only the explicit-values form of pivot is scale-safe:
+value discovery means an extra distinct() pass over the pivot
+column, and an unbounded value set means an unbounded schema. At
 10^12 rows the dimension lattice (codecs × rates) is a config-known
-constant, so we require it up front.
+constant, so we require it up front — and compile the pivot to CASE
+aggregates directly (see pivot_matrix for the plan comparison with
+``groupBy().pivot()``).
 """
 
 from __future__ import annotations
@@ -24,25 +25,29 @@ def pivot_matrix(df: DataFrame, row_dim: str, col_dim: str,
     (total of ``measure_col``, 0 when the cell is empty), plus
     ``n_total``/``sum_total`` row margins.
 
-    Plans as a single partial+final hash aggregate over CASE
-    expressions (the explicit-values pivot never shuffles twice and
-    never scans for distinct pivot values). The SQL oracle is the
-    same CASE algebra, so every cell is bit-exact cross-engine.
+    We compile the pivot to CASE aggregates ourselves rather than
+    calling ``groupBy().pivot()``: with explicit values Spark's pivot
+    still plans TWO shuffles (a (row, col)-lattice cell aggregate,
+    then a pivotfirst rearrange on the row key) where the CASE form
+    is ONE partial+final hash aggregate on the row key — measured on
+    the executed plan, 2 Exchanges / 4 HashAggregates vs 1 / 2. The
+    lattice shuffle is small, but at 10^12 rows there is no reason to
+    pay it at all, and the CASE algebra is byte-identical to the SQL
+    oracle.
     """
-    p = (df.groupBy(row_dim)
-         .pivot(col_dim, col_values)
-         .agg(F.count(F.lit(1)).alias("n"),  # count("*") is illegal in Pivot
-              F.sum(measure_col).alias("s")))
-    out = p.select(
-        row_dim,
-        *[F.coalesce(F.col(f"{v}_n"), F.lit(0)).cast("long")
-          .alias(f"n_{v}") for v in col_values],
-        *[F.coalesce(F.col(f"{v}_s"), F.lit(0)).cast("long")
-          .alias(f"sum_{v}") for v in col_values],
-    )
-    n_total = sum((F.col(f"n_{v}") for v in col_values[1:]),
-                  F.col(f"n_{col_values[0]}"))
-    s_total = sum((F.col(f"sum_{v}") for v in col_values[1:]),
-                  F.col(f"sum_{col_values[0]}"))
-    return (out.withColumn("n_total", n_total.cast("long"))
-            .withColumn("sum_total", s_total.cast("long")))
+    cv = F.col(col_dim)
+    cells = []
+    for v in col_values:
+        cells.append(F.sum(F.when(cv == v, 1).otherwise(0))
+                     .cast("long").alias(f"n_{v}"))
+    for v in col_values:
+        cells.append(F.coalesce(F.sum(F.when(cv == v,
+                                             F.col(measure_col))),
+                                F.lit(0)).cast("long").alias(f"sum_{v}"))
+    declared = cv.isin(col_values)
+    return (df.groupBy(row_dim)
+            .agg(*cells,
+                 F.sum(F.when(declared, 1).otherwise(0))
+                 .cast("long").alias("n_total"),
+                 F.coalesce(F.sum(F.when(declared, F.col(measure_col))),
+                            F.lit(0)).cast("long").alias("sum_total")))
