@@ -2047,6 +2047,174 @@ def _q_stream_stream_join(spark, sf_dir):
         "clip_id", "codec", "n_samples", "transcript_norm")
 
 
+def _q_stream_stream_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join (clip stream ⟕
+    transcript stream on clip_id + event-time range): matched rows
+    emit inner-join style; unmatched clips emit null-padded ONLY
+    after the watermark proves no transcript can still arrive —
+    Spark's outer-join state eviction, exercised end-to-end. Both
+    sides derive arithmetically from `documents` (transcripts exist
+    only for doc_id % 3 != 0), so the oracle is a plain SQL CASE.
+    Flush rows on both streams push the final watermark; they are
+    filtered from the result."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.testing.clips import EPOCH
+
+    _load(spark, sf_dir)
+    docs = (spark.table("documents").filter("doc_id < 200")
+            .select("doc_id", "text", "n_chars").orderBy("doc_id")
+            .toPandas())
+    left_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("l_time", T.TimestampType())])
+    right_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("has_t", T.LongType()),
+        T.StructField("r_time", T.TimestampType())])
+    lrows, rrows = [], []
+    for doc_id, text, n_chars in zip(docs["doc_id"], docs["text"],
+                                     docs["n_chars"]):
+        doc_id = int(doc_id)
+        ts = EPOCH + timedelta(seconds=doc_id)
+        cid = f"doc_{doc_id:06d}"
+        lrows.append((cid, int(n_chars), ts))
+        if doc_id % 3 != 0:
+            rrows.append((cid, text, 1, ts + timedelta(seconds=2)))
+    flush_t = EPOCH + timedelta(days=30)
+    lrows.append(("flush", 0, flush_t))
+    rrows.append(("flush", "", 1, flush_t))
+
+    root = tempfile.mkdtemp(prefix="entry_ssloj_")
+    lin, rin = os.path.join(root, "l"), os.path.join(root, "r")
+    chunk = len(lrows) // 6 + 1
+    for i in range(0, len(lrows), chunk):
+        spark.createDataFrame(
+            pd.DataFrame(lrows[i:i + chunk],
+                         columns=["clip_id", "n_chars", "l_time"]),
+            left_schema).coalesce(1).write.mode("append").parquet(lin)
+    for i in range(0, len(rrows), chunk):
+        spark.createDataFrame(
+            pd.DataFrame(rrows[i:i + chunk],
+                         columns=["clip_id", "transcript", "has_t",
+                                  "r_time"]),
+            right_schema).coalesce(1).write.mode("append").parquet(rin)
+
+    ls = (spark.readStream.schema(left_schema)
+          .option("maxFilesPerTrigger", 2).parquet(lin)
+          .withWatermark("l_time", "10 seconds"))
+    rs = (spark.readStream.schema(right_schema)
+          .option("maxFilesPerTrigger", 2).parquet(rin)
+          .withWatermark("r_time", "10 seconds"))
+    joined = ls.join(
+        rs,
+        (ls.clip_id == rs.clip_id)
+        & (rs.r_time >= ls.l_time)
+        & (rs.r_time <= ls.l_time + F.expr("interval 1 minute")),
+        "leftOuter").select(ls.clip_id, "n_chars", "transcript", "has_t")
+    out_dir, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+    q = (joined.writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    res = spark.read.parquet(out_dir).filter("clip_id <> 'flush'")
+    if res.count() < len(docs):
+        # outer state not fully evicted (watermark landed short): one
+        # more flush file forces a batch that drains it
+        for path, schema, row, cols in (
+                (lin, left_schema,
+                 ("flush2", 0, flush_t + timedelta(days=1)),
+                 ["clip_id", "n_chars", "l_time"]),
+                (rin, right_schema,
+                 ("flush2", "", 1, flush_t + timedelta(days=1)),
+                 ["clip_id", "transcript", "has_t", "r_time"])):
+            spark.createDataFrame(pd.DataFrame([row], columns=cols),
+                                  schema).coalesce(1) \
+                .write.mode("append").parquet(path)
+        q = (joined.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        res = spark.read.parquet(out_dir).filter(
+            "clip_id NOT LIKE 'flush%'")
+    return res.select(
+        "clip_id", "n_chars", "transcript",
+        F.coalesce(F.col("has_t"), F.lit(0)).cast("long").alias("matched"))
+
+
+def _q_stream_dedup_within_wm(spark, sf_dir):
+    """Spark's built-in streaming dedup
+    (dropDuplicatesWithinWatermark): first arrival per clip_id wins,
+    state evicted once the watermark passes the kept row's event time
+    plus the delay — the engine-native complement to the
+    bloom_dedup / MERGE-LWW rows on this board. Determinism contract:
+    the revision rows replay in a LATER micro-batch than every base
+    row (own file, maxFilesPerTrigger=1), so 'first arrival' is
+    well-defined; within a single batch Spark keeps an arbitrary row.
+    Oracle: base rows, i.e. `documents` verbatim."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.testing.clips import EPOCH
+
+    _load(spark, sf_dir)
+    docs = (spark.table("documents")
+            .select("doc_id", "text", "n_chars").orderBy("doc_id")
+            .toPandas())
+    schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("event_time", T.TimestampType())])
+    base, revs = [], []
+    for doc_id, text, n_chars in zip(docs["doc_id"], docs["text"],
+                                     docs["n_chars"]):
+        doc_id = int(doc_id)
+        ts = EPOCH + timedelta(seconds=doc_id)
+        cid = f"doc_{doc_id:06d}"
+        base.append((cid, text, int(n_chars), ts))
+        if doc_id % 5 == 0:
+            revs.append((cid, (text or "") + " rev2", int(n_chars),
+                         ts + timedelta(seconds=1)))
+    cols = ["clip_id", "transcript", "n_chars", "event_time"]
+    root = tempfile.mkdtemp(prefix="entry_ddwm_")
+    inp = os.path.join(root, "in")
+    chunk = len(base) // 6 + 1
+    for i in range(0, len(base), chunk):
+        spark.createDataFrame(pd.DataFrame(base[i:i + chunk],
+                                           columns=cols),
+                              schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+    # every revision lands AFTER all base files → later micro-batch
+    spark.createDataFrame(pd.DataFrame(revs, columns=cols),
+                          schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("event_time", "1 hour"))
+    deduped = stream.dropDuplicatesWithinWatermark(["clip_id"])
+    out_dir = os.path.join(root, "out")
+    q = (deduped.writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return (spark.read.parquet(out_dir)
+            .select("clip_id", "transcript", "n_chars"))
+
+
 def _q_actions_named_barrier(spark, sf_dir):
     """D1 execute_after_name: an action that waits on ONE named target
     (GcpToNeo4j.java:333-336, BeamBlock.java:38-104) — it runs right
@@ -2556,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_clip_graph": _q_streaming_clip_graph,
         "spec_stream_graph": _q_spec_stream_graph,
         "stream_stream_join": _q_stream_stream_join,
+        "stream_stream_left_join": _q_stream_stream_left_join,
+        "stream_dedup_within_wm": _q_stream_dedup_within_wm,
         "bloom_dedup": _q_bloom_dedup,
         "jobspec_join_transform": _q_jobspec_join_transform,
         "jobspec_union_transform": _q_jobspec_union_transform,
@@ -4038,6 +4208,25 @@ def oracle_sql() -> dict[str, str]:
                  AS n_samples,
                {base_norm} AS transcript_norm
         FROM documents WHERE doc_id < 200
+    """
+    # doc_id % 3 != 0 gate must mirror _q_stream_stream_left_join's
+    # transcript-side generator; unmatched clips carry NULL transcript
+    # and matched = 0 (the null-padded outer emission).
+    out["stream_stream_left_join"] = """
+        SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CASE WHEN doc_id % 3 <> 0 THEN text END AS transcript,
+               CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS matched
+        FROM documents WHERE doc_id < 200
+    """
+    # First-arrival-wins: the rev2 revisions replay later, so the kept
+    # row per clip_id is exactly the base document row.
+    out["stream_dedup_within_wm"] = """
+        SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id,
+               text AS transcript,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
     """
 
     try:

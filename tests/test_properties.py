@@ -230,3 +230,33 @@ def test_sampling_membership_nests_property(key, f1, f2):
     assert not (in_lo and not in_hi)  # nesting
     # determinism: same inputs, same answer
     assert in_lo == (prefix < fraction_to_hex_threshold(lo))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 10**9), st.integers(0, 10**6)),
+             min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+)
+def test_ewma_kernel_chunked_and_bounded_property(pairs, alpha_num, chunk):
+    """The carry contract that streaming correctness leans on: feeding
+    the series in arbitrary chunks with the carry threaded through
+    equals one-shot feeding (micro-batch boundaries are invisible).
+    And the truncating fold stays inside [min, max] of the values seen
+    so far — floor of a convex combination of values ≥ min is ≥ min."""
+    from dataflow_flex_templates_spark.operators.temporal import run_ewma
+
+    pairs = sorted(pairs)
+    whole, carry_w = run_ewma(pairs, alpha_num, 10)
+    chunked, carry = [], None
+    for lo in range(0, len(pairs), chunk):
+        out, carry = run_ewma(pairs[lo:lo + chunk], alpha_num, 10, carry)
+        chunked.extend(out)
+    assert chunked == whole
+    assert carry == carry_w
+    lo_b, hi_b = None, None
+    for (_, v, s) in whole:
+        lo_b = v if lo_b is None else min(lo_b, v)
+        hi_b = v if hi_b is None else max(hi_b, v)
+        assert lo_b <= s <= hi_b
