@@ -537,6 +537,31 @@ def _q_ewma_stream_chars(spark, sf_dir):
                     "ewma_q"))
 
 
+def _q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between corpus v1 (documents verbatim) and a v2
+    derived arithmetically: doc_id%13==0 dropped, doc_id%7!=0 kept
+    as-is, doc_id%7==0 edited (' edited' appended), plus new docs
+    (doc_id+100000) for doc_id%11==0. One full-outer join on
+    (key, md5-fp) — the shuffle carries 32-byte fingerprints, never
+    text. Oracle: the identical derivation + CASE in SQL."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    _load(spark, sf_dir)
+    v1 = spark.table("documents").select("doc_id", "text")
+    v2 = spark.sql("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN concat(text, ' edited')
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 13 != 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM documents WHERE doc_id % 11 = 0
+    """)
+    return snapshot_diff(v1, v2, ["doc_id"], ["text"])
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """Per-doc LM-style bigram novelty vs the corpus top-100 bigram
     head — array-side bigram build (no shuffle), one corpus hash agg,
@@ -2678,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lang_matrix": _q_pivot_lang_matrix,
         "ewma_chars": _q_ewma_chars,
         "ewma_stream_chars": _q_ewma_stream_chars,
+        "corpus_diff": _q_corpus_diff,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3384,6 +3410,31 @@ def oracle_sql() -> dict[str, str]:
         # the oracle verbatim.
         "ewma_chars": _EWMA_CHARS_SQL,
         "ewma_stream_chars": _EWMA_CHARS_SQL,
+        # v2 derivation must mirror _q_corpus_diff exactly; fp is the
+        # same md5(coalesce(text, chr(0))) algebra as snapshot_diff
+        # (single compare column, so the 0x1f joiner is a no-op).
+        # '||' (not concat) so NULL text propagates like Spark concat.
+        "corpus_diff": r"""
+            WITH v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 != 0
+              UNION ALL
+              SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id, text
+              FROM documents WHERE doc_id % 11 = 0),
+            o AS (SELECT doc_id, md5(COALESCE(text, chr(0))) AS fp_old
+                  FROM documents),
+            n AS (SELECT doc_id, md5(COALESCE(text, chr(0))) AS fp_new
+                  FROM v2)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.fp_old IS NULL THEN 'added'
+                        WHEN n.fp_new IS NULL THEN 'removed'
+                        WHEN o.fp_old != n.fp_new THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.fp_old, n.fp_new
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
         # k must mirror _q_bigram_novelty (top-100 bigram head);
         # tie-break (n DESC, bigram ASC) mirrors the Spark TakeOrdered.
         "bigram_novelty": r"""

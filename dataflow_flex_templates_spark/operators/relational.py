@@ -51,3 +51,33 @@ def pivot_matrix(df: DataFrame, row_dim: str, col_dim: str,
                  .cast("long").alias("n_total"),
                  F.coalesce(F.sum(F.when(declared, F.col(measure_col))),
                             F.lit(0)).cast("long").alias("sum_total")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Row-level diff between two corpus snapshots — the
+    added/removed/changed/unchanged report a curation pipeline runs
+    between crawl versions before retraining.
+
+    Each side is reduced scan-side to (key, md5 fingerprint of the
+    compared columns — 0x1f-joined, NULL encoded as 0x00 so NULL and
+    empty string differ), then ONE full-outer join on the key decides
+    the status. At 100 TB the shuffle payload is (key, 32-byte fp)
+    per row, never the documents themselves; the join is the
+    irreducible cost of a diff. The same md5/concat algebra runs in
+    the DuckDB oracle, so statuses are bit-exact cross-engine.
+    """
+    def fp():
+        return F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in compare_cols]))
+
+    o = old.select(*key_cols, fp().alias("fp_old"))
+    n = new.select(*key_cols, fp().alias("fp_new"))
+    j = o.join(n, key_cols, "full_outer")
+    status = (F.when(F.col("fp_old").isNull(), "added")
+              .when(F.col("fp_new").isNull(), "removed")
+              .when(F.col("fp_old") != F.col("fp_new"), "changed")
+              .otherwise("unchanged"))
+    return j.select(*key_cols, status.alias("status"),
+                    "fp_old", "fp_new")

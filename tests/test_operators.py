@@ -1081,3 +1081,30 @@ def test_pivot_matrix_cells_and_margins(spark):
     # s2: en cell is empty → 0 not null; 'xx' invisible everywhere
     assert (s2["n_de"], s2["n_en"], s2["sum_de"], s2["sum_en"],
             s2["n_total"], s2["sum_total"]) == (1, 0, 7, 0, 1, 7)
+
+
+def test_snapshot_diff_statuses(spark):
+    """Full-outer fingerprint diff: added/removed/changed/unchanged,
+    NULL vs empty-string compare values must NOT collide (0x00
+    sentinel), multi-column fingerprints are order-sensitive."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "")],
+        "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, ""), (5, None), (6, "f")],
+        "k long, v string")
+    out = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed",   # NULL -> '' is a change, not equal
+                   5: "changed", 6: "added"}
+
+    # two compare columns: swap must read as changed
+    old2 = spark.createDataFrame([(1, "x", "y")], "k long, a string, b string")
+    new2 = spark.createDataFrame([(1, "y", "x")], "k long, a string, b string")
+    r = snapshot_diff(old2, new2, ["k"], ["a", "b"]).collect()[0]
+    assert r["status"] == "changed"
