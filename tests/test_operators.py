@@ -1108,3 +1108,26 @@ def test_snapshot_diff_statuses(spark):
     new2 = spark.createDataFrame([(1, "y", "x")], "k long, a string, b string")
     r = snapshot_diff(old2, new2, ["k"], ["a", "b"]).collect()[0]
     assert r["status"] == "changed"
+
+
+def test_wer_stats_dataframe(spark):
+    """WER table over a pair DataFrame: known S/D/I mixes, NULL
+    permille on an empty reference (WER undefined, not 0), case/
+    whitespace-insensitive tokenization."""
+    from dataflow_flex_templates_spark.operators.asr import wer_stats
+
+    rows = [(1, "the cat sat", "the cat sat"),        # exact
+            (2, "the cat sat", "the dog sat"),        # 1 sub
+            (3, "a b c d", "a c d"),                  # 1 del
+            (4, "a b", "a x b y"),                    # 2 ins
+            (5, "", "hello world"),                   # empty ref
+            (6, "A  B", "a b")]                       # norm equal
+    df = spark.createDataFrame(rows, "doc_id long, ref string, hyp string")
+    out = {r["doc_id"]: r for r in wer_stats(df).collect()}
+    assert (out[1]["wer_distance"], out[1]["wer_permille"]) == (0, 0)
+    assert (out[2]["wer_distance"], out[2]["wer_permille"]) == (1, 333)
+    assert (out[3]["wer_distance"], out[3]["ref_words"]) == (1, 4)
+    assert (out[4]["wer_distance"], out[4]["hyp_words"]) == (2, 4)
+    assert out[5]["wer_distance"] == 2
+    assert out[5]["wer_permille"] is None
+    assert out[6]["wer_distance"] == 0

@@ -260,3 +260,38 @@ def test_ewma_kernel_chunked_and_bounded_property(pairs, alpha_num, chunk):
         lo_b = v if lo_b is None else min(lo_b, v)
         hi_b = v if hi_b is None else max(hi_b, v)
         assert lo_b <= s <= hi_b
+
+
+def _wer_plain_dp(ref: str, hyp: str) -> int:
+    """Textbook O(nm) word-Levenshtein — the independent check for the
+    vectorized prefix-min kernel in operators/asr.py."""
+    r, h = ref.lower().split(), hyp.lower().split()
+    m, n = len(r), len(h)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev_diag, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            prev_diag, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1,
+                prev_diag + (r[i - 1] != h[j - 1]))
+    return dp[n]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("alpha beta gamma delta x".split()),
+             max_size=16),
+    st.lists(st.sampled_from("alpha beta gamma delta x".split()),
+             max_size=16),
+)
+def test_wer_kernel_matches_plain_dp(rw, hw):
+    from dataflow_flex_templates_spark.operators.asr import wer_distance_np
+
+    ref, hyp = " ".join(rw), " ".join(hw)
+    d, nr, nh = wer_distance_np(ref, hyp)
+    assert (nr, nh) == (len(rw), len(hw))
+    assert d == _wer_plain_dp(ref, hyp)
+    # metric axioms on the word sequences
+    assert abs(len(rw) - len(hw)) <= d <= max(len(rw), len(hw))
+    assert (d == 0) == (rw == hw)
+    assert wer_distance_np(hyp, ref)[0] == d  # symmetry
