@@ -600,6 +600,24 @@ def _q_wer_transcripts(spark, sf_dir):
     return wer_stats(pairs, "ref", "hyp", "doc_id")
 
 
+def _q_pack_audio_batches(spark, sf_dir):
+    """Duration-bucketed ASR training batches over an orders-derived
+    clip-metadata table (clip_id = o_orderkey, dur_ms arithmetic):
+    per-shard sorted batching + exact padding economics. One shuffle
+    (shard), window + agg reuse the same partitioning. Oracle: the
+    identical row_number/group algebra in SQL."""
+    from dataflow_flex_templates_spark.operators.audio_pack import (
+        pack_clip_batches,
+    )
+
+    _load(spark, sf_dir)
+    clips = spark.sql("""
+        SELECT CAST(o_orderkey AS BIGINT) AS clip_id,
+               CAST(o_orderkey % 9000 + 500 AS INT) AS dur_ms
+        FROM orders""")
+    return pack_clip_batches(clips, batch_size=32, n_shards=8)
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """Per-doc LM-style bigram novelty vs the corpus top-100 bigram
     head — array-side bigram build (no shuffle), one corpus hash agg,
@@ -2743,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_stream_chars": _q_ewma_stream_chars,
         "corpus_diff": _q_corpus_diff,
         "wer_transcripts": _q_wer_transcripts,
+        "pack_audio_batches": _q_pack_audio_batches,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3524,6 +3543,34 @@ def oracle_sql() -> dict[str, str]:
                              // len(rw) AS BIGINT)
               END AS wer_permille
             FROM enc
+        """,
+        # batch_size=32 / n_shards=8 mirror _q_pack_audio_batches;
+        # (dur, id) ordering makes row_number total-order identical.
+        "pack_audio_batches": r"""
+            WITH clips AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS clip_id,
+                     CAST(o_orderkey % 9000 + 500 AS INT) AS dur_ms
+              FROM orders),
+            assigned AS (
+              SELECT clip_id % 8 AS shard, dur_ms,
+                     (row_number() OVER (PARTITION BY clip_id % 8
+                                         ORDER BY dur_ms, clip_id) - 1)
+                       // 32 AS batch_id
+              FROM clips),
+            agg AS (
+              SELECT shard, batch_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_clips,
+                     CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms,
+                     CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms
+              FROM assigned GROUP BY shard, batch_id)
+            SELECT shard, batch_id, n_clips, max_dur_ms, sum_dur_ms,
+                   CAST(max_dur_ms * n_clips AS BIGINT) AS padded_ms,
+                   CASE WHEN max_dur_ms * n_clips = 0 THEN 0
+                        ELSE CAST((max_dur_ms * n_clips - sum_dur_ms)
+                                  * 1000 // (max_dur_ms * n_clips)
+                                  AS BIGINT)
+                   END AS waste_permille
+            FROM agg
         """,
         # k must mirror _q_bigram_novelty (top-100 bigram head);
         # tie-break (n DESC, bigram ASC) mirrors the Spark TakeOrdered.

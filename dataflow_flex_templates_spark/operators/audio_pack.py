@@ -1,0 +1,58 @@
+"""Duration-bucketed batch assembly for ASR/audio training.
+
+Speech-training pipelines batch variable-length clips and pad every
+clip in a batch to the batch's longest clip — padding is pure wasted
+GPU time, so loaders sort by duration first ("sorted batching" /
+bucketed sampling) and cut fixed-size batches from the sorted order.
+This operator does the assignment at corpus scale and reports the
+exact padding economics per batch, so a curation run can quantify the
+padding-waste reduction before any GPU is involved.
+
+Scale: ONE shuffle, on ``shard`` (= id mod n_shards — deterministic
+and engine-independent); the sort is per-shard inside the window, so
+no global ordering exists anywhere and shard count is sized to the
+cluster (10^5 shards at petabyte scale). Batches never cross shards,
+which makes incremental re-packing after new ingest a per-shard job.
+All arithmetic is exact integers — a SQL oracle reproduces the
+assignment and the waste metric bit-for-bit.
+
+The reference engine has no audio machinery; this is a §2.11
+extension motivated by the audio+transcript input shape
+(BASELINE.json input_hint), mirroring ``text.pack_chunks`` (the token
+budget analogue for text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_clip_batches(df: DataFrame, batch_size: int = 32,
+                      n_shards: int = 8, id_col: str = "clip_id",
+                      dur_col: str = "dur_ms") -> DataFrame:
+    """Assign clips to fixed-count training batches in per-shard
+    duration-sorted order; return one row per batch:
+    (shard, batch_id, n_clips, max_dur_ms, sum_dur_ms, padded_ms,
+    waste_permille) where ``padded_ms = max_dur_ms * n_clips`` is the
+    GPU time actually spent and ``waste_permille`` the padding share
+    of it. ``id_col`` must be numeric (mod-sharding keeps the oracle
+    engine-independent); tie-break inside a shard is (dur, id), so the
+    assignment is total-order deterministic.
+    """
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(dur_col, id_col)
+    batch_id = F.floor((F.row_number().over(w) - 1) / batch_size)
+    per_clip = (df.select(shard, F.col(id_col), F.col(dur_col))
+                .withColumn("batch_id", batch_id))
+    agg = (per_clip.groupBy("shard", "batch_id")
+           .agg(F.count("*").alias("n_clips"),
+                F.max(dur_col).cast("long").alias("max_dur_ms"),
+                F.sum(dur_col).cast("long").alias("sum_dur_ms")))
+    padded = (F.col("max_dur_ms") * F.col("n_clips")).alias("padded_ms")
+    return (agg.withColumn("padded_ms", padded)
+            .withColumn(
+                "waste_permille",
+                F.when(F.col("padded_ms") == 0, F.lit(0)).otherwise(
+                    ((F.col("padded_ms") - F.col("sum_dur_ms")) * 1000
+                     / F.col("padded_ms")).cast("long"))))

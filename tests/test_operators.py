@@ -1131,3 +1131,34 @@ def test_wer_stats_dataframe(spark):
     assert out[5]["wer_distance"] == 2
     assert out[5]["wer_permille"] is None
     assert out[6]["wer_distance"] == 0
+
+
+def test_pack_clip_batches_padding_economics(spark):
+    """Sorted batching: batches are cut from per-shard duration order,
+    padded_ms = max*count, and total padding waste is never worse
+    than arrival-order batching on the same shards."""
+    from dataflow_flex_templates_spark.operators.audio_pack import (
+        pack_clip_batches,
+    )
+
+    # one shard (n_shards=1) so the economics are easy to read:
+    # durs 100..1600 step 100, batch_size=4 -> 4 batches of 4
+    rows = [(i, ((i * 7) % 16 + 1) * 100) for i in range(16)]
+    df = spark.createDataFrame(rows, "clip_id long, dur_ms int")
+    out = pack_clip_batches(df, batch_size=4, n_shards=1).collect()
+    assert len(out) == 4
+    by_batch = {r["batch_id"]: r for r in out}
+    # sorted order -> batch 0 holds durs 100..400, batch 3 1300..1600
+    assert by_batch[0]["max_dur_ms"] == 400
+    assert by_batch[3]["max_dur_ms"] == 1600
+    for r in out:
+        assert r["n_clips"] == 4
+        assert r["padded_ms"] == r["max_dur_ms"] * 4
+        assert 0 <= r["waste_permille"] < 1000
+    # sorted-batch total padded time strictly beats one arrival-order
+    # shuffle of the same clips into 4er batches (worst-case mixing)
+    sorted_padded = sum(r["padded_ms"] for r in out)
+    durs = [d for _, d in rows]
+    arrival_padded = sum(max(durs[i:i + 4]) * len(durs[i:i + 4])
+                         for i in range(0, 16, 4))
+    assert sorted_padded <= arrival_padded
