@@ -618,6 +618,22 @@ def _q_pack_audio_batches(spark, sf_dir):
     return pack_clip_batches(clips, batch_size=32, n_shards=8)
 
 
+def _q_rolling_user_stats(spark, sf_dir):
+    """Per-user trailing 10-minute RANGE-frame window over events:
+    count + cent-exact value sum per event row. True time-range frame
+    (deterministic under timestamp ties), single keyed shuffle.
+    Oracle: the identical RANGE BETWEEN algebra in DuckDB on
+    epoch-microsecond integers."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        rolling_stats,
+    )
+
+    _load(spark, sf_dir)
+    ev = spark.table("events")
+    return rolling_stats(ev, "user_id", "ts", "value",
+                         window_us=600_000_000)
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """Per-doc LM-style bigram novelty vs the corpus top-100 bigram
     head — array-side bigram build (no shuffle), one corpus hash agg,
@@ -2762,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "wer_transcripts": _q_wer_transcripts,
         "pack_audio_batches": _q_pack_audio_batches,
+        "rolling_user_stats": _q_rolling_user_stats,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3571,6 +3588,21 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # window_us=600000000 mirrors _q_rolling_user_stats; floor()
+        # (not CAST) for the cents so both engines agree on negatives.
+        "rolling_user_stats": r"""
+            SELECT user_id,
+                   epoch_us(ts) AS t_us,
+                   CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                   event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_window,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS sum_cents_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 600000000 PRECEDING
+                         AND CURRENT ROW)
         """,
         # k must mirror _q_bigram_novelty (top-100 bigram head);
         # tie-break (n DESC, bigram ASC) mirrors the Spark TakeOrdered.

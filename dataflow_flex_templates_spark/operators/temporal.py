@@ -301,3 +301,37 @@ def run_ewma(pairs: list[tuple[int, int]], alpha_num: int,
             (alpha_num * v + dn * carry) // alpha_den)
         out.append((o, v, carry))
     return out, carry
+
+
+def rolling_stats(df: DataFrame, key_col: str, ts_col: str,
+                  val_col: str, window_us: int,
+                  id_col: str = "event_id") -> DataFrame:
+    """Per-key trailing time-window aggregate — the RANGE-frame window
+    ("events and value sum in the last N minutes per user") that
+    monitoring and feature pipelines compute per event row.
+
+    The frame is a true RANGE frame on microsecond epoch
+    (``unix_micros``), NOT a row frame: the window is defined by time
+    bounds, so output is deterministic regardless of tie order among
+    equal timestamps, and the same ``RANGE BETWEEN n PRECEDING``
+    algebra runs verbatim in an ANSI-SQL oracle. ``val_col`` is summed
+    in cents (``*100`` cast long) to keep the oracle hash-exact.
+
+    Scale: one shuffle on the key; the frame is evaluated by a single
+    per-partition sort with a sliding two-pointer pass (Spark's window
+    RANGE implementation) — no self-join, no explode. At 100 TB the
+    cost is the keyed sort, which bucketing by key removes.
+    """
+    # NTZ columns cast wall-clock-identically under the session's
+    # pinned UTC timezone (session.py), matching naive epoch_us in SQL
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cents = F.floor(F.col(val_col) * 100)  # floor, not cast: identical
+    # for negatives across engines (CAST rounds in DuckDB, truncates
+    # in Spark; floor agrees everywhere)
+    w = (Window.partitionBy(key_col).orderBy(F.col("t_us").asc())
+         .rangeBetween(-window_us, 0))
+    return (df.select(key_col, t_us.alias("t_us"),
+                      cents.alias("val_cents"), F.col(id_col))
+            .withColumn("n_window", F.count("*").over(w))
+            .withColumn("sum_cents_window",
+                        F.sum("val_cents").over(w)))

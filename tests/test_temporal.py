@@ -187,3 +187,35 @@ def test_ewma_smooth_integer_recurrence(spark):
                    ("a", 2, 20, 13),   # (60 + 70) div 10
                    ("a", 3, 0, 9),     # (0 + 91) div 10
                    ("b", 1, 100, 100)]
+
+
+def test_rolling_stats_range_frame(spark):
+    """RANGE frame semantics: the trailing window is time-bounded
+    (inclusive), equal timestamps all see each other regardless of
+    row order, and keys never mix."""
+    import datetime as dt
+
+    from dataflow_flex_templates_spark.operators.temporal import (
+        rolling_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(seconds=300), 2.0),
+        (3, 1, t0 + dt.timedelta(seconds=600), 4.0),   # 0s still in
+        (4, 1, t0 + dt.timedelta(seconds=601), 8.0),   # 0s now out
+        (5, 1, t0 + dt.timedelta(seconds=601), 16.0),  # tie with 4
+        (6, 2, t0 + dt.timedelta(seconds=300), 32.0),  # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["event_id"]: r
+           for r in rolling_stats(df, "user_id", "ts", "value",
+                                  window_us=600_000_000).collect()}
+    assert (out[1]["n_window"], out[1]["sum_cents_window"]) == (1, 100)
+    assert (out[3]["n_window"], out[3]["sum_cents_window"]) == (3, 700)
+    # boundary: t0 is 601s before events 4/5 -> excluded; ties included
+    assert (out[4]["n_window"], out[4]["sum_cents_window"]) == (4, 3000)
+    assert out[5]["n_window"] == 4 and out[5]["sum_cents_window"] == 3000
+    assert (out[6]["n_window"], out[6]["sum_cents_window"]) == (1, 3200)
