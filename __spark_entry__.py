@@ -600,6 +600,104 @@ def _q_wer_transcripts(spark, sf_dir):
     return wer_stats(pairs, "ref", "hyp", "doc_id")
 
 
+def _q_stream_wer(spark, sf_dir):
+    """Continuous transcript-revision QA: the reference transcript
+    stream and a revised-hypothesis stream (same deterministic S/D/I
+    perturbation as wer_transcripts) arrive on two watermarked file
+    streams, stream-stream INNER join on clip_id within a 1-minute
+    event-time range, then the WER kernel (operators/asr.py) scores
+    each joined pair in-stream — the gate an ASR curation pipeline
+    runs as revisions land. Inner join emits on match (no eviction
+    wait), availableNow drains everything. Oracle: the shared
+    cross-algebra WER SQL over doc_id < 200."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dataflow_flex_templates_spark.operators.asr import wer_stats
+    from dataflow_flex_templates_spark.testing.clips import EPOCH
+
+    _load(spark, sf_dir)
+    pairs = spark.sql(r"""
+        WITH base AS (
+          SELECT doc_id,
+                 lower(regexp_replace(trim(text), '\\s+', ' ')) AS nt
+          FROM documents WHERE doc_id < 200),
+        wd AS (
+          SELECT doc_id, nt, filter(split(nt, ' '), x -> length(x) > 0) AS w
+          FROM base)
+        SELECT doc_id, nt AS ref,
+               CASE WHEN size(w) = 0 THEN '' ELSE
+                 array_join(flatten(transform(sequence(1, size(w)), i ->
+                   CASE WHEN i % 7 = 0 THEN slice(w, 1, 0)
+                        WHEN i % 11 = 0 THEN array(
+                            CASE WHEN i % 5 = 0 THEN 'xxx'
+                                 ELSE element_at(w, i) END,
+                            CASE WHEN i % 5 = 0 THEN 'xxx'
+                                 ELSE element_at(w, i) END)
+                        ELSE array(CASE WHEN i % 5 = 0 THEN 'xxx'
+                                        ELSE element_at(w, i) END)
+                   END)), ' ')
+               END AS hyp
+        FROM wd ORDER BY doc_id
+    """).toPandas()
+
+    ref_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("ref", T.StringType()),
+        T.StructField("l_time", T.TimestampType())])
+    hyp_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("hyp", T.StringType()),
+        T.StructField("r_time", T.TimestampType())])
+    lrows, rrows = [], []
+    for doc_id, ref, hyp in zip(pairs["doc_id"], pairs["ref"],
+                                pairs["hyp"]):
+        doc_id = int(doc_id)
+        ts = EPOCH + timedelta(seconds=doc_id)
+        cid = f"doc_{doc_id:06d}"
+        lrows.append((cid, ref, ts))
+        rrows.append((cid, hyp, ts + timedelta(seconds=2)))
+
+    root = tempfile.mkdtemp(prefix="entry_swer_")
+    lin, rin = os.path.join(root, "l"), os.path.join(root, "r")
+    chunk = len(lrows) // 6 + 1
+    for i in range(0, len(lrows), chunk):
+        spark.createDataFrame(
+            pd.DataFrame(lrows[i:i + chunk],
+                         columns=["clip_id", "ref", "l_time"]),
+            ref_schema).coalesce(1).write.mode("append").parquet(lin)
+        spark.createDataFrame(
+            pd.DataFrame(rrows[i:i + chunk],
+                         columns=["clip_id", "hyp", "r_time"]),
+            hyp_schema).coalesce(1).write.mode("append").parquet(rin)
+
+    ls = (spark.readStream.schema(ref_schema)
+          .option("maxFilesPerTrigger", 2).parquet(lin)
+          .withWatermark("l_time", "10 seconds"))
+    rs = (spark.readStream.schema(hyp_schema)
+          .option("maxFilesPerTrigger", 2).parquet(rin)
+          .withWatermark("r_time", "10 seconds"))
+    joined = ls.join(
+        rs,
+        (ls.clip_id == rs.clip_id)
+        & (rs.r_time >= ls.l_time)
+        & (rs.r_time <= ls.l_time + F.expr("interval 1 minute")),
+        "inner").select(ls.clip_id, "ref", "hyp")
+    scored = wer_stats(joined, "ref", "hyp", "clip_id")
+    out_dir, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+    q = (scored.writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select(
+        "clip_id", "ref_words", "hyp_words", "wer_distance",
+        "wer_permille")
+
+
 def _q_pack_audio_batches(spark, sf_dir):
     """Duration-bucketed ASR training batches over an orders-derived
     clip-metadata table (clip_id = o_orderkey, dur_ms arithmetic):
@@ -2779,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wer_transcripts": _q_wer_transcripts,
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
+        "stream_wer": _q_stream_wer,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -2876,6 +2975,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOPWORDS_SQL = ("['a','and','are','as','at','be','by','for','from','has',"
                   "'he','in','is','it','its','of','on','that','the','to',"
                   "'was','were','will','with']")
+
+def _wer_oracle_sql(doc_filter: str, id_select: str) -> str:
+    """Cross-algebra WER oracle shared by the batch row
+    (wer_transcripts, whole corpus, doc_id key) and the streaming row
+    (stream_wer, doc_id < 200, clip_id key): distinct words -> 1-based
+    rank -> chr(1+rank) (DuckDB levenshtein is BYTE-level, so the
+    encode must stay ASCII; corpus vocab is 32 words incl. 'xxx' — far
+    under 126). Word-level distance == char-distance of the encoded
+    strings. The hyp derivation mirrors _q_wer_transcripts exactly."""
+    return rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                   AS nt
+          FROM documents WHERE {doc_filter}),
+        wd AS (
+          SELECT doc_id,
+                 list_filter(string_split(nt, ' '),
+                             x -> length(x) > 0) AS w
+          FROM base),
+        pairs AS (
+          SELECT doc_id, w AS rw,
+            flatten(list_transform(range(1, len(w) + 1), i ->
+              CASE WHEN i % 7 = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN i % 11 = 0 THEN
+                     [CASE WHEN i % 5 = 0 THEN 'xxx' ELSE w[i] END,
+                      CASE WHEN i % 5 = 0 THEN 'xxx' ELSE w[i] END]
+                   ELSE [CASE WHEN i % 5 = 0 THEN 'xxx'
+                              ELSE w[i] END] END)) AS hw
+          FROM wd),
+        vocab AS (
+          SELECT list(DISTINCT x ORDER BY x) AS wl FROM (
+            SELECT unnest(rw) AS x FROM pairs
+            UNION ALL SELECT unnest(hw) FROM pairs)),
+        enc AS (
+          SELECT doc_id, rw, hw,
+            list_aggregate(list_transform(rw,
+              t -> chr(1 + list_position(wl, t))),
+              'string_agg', '') AS er,
+            list_aggregate(list_transform(hw,
+              t -> chr(1 + list_position(wl, t))),
+              'string_agg', '') AS eh
+          FROM pairs, vocab)
+        SELECT {id_select},
+          CAST(len(rw) AS BIGINT) AS ref_words,
+          CAST(len(hw) AS BIGINT) AS hyp_words,
+          CAST(levenshtein(COALESCE(er, ''), COALESCE(eh, ''))
+               AS BIGINT) AS wer_distance,
+          CASE WHEN len(rw) = 0 THEN NULL
+               ELSE CAST(levenshtein(COALESCE(er, ''),
+                                     COALESCE(eh, '')) * 1000
+                         // len(rw) AS BIGINT)
+          END AS wer_permille
+        FROM enc
+    """
+
 
 #: Shared by ewma_chars (batch Catalyst fold) and ewma_stream_chars
 #: (applyInPandasWithState) — both must reproduce this recurrence.
@@ -3510,57 +3665,13 @@ def oracle_sql() -> dict[str, str]:
                    o.fp_old, n.fp_new
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         """,
-        # Cross-algebra WER oracle: distinct words -> 1-based rank ->
-        # chr(1+rank) (DuckDB levenshtein is BYTE-level, so the encode
-        # must stay ASCII; corpus vocab is 32 words incl. 'xxx' — far
-        # under 126). Word-level distance == char-distance of encoded
-        # strings. Hyp derivation mirrors _q_wer_transcripts exactly.
-        "wer_transcripts": r"""
-            WITH base AS (
-              SELECT doc_id,
-                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
-                       AS nt
-              FROM documents),
-            wd AS (
-              SELECT doc_id,
-                     list_filter(string_split(nt, ' '),
-                                 x -> length(x) > 0) AS w
-              FROM base),
-            pairs AS (
-              SELECT doc_id, w AS rw,
-                flatten(list_transform(range(1, len(w) + 1), i ->
-                  CASE WHEN i % 7 = 0 THEN CAST([] AS VARCHAR[])
-                       WHEN i % 11 = 0 THEN
-                         [CASE WHEN i % 5 = 0 THEN 'xxx' ELSE w[i] END,
-                          CASE WHEN i % 5 = 0 THEN 'xxx' ELSE w[i] END]
-                       ELSE [CASE WHEN i % 5 = 0 THEN 'xxx'
-                                  ELSE w[i] END] END)) AS hw
-              FROM wd),
-            vocab AS (
-              SELECT list(DISTINCT x ORDER BY x) AS wl FROM (
-                SELECT unnest(rw) AS x FROM pairs
-                UNION ALL SELECT unnest(hw) FROM pairs)),
-            enc AS (
-              SELECT doc_id, rw, hw,
-                list_aggregate(list_transform(rw,
-                  t -> chr(1 + list_position(wl, t))),
-                  'string_agg', '') AS er,
-                list_aggregate(list_transform(hw,
-                  t -> chr(1 + list_position(wl, t))),
-                  'string_agg', '') AS eh
-              FROM pairs, vocab)
-            SELECT doc_id,
-              CAST(len(rw) AS BIGINT) AS ref_words,
-              CAST(len(hw) AS BIGINT) AS hyp_words,
-              CAST(levenshtein(COALESCE(er, ''), COALESCE(eh, ''))
-                   AS BIGINT) AS wer_distance,
-              CASE WHEN len(rw) = 0 THEN NULL
-                   ELSE CAST(levenshtein(COALESCE(er, ''),
-                                         COALESCE(eh, '')) * 1000
-                             // len(rw) AS BIGINT)
-              END AS wer_permille
-            FROM enc
-        """,
+        # Both WER rows share _wer_oracle_sql (cross-algebra encode +
+        # byte-levenshtein); stream_wer is the doc_id<200 clip-keyed
+        # slice that flows through the stream-stream join first.
+        "wer_transcripts": _wer_oracle_sql("1=1", "doc_id"),
+        "stream_wer": _wer_oracle_sql(
+            "doc_id < 200",
+            "'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id"),
         # batch_size=32 / n_shards=8 mirror _q_pack_audio_batches;
         # (dur, id) ordering makes row_number total-order identical.
         "pack_audio_batches": r"""
