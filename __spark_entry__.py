@@ -562,23 +562,17 @@ def _q_corpus_diff(spark, sf_dir):
     return snapshot_diff(v1, v2, ["doc_id"], ["text"])
 
 
-def _q_wer_transcripts(spark, sf_dir):
-    """Word-error-rate between each document's transcript and a
-    deterministically perturbed hypothesis (every 5th word substituted
-    with 'xxx', every 7th deleted, every 11th duplicated — a realistic
-    S/D/I mix). Spark side: Arrow-batched numpy DP kernel
-    (operators/asr.py), zero shuffle, vocabulary-independent. Oracle:
-    a COMPLETELY different algorithm — each distinct word encoded as
-    one ASCII char corpus-wide, then DuckDB's byte-level levenshtein —
-    so agreement is a cross-algebra proof (validated: 500/500 docs)."""
-    from dataflow_flex_templates_spark.operators.asr import wer_stats
-
-    _load(spark, sf_dir)
-    pairs = spark.sql(r"""
+def _wer_pairs_sql(doc_filter: str = "1=1") -> str:
+    """(ref, hyp) pair derivation shared by the batch and streaming
+    WER rows: every 5th word substituted with 'xxx', every 7th
+    deleted, every 11th duplicated — a realistic S/D/I mix, pure
+    higher-order-function algebra (zero shuffle). Must mirror
+    _wer_oracle_sql's derivation token for token."""
+    return rf"""
         WITH base AS (
           SELECT doc_id,
                  lower(regexp_replace(trim(text), '\\s+', ' ')) AS nt
-          FROM documents),
+          FROM documents WHERE {doc_filter}),
         wd AS (
           SELECT doc_id, nt, filter(split(nt, ' '), x -> length(x) > 0) AS w
           FROM base)
@@ -596,7 +590,21 @@ def _q_wer_transcripts(spark, sf_dir):
                    END)), ' ')
                END AS hyp
         FROM wd
-    """)
+    """
+
+
+def _q_wer_transcripts(spark, sf_dir):
+    """Word-error-rate between each document's transcript and a
+    deterministically perturbed hypothesis (see _wer_pairs_sql).
+    Spark side: Arrow-batched numpy DP kernel (operators/asr.py),
+    zero shuffle, vocabulary-independent. Oracle: a COMPLETELY
+    different algorithm — each distinct word encoded as one ASCII
+    char corpus-wide, then DuckDB's byte-level levenshtein — so
+    agreement is a cross-algebra proof (validated: 500/500 docs)."""
+    from dataflow_flex_templates_spark.operators.asr import wer_stats
+
+    _load(spark, sf_dir)
+    pairs = spark.sql(_wer_pairs_sql())
     return wer_stats(pairs, "ref", "hyp", "doc_id")
 
 
@@ -621,29 +629,8 @@ def _q_stream_wer(spark, sf_dir):
     from dataflow_flex_templates_spark.testing.clips import EPOCH
 
     _load(spark, sf_dir)
-    pairs = spark.sql(r"""
-        WITH base AS (
-          SELECT doc_id,
-                 lower(regexp_replace(trim(text), '\\s+', ' ')) AS nt
-          FROM documents WHERE doc_id < 200),
-        wd AS (
-          SELECT doc_id, nt, filter(split(nt, ' '), x -> length(x) > 0) AS w
-          FROM base)
-        SELECT doc_id, nt AS ref,
-               CASE WHEN size(w) = 0 THEN '' ELSE
-                 array_join(flatten(transform(sequence(1, size(w)), i ->
-                   CASE WHEN i % 7 = 0 THEN slice(w, 1, 0)
-                        WHEN i % 11 = 0 THEN array(
-                            CASE WHEN i % 5 = 0 THEN 'xxx'
-                                 ELSE element_at(w, i) END,
-                            CASE WHEN i % 5 = 0 THEN 'xxx'
-                                 ELSE element_at(w, i) END)
-                        ELSE array(CASE WHEN i % 5 = 0 THEN 'xxx'
-                                        ELSE element_at(w, i) END)
-                   END)), ' ')
-               END AS hyp
-        FROM wd ORDER BY doc_id
-    """).toPandas()
+    pairs = (spark.sql(_wer_pairs_sql("doc_id < 200"))
+             .orderBy("doc_id").toPandas())
 
     ref_schema = T.StructType([
         T.StructField("clip_id", T.StringType()),
