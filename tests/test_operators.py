@@ -1162,3 +1162,34 @@ def test_pack_clip_batches_padding_economics(spark):
     arrival_padded = sum(max(durs[i:i + 4]) * len(durs[i:i + 4])
                          for i in range(0, 16, 4))
     assert sorted_padded <= arrival_padded
+
+
+def test_snapshot_diff_randomized_consistency(spark):
+    """Seeded random snapshots: statuses must equal the set-algebra
+    ground truth computed independently in Python, and the diff must
+    partition the key universe exactly."""
+    import random
+
+    from dataflow_flex_templates_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    rnd = random.Random(42)
+    vals = ["a", "b", "c", None, ""]
+    old = {k: rnd.choice(vals) for k in range(300) if rnd.random() < 0.7}
+    new = {k: rnd.choice(vals) for k in range(300) if rnd.random() < 0.7}
+    old_df = spark.createDataFrame(list(old.items()), "k long, v string")
+    new_df = spark.createDataFrame(list(new.items()), "k long, v string")
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old_df, new_df, ["k"], ["v"]).collect()}
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = "added"
+        elif k not in new:
+            expect[k] = "removed"
+        elif old[k] != new[k]:
+            expect[k] = "changed"
+        else:
+            expect[k] = "unchanged"
+    assert got == expect
