@@ -685,6 +685,26 @@ def _q_stream_wer(spark, sf_dir):
         "wer_permille")
 
 
+def _q_top_docs_per_source(spark, sf_dir):
+    """Top-3 longest documents per (lang, source) — grouped top-N via
+    rank window + filter, which Spark compiles to WindowGroupLimit
+    (map-side per-group pruning BEFORE the shuffle; see PLANS.md).
+    Tie-break doc_id ASC makes the output total-order deterministic.
+    Oracle: identical row_number algebra in SQL."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        top_n_per_group,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("long").alias("n_chars_exact"))
+    return top_n_per_group(
+        docs, ["lang", "source"],
+        [F.col("n_chars_exact").desc(), F.col("doc_id").asc()], 3
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def _q_pack_audio_batches(spark, sf_dir):
     """Duration-bucketed ASR training batches over an orders-derived
     clip-metadata table (clip_id = o_orderkey, dur_ms arithmetic):
@@ -2865,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
+        "top_docs_per_source": _q_top_docs_per_source,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3659,6 +3680,20 @@ def oracle_sql() -> dict[str, str]:
         "stream_wer": _wer_oracle_sql(
             "doc_id < 200",
             "'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id"),
+        # n=3 and the (len DESC, doc_id ASC) total order must mirror
+        # _q_top_docs_per_source.
+        "top_docs_per_source": """
+            SELECT doc_id, lang, source, n_chars_exact,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT doc_id, lang, source,
+                     CAST(length(text) AS BIGINT) AS n_chars_exact,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY length(text) DESC, doc_id ASC) AS rnk
+              FROM documents)
+            WHERE rnk <= 3
+        """,
         # batch_size=32 / n_shards=8 mirror _q_pack_audio_batches;
         # (dur, id) ordering makes row_number total-order identical.
         "pack_audio_batches": r"""

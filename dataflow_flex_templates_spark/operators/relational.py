@@ -14,7 +14,7 @@ aggregates directly (see pivot_matrix for the plan comparison with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,3 +81,23 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
               .otherwise("unchanged"))
     return j.select(*key_cols, status.alias("status"),
                     "fp_old", "fp_new")
+
+
+def top_n_per_group(df: DataFrame, part_cols: list[str],
+                    order_cols: list, n: int) -> DataFrame:
+    """Top-N rows per group ("3 longest documents per (lang, source)",
+    "5 best clips per speaker") — rank over a per-group window,
+    filter rank <= n.
+
+    Scale: Spark compiles the rank<=n filter into WindowGroupLimit
+    (verified in PLANS.md) — each shuffle MAP side pre-prunes its
+    partition to n rows per group BEFORE the exchange, so the shuffle
+    carries at most n·groups·mappers rows instead of the full table;
+    the reduce side then takes the true top-n. This is the same
+    partial/final split as a TakeOrderedAndProject, generalized per
+    group. Callers must pass a total order (tie-break column) for
+    deterministic output.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= n))

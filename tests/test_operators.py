@@ -1193,3 +1193,22 @@ def test_snapshot_diff_randomized_consistency(spark):
         else:
             expect[k] = "unchanged"
     assert got == expect
+
+
+def test_top_n_per_group(spark):
+    """Grouped top-N: deterministic under ties via the total order,
+    groups smaller than n return all rows, rank is 1-based."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.relational import (
+        top_n_per_group,
+    )
+
+    rows = [("g1", 1, 50), ("g1", 2, 90), ("g1", 3, 90), ("g1", 4, 10),
+            ("g2", 5, 7)]
+    df = spark.createDataFrame(rows, "g string, id long, score long")
+    out = top_n_per_group(
+        df, ["g"], [F.col("score").desc(), F.col("id").asc()], 2).collect()
+    got = {(r["g"], r["id"]): r["rnk"] for r in out}
+    # tie on score 90 -> id 2 then id 3; id 1 (score 50) is cut
+    assert got == {("g1", 2): 1, ("g1", 3): 2, ("g2", 5): 1}
