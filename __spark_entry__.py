@@ -562,7 +562,8 @@ def _q_corpus_diff(spark, sf_dir):
     return snapshot_diff(v1, v2, ["doc_id"], ["text"])
 
 
-def _wer_pairs_sql(doc_filter: str = "1=1") -> str:
+def _wer_pairs_sql(doc_filter: str = "1=1",
+                   table: str = "documents") -> str:
     """(ref, hyp) pair derivation shared by the batch and streaming
     WER rows: every 5th word substituted with 'xxx', every 7th
     deleted, every 11th duplicated — a realistic S/D/I mix, pure
@@ -572,7 +573,7 @@ def _wer_pairs_sql(doc_filter: str = "1=1") -> str:
         WITH base AS (
           SELECT doc_id,
                  lower(regexp_replace(trim(text), '\\s+', ' ')) AS nt
-          FROM documents WHERE {doc_filter}),
+          FROM {table} WHERE {doc_filter}),
         wd AS (
           SELECT doc_id, nt, filter(split(nt, ' '), x -> length(x) > 0) AS w
           FROM base)
@@ -703,6 +704,52 @@ def _q_top_docs_per_source(spark, sf_dir):
         docs, ["lang", "source"],
         [F.col("n_chars_exact").desc(), F.col("doc_id").asc()], 3
     ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def _q_asr_curation_pipeline(spark, sf_dir):
+    """Flagship audio-axis composition — the curation chain an ASR
+    training pipeline runs end-to-end, each stage an independently
+    driver-proven operator:
+      1. WER gate: transcript vs perturbed revision (asr.wer_stats),
+         keep wer_permille <= 350 (revision diverged too far = drop —
+         sf0.01 permille spans 291-400, so the gate genuinely splits);
+      2. exact dedup on the normalized transcript (md5 fingerprint,
+         min-doc_id keeper) — the input corpus is extended with
+         mirror duplicates (doc_id+100000 for doc_id%10==0, same
+         text) so the stage provably removes rows;
+      3. survivors become clips (arithmetic dur_ms) packed into
+         duration-sorted training batches with exact padding
+         economics (audio_pack.pack_clip_batches).
+    Output: per-batch packing economics of the curated corpus. The
+    oracle re-derives ALL THREE stages in one SQL query (cross-algebra
+    WER + md5 dedup + row_number packing)."""
+    from dataflow_flex_templates_spark.operators.asr import wer_stats
+    from dataflow_flex_templates_spark.operators.audio_pack import (
+        pack_clip_batches,
+    )
+
+    _load(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMP VIEW documents_ext AS
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    """)
+    pairs = spark.sql(_wer_pairs_sql(table="documents_ext"))
+    scored = wer_stats(pairs, "ref", "hyp", "doc_id")
+    keep_wer = scored.filter("wer_permille <= 350").select("doc_id")
+    keepers = (spark.sql(r"""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+        FROM documents_ext""")
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"))
+    kept = keep_wer.join(keepers, "doc_id")
+    clips = kept.withColumn(
+        "dur_ms", (100 + (F.col("doc_id") % 7) * 50).cast("int"))
+    return pack_clip_batches(clips, batch_size=8, n_shards=4,
+                             id_col="doc_id")
 
 
 def _q_pack_audio_batches(spark, sf_dir):
@@ -2886,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "top_docs_per_source": _q_top_docs_per_source,
+        "asr_curation_pipeline": _q_asr_curation_pipeline,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -2984,7 +3032,8 @@ _STOPWORDS_SQL = ("['a','and','are','as','at','be','by','for','from','has',"
                   "'he','in','is','it','its','of','on','that','the','to',"
                   "'was','were','will','with']")
 
-def _wer_oracle_sql(doc_filter: str, id_select: str) -> str:
+def _wer_oracle_sql(doc_filter: str, id_select: str,
+                    table: str = "documents") -> str:
     """Cross-algebra WER oracle shared by the batch row
     (wer_transcripts, whole corpus, doc_id key) and the streaming row
     (stream_wer, doc_id < 200, clip_id key): distinct words -> 1-based
@@ -2997,7 +3046,7 @@ def _wer_oracle_sql(doc_filter: str, id_select: str) -> str:
           SELECT doc_id,
                  lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
                    AS nt
-          FROM documents WHERE {doc_filter}),
+          FROM {table} WHERE {doc_filter}),
         wd AS (
           SELECT doc_id,
                  list_filter(string_split(nt, ' '),
@@ -3680,6 +3729,56 @@ def oracle_sql() -> dict[str, str]:
         "stream_wer": _wer_oracle_sql(
             "doc_id < 200",
             "'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id"),
+        # Three-stage composed oracle mirroring _q_asr_curation_pipeline:
+        # WER gate (<=350 permille, via the shared cross-algebra WER
+        # subquery over the mirror-extended corpus) -> md5 exact dedup
+        # (min-doc_id keeper; removes the mirrors) -> duration-sorted
+        # packing (batch_size=8, n_shards=4).
+        "asr_curation_pipeline": f"""
+            WITH ext AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0),
+            wer AS (
+              SELECT doc_id, wer_permille
+              FROM ({_wer_oracle_sql("1=1", "doc_id", table="ext")})),
+            keep_wer AS (
+              SELECT doc_id FROM wer WHERE wer_permille <= 350),
+            fp AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text, ' '),
+                                              '\\s+', ' ', 'g'))) AS f
+              FROM ext),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+            kept AS (
+              SELECT k.doc_id FROM keep_wer k
+              JOIN keepers USING (doc_id)),
+            clips AS (
+              SELECT doc_id,
+                     CAST(100 + (doc_id % 7) * 50 AS INT) AS dur_ms
+              FROM kept),
+            assigned AS (
+              SELECT doc_id % 4 AS shard, dur_ms,
+                     (row_number() OVER (PARTITION BY doc_id % 4
+                                         ORDER BY dur_ms, doc_id) - 1)
+                       // 8 AS batch_id
+              FROM clips),
+            agg AS (
+              SELECT shard, batch_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_clips,
+                     CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms,
+                     CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms
+              FROM assigned GROUP BY shard, batch_id)
+            SELECT shard, batch_id, n_clips, max_dur_ms, sum_dur_ms,
+                   CAST(max_dur_ms * n_clips AS BIGINT) AS padded_ms,
+                   CASE WHEN max_dur_ms * n_clips = 0 THEN 0
+                        ELSE CAST((max_dur_ms * n_clips - sum_dur_ms)
+                                  * 1000 // (max_dur_ms * n_clips)
+                                  AS BIGINT)
+                   END AS waste_permille
+            FROM agg
+        """,
         # n=3 and the (len DESC, doc_id ASC) total order must mirror
         # _q_top_docs_per_source.
         "top_docs_per_source": """
