@@ -686,6 +686,23 @@ def _q_stream_wer(spark, sf_dir):
         "wer_permille")
 
 
+def _q_segment_clips(spark, sf_dir):
+    """ASR decode-window planning: split orders-derived clip metadata
+    (dur 500-9499 ms) into ≤3 s segments with 500 ms overlap —
+    metadata-only sequence+explode, zero shuffle, no bytes touched.
+    Oracle: identical integer boundary arithmetic via range+unnest."""
+    from dataflow_flex_templates_spark.operators.audio_pack import (
+        segment_clips,
+    )
+
+    _load(spark, sf_dir)
+    clips = spark.sql("""
+        SELECT CAST(o_orderkey AS BIGINT) AS clip_id,
+               CAST(o_orderkey % 9000 + 500 AS INT) AS dur_ms
+        FROM orders""")
+    return segment_clips(clips, max_ms=3000, overlap_ms=500)
+
+
 def _q_top_docs_per_source(spark, sf_dir):
     """Top-3 longest documents per (lang, source) — grouped top-N via
     rank window + filter, which Spark compiles to WindowGroupLimit
@@ -2934,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_wer": _q_stream_wer,
         "top_docs_per_source": _q_top_docs_per_source,
         "asr_curation_pipeline": _q_asr_curation_pipeline,
+        "segment_clips": _q_segment_clips,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3778,6 +3796,31 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # max_ms=3000 / overlap=500 (stride 2500) mirror
+        # _q_segment_clips; ceil on double is exact at these
+        # magnitudes (granularity 1/stride >> ulp).
+        "segment_clips": """
+            WITH clips AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS clip_id,
+                     CAST(o_orderkey % 9000 + 500 AS INT) AS dur_ms
+              FROM orders),
+            n AS (
+              SELECT clip_id, dur_ms,
+                     CASE WHEN dur_ms <= 3000 THEN 1
+                          ELSE 1 + CAST(ceil((dur_ms - 3000) / 2500.0)
+                                        AS BIGINT)
+                     END AS n_segs
+              FROM clips)
+            SELECT clip_id,
+                   CAST(dur_ms AS BIGINT) AS dur_ms_total,
+                   CAST(u.seg_idx AS BIGINT) AS seg_idx,
+                   CAST(u.seg_idx * 2500 AS BIGINT) AS start_ms,
+                   CAST(least(u.seg_idx * 2500 + 3000, dur_ms)
+                        AS BIGINT) AS end_ms,
+                   CAST(least(u.seg_idx * 2500 + 3000, dur_ms)
+                        - u.seg_idx * 2500 AS BIGINT) AS seg_ms
+            FROM n, unnest(range(0, n_segs)) AS u(seg_idx)
         """,
         # n=3 and the (len DESC, doc_id ASC) total order must mirror
         # _q_top_docs_per_source.

@@ -56,3 +56,35 @@ def pack_clip_batches(df: DataFrame, batch_size: int = 32,
                 F.when(F.col("padded_ms") == 0, F.lit(0)).otherwise(
                     ((F.col("padded_ms") - F.col("sum_dur_ms")) * 1000
                      / F.col("padded_ms")).cast("long"))))
+
+
+def segment_clips(df: DataFrame, max_ms: int = 30_000,
+                  overlap_ms: int = 1_000, id_col: str = "clip_id",
+                  dur_col: str = "dur_ms") -> DataFrame:
+    """Split long clips into fixed-length decode windows with overlap
+    — the ≤30 s segmentation every ASR encoder (and forced aligner)
+    imposes; the overlap preserves words that straddle a cut.
+
+    Pure metadata planning (like multimodal.frame_sample_plan): only
+    (id, dur) flow through sequence+explode inside whole-stage codegen
+    — zero shuffle, no audio bytes touched; the decode stage later
+    slices the payload per planned segment. Segments step by
+    ``stride = max_ms - overlap_ms``; the last one ends exactly at the
+    clip end (it may be shorter); clips within ``max_ms`` yield one
+    whole segment. All integer arithmetic — an identical SQL oracle
+    reproduces every boundary.
+    """
+    if overlap_ms >= max_ms:
+        raise ValueError("overlap_ms must be < max_ms")
+    stride = max_ms - overlap_ms
+    dur = F.col(dur_col)
+    n_segs = (F.when(dur <= max_ms, F.lit(1))
+              .otherwise(1 + F.ceil((dur - max_ms) / stride))
+              .cast("long"))
+    seg = F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx")
+    out = df.select(F.col(id_col), dur.alias("dur_ms_total"), seg)
+    start = (F.col("seg_idx") * stride).cast("long")
+    end = F.least(start + max_ms, F.col("dur_ms_total")).cast("long")
+    return (out.withColumn("start_ms", start)
+            .withColumn("end_ms", end)
+            .withColumn("seg_ms", (end - start).cast("long")))

@@ -1212,3 +1212,41 @@ def test_top_n_per_group(spark):
     got = {(r["g"], r["id"]): r["rnk"] for r in out}
     # tie on score 90 -> id 2 then id 3; id 1 (score 50) is cut
     assert got == {("g1", 2): 1, ("g1", 3): 2, ("g2", 5): 1}
+
+
+def test_segment_clips_boundaries(spark):
+    """Decode-window planning: coverage is gapless with the declared
+    overlap, the last segment ends exactly at clip end, short clips
+    yield one whole segment, and overlap >= max is rejected."""
+    import pytest
+
+    from dataflow_flex_templates_spark.operators.audio_pack import (
+        segment_clips,
+    )
+
+    rows = [("a", 2000),    # <= max -> one segment [0,2000)
+            ("b", 3000),    # == max -> one segment
+            ("c", 3001),    # just over -> two, second is tiny
+            ("d", 8000)]    # 0-3000, 2500-5500, 5000-8000
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms int")
+    segs = {}
+    for r in segment_clips(df, max_ms=3000, overlap_ms=500).collect():
+        segs.setdefault(r["clip_id"], []).append(
+            (r["seg_idx"], r["start_ms"], r["end_ms"], r["seg_ms"]))
+    for v in segs.values():
+        v.sort()
+    assert segs["a"] == [(0, 0, 2000, 2000)]
+    assert segs["b"] == [(0, 0, 3000, 3000)]
+    assert segs["c"] == [(0, 0, 3000, 3000), (1, 2500, 3001, 501)]
+    assert segs["d"] == [(0, 0, 3000, 3000), (1, 2500, 5500, 3000),
+                         (2, 5000, 8000, 3000)]
+    # every consecutive pair overlaps by exactly overlap_ms (except a
+    # short tail), and the union covers [0, dur)
+    for cid, dur in rows:
+        v = segs[cid]
+        assert v[0][1] == 0 and v[-1][2] == dur
+        for (_, s1, e1, _), (_, s2, e2, _) in zip(v, v[1:]):
+            assert s2 < e1  # gapless
+
+    with pytest.raises(ValueError):
+        segment_clips(df, max_ms=1000, overlap_ms=1000)
