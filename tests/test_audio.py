@@ -814,3 +814,41 @@ def test_mfcc_udf_matches_twin(spark):
         "__mf__", mfcc_stats()(F.col("bytes"), F.col("codec"),
                                F.col("sr_hz"))).collect()}
     assert got == pins
+
+
+def test_segment_plan_drives_byte_exact_pcm_slicing():
+    """The segment_clips contract ("the decode stage later slices the
+    payload per planned segment"): for pcm_s16le, byte-slicing the
+    payload at the planned ms boundaries and decoding each slice
+    reproduces exactly the corresponding samples of the full decode —
+    gapless, overlap included, no resampling drift. Pure-kernel test
+    (the Spark plan side is oracle-checked by the driver row)."""
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm_np,
+        encode_pcm_np,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        reference_waveform,
+    )
+
+    sr, dur_ms = 16000, 8000
+    wave = reference_waveform("seg_test", sr, dur_ms)
+    buf = encode_pcm_np(wave, "pcm_s16le")
+    full = decode_pcm_np(buf, "pcm_s16le")
+
+    max_ms, overlap_ms = 3000, 500
+    stride = max_ms - overlap_ms
+    n_segs = 1 + -(-(dur_ms - max_ms) // stride)  # ceil
+    covered = np.zeros(len(full), dtype=bool)
+    for k in range(n_segs):
+        start_ms = k * stride
+        end_ms = min(start_ms + max_ms, dur_ms)
+        s = start_ms * sr // 1000 * 2      # 2 bytes/sample
+        e = end_ms * sr // 1000 * 2
+        seg = decode_pcm_np(buf[s:e], "pcm_s16le")
+        np.testing.assert_array_equal(seg, full[s // 2:e // 2])
+        covered[s // 2:e // 2] = True
+    assert covered.all()
+    assert end_ms == dur_ms
