@@ -686,6 +686,24 @@ def _q_stream_wer(spark, sf_dir):
         "wer_permille")
 
 
+def _q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: events.props carries a JSON blob;
+    pull $.k out with the JVM json path evaluator (get_json_object —
+    no Python, no UDF), then exact integer aggregates per event_type.
+    Oracle: DuckDB's ->> operator on the same strings."""
+    _load(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (spark.table("events")
+            .select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.count(F.when(F.col("k").isNull(), 1))
+                 .alias("n_null_k")))
+
+
 def _q_segment_clips(spark, sf_dir):
     """ASR decode-window planning: split orders-derived clip metadata
     (dur 500-9499 ms) into ≤3 s segments with 500 ms overlap —
@@ -2952,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_source": _q_top_docs_per_source,
         "asr_curation_pipeline": _q_asr_curation_pipeline,
         "segment_clips": _q_segment_clips,
+        "json_props_stats": _q_json_props_stats,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3796,6 +3815,19 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT)
+                     AS sum_k,
+                   CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT)
+                     AS min_k,
+                   CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT)
+                     AS max_k,
+                   CAST(COUNT(*) FILTER (props->>'k' IS NULL)
+                        AS BIGINT) AS n_null_k
+            FROM events GROUP BY event_type
         """,
         # max_ms=3000 / overlap=500 (stride 2500) mirror
         # _q_segment_clips; ceil on double is exact at these
