@@ -704,6 +704,37 @@ def _q_json_props_stats(spark, sf_dir):
                  .alias("n_null_k")))
 
 
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines source format: a deterministic events slice is
+    written as JSONL (distributed writer), read back with an explicit
+    schema (no inference scan — the 100-TB-safe path), and aggregated.
+    The oracle derives from the base `events` table directly, so a
+    green row proves the JSONL round trip is lossless — including
+    exact double round-tripping through the text encoding (floor-cents
+    on the re-read values must match the originals)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="entry_jsonl_")
+    path = os.path.join(root, "events_jsonl")
+    (spark.table("events").filter("event_id < 2000")
+     .select("event_id", "event_type", "value")
+     .write.mode("overwrite").json(path))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType())])
+    back = spark.read.schema(schema).json(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100)).alias("sum_cents"),
+                 F.min("event_id").alias("min_event_id"),
+                 F.max("event_id").alias("max_event_id")))
+
+
 def _q_segment_clips(spark, sf_dir):
     """ASR decode-window planning: split orders-derived clip metadata
     (dur 500-9499 ms) into ≤3 s segments with 500 ms overlap —
@@ -2971,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asr_curation_pipeline": _q_asr_curation_pipeline,
         "segment_clips": _q_segment_clips,
         "json_props_stats": _q_json_props_stats,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3815,6 +3847,18 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # Derives from the BASE table (not the temp JSONL files): a
+        # green row therefore proves the Spark JSONL write+read is
+        # lossless, incl. exact double round-trip through text.
+        "jsonl_roundtrip": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id
+            FROM events WHERE event_id < 2000 GROUP BY event_type
         """,
         "json_props_stats": """
             SELECT event_type,
