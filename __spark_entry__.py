@@ -680,7 +680,10 @@ def _q_stream_wer(spark, sf_dir):
     q = (scored.writeStream.outputMode("append").format("parquet")
          .option("path", out_dir).option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_wer: availableNow query timed out "
+                           "(600 s) — refusing to read partial output")
     return spark.read.parquet(out_dir).select(
         "clip_id", "ref_words", "hyp_words", "wer_distance",
         "wer_permille")
@@ -776,13 +779,18 @@ def _q_asr_curation_pipeline(spark, sf_dir):
     """Flagship audio-axis composition — the curation chain an ASR
     training pipeline runs end-to-end, each stage an independently
     driver-proven operator:
-      1. WER gate: transcript vs perturbed revision (asr.wer_stats),
-         keep wer_permille <= 350 (revision diverged too far = drop —
-         sf0.01 permille spans 291-400, so the gate genuinely splits);
-      2. exact dedup on the normalized transcript (md5 fingerprint,
-         min-doc_id keeper) — the input corpus is extended with
-         mirror duplicates (doc_id+100000 for doc_id%10==0, same
-         text) so the stage provably removes rows;
+      1. exact dedup on the normalized transcript (the library's
+         operators.dedup.exact_dedup — md5 fingerprint, min-doc_id
+         keeper) — the input corpus is extended with mirror
+         duplicates (doc_id+100000 for doc_id%10==0, same text) so
+         the stage provably removes rows. Dedup runs FIRST: it is a
+         cheap hash-agg, and every duplicate it removes skips the
+         O(words^2) WER kernel entirely;
+      2. WER gate on the keepers: transcript vs perturbed revision
+         (asr.wer_stats), keep wer_permille <= 350 (revision diverged
+         too far = drop — sf0.01 permille spans 291-400, so the gate
+         genuinely splits). Stage order does not change the result
+         (duplicates score identically), only the cost;
       3. survivors become clips (arithmetic dur_ms) packed into
          duration-sorted training batches with exact padding
          economics (audio_pack.pack_clip_batches).
@@ -793,6 +801,7 @@ def _q_asr_curation_pipeline(spark, sf_dir):
     from dataflow_flex_templates_spark.operators.audio_pack import (
         pack_clip_batches,
     )
+    from dataflow_flex_templates_spark.operators.dedup import exact_dedup
 
     _load(spark, sf_dir)
     spark.sql("""
@@ -802,16 +811,12 @@ def _q_asr_curation_pipeline(spark, sf_dir):
         SELECT doc_id + 100000 AS doc_id, text
         FROM documents WHERE doc_id % 10 = 0
     """)
-    pairs = spark.sql(_wer_pairs_sql(table="documents_ext"))
+    keepers = (exact_dedup(spark.table("documents_ext"))
+               .select(F.col("keeper_id").alias("doc_id")))
+    pairs = (spark.sql(_wer_pairs_sql(table="documents_ext"))
+             .join(keepers, "doc_id"))
     scored = wer_stats(pairs, "ref", "hyp", "doc_id")
-    keep_wer = scored.filter("wer_permille <= 350").select("doc_id")
-    keepers = (spark.sql(r"""
-        SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
-        FROM documents_ext""")
-        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id"))
-    kept = keep_wer.join(keepers, "doc_id")
+    kept = scored.filter("wer_permille <= 350").select("doc_id")
     clips = kept.withColumn(
         "dur_ms", (100 + (F.col("doc_id") % 7) * 50).cast("int"))
     return pack_clip_batches(clips, batch_size=8, n_shards=4,
@@ -3767,9 +3772,10 @@ def oracle_sql() -> dict[str, str]:
         "ewma_chars": _EWMA_CHARS_SQL,
         "ewma_stream_chars": _EWMA_CHARS_SQL,
         # v2 derivation must mirror _q_corpus_diff exactly; fp is the
-        # same md5(coalesce(text, chr(0))) algebra as snapshot_diff
-        # (single compare column, so the 0x1f joiner is a no-op).
-        # '||' (not concat) so NULL text propagates like Spark concat.
+        # same prefix-free length-prefix encoding as snapshot_diff
+        # (len:value, NULL -> 'N' — immune to separator-collision and
+        # NULL-vs-sentinel collision). '||' (not concat) so NULL text
+        # propagates like Spark concat inside the v2 derivation.
         "corpus_diff": r"""
             WITH v2 AS (
               SELECT doc_id,
@@ -3779,9 +3785,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id, text
               FROM documents WHERE doc_id % 11 = 0),
-            o AS (SELECT doc_id, md5(COALESCE(text, chr(0))) AS fp_old
+            o AS (SELECT doc_id,
+                         md5(COALESCE(length(text) || ':' || text, 'N'))
+                           AS fp_old
                   FROM documents),
-            n AS (SELECT doc_id, md5(COALESCE(text, chr(0))) AS fp_new
+            n AS (SELECT doc_id,
+                         md5(COALESCE(length(text) || ':' || text, 'N'))
+                           AS fp_new
                   FROM v2)
             SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                    CASE WHEN o.fp_old IS NULL THEN 'added'
@@ -3860,18 +3870,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(event_id) AS BIGINT) AS max_event_id
             FROM events WHERE event_id < 2000 GROUP BY event_type
         """,
+        # TRY_CAST mirrors Spark's .cast('long') null-on-failure
+        # semantics: n_null_k counts missing keys AND non-integer
+        # values identically on both engines.
         "json_props_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     TRY_CAST(props->>'k' AS BIGINT) AS k
+              FROM events)
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT)
-                     AS sum_k,
-                   CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT)
-                     AS min_k,
-                   CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT)
-                     AS max_k,
-                   CAST(COUNT(*) FILTER (props->>'k' IS NULL)
-                        AS BIGINT) AS n_null_k
-            FROM events GROUP BY event_type
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k,
+                   CAST(COUNT(*) FILTER (k IS NULL) AS BIGINT)
+                     AS n_null_k
+            FROM e GROUP BY event_type
         """,
         # max_ms=3000 / overlap=500 (stride 2500) mirror
         # _q_segment_clips; ceil on double is exact at these

@@ -60,17 +60,25 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     between crawl versions before retraining.
 
     Each side is reduced scan-side to (key, md5 fingerprint of the
-    compared columns — 0x1f-joined, NULL encoded as 0x00 so NULL and
-    empty string differ), then ONE full-outer join on the key decides
-    the status. At 100 TB the shuffle payload is (key, 32-byte fp)
-    per row, never the documents themselves; the join is the
-    irreducible cost of a diff. The same md5/concat algebra runs in
-    the DuckDB oracle, so statuses are bit-exact cross-engine.
+    compared columns), then ONE full-outer join on the key decides
+    the status. The encoding is PREFIX-FREE: every column value is
+    length-prefixed (``len:value``) and NULL becomes the single token
+    ``N`` — so no combination of values can collide with another
+    (a bare separator joiner would let ('a\\x1fb','c') and
+    ('a','b\\x1fc') hash equal, and NULL vs a literal sentinel string
+    collide). At 100 TB the shuffle payload is (key, 32-byte fp) per
+    row, never the documents themselves; the join is the irreducible
+    cost of a diff. The same length-prefix/md5 algebra runs in the
+    DuckDB oracle, so statuses are bit-exact cross-engine.
     """
+    def enc(c):
+        s = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s),
+            F.lit("N"))
+
     def fp():
-        return F.md5(F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                      for c in compare_cols]))
+        return F.md5(F.concat(*[enc(c) for c in compare_cols]))
 
     o = old.select(*key_cols, fp().alias("fp_old"))
     n = new.select(*key_cols, fp().alias("fp_new"))
@@ -84,7 +92,8 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
 
 
 def top_n_per_group(df: DataFrame, part_cols: list[str],
-                    order_cols: list, n: int) -> DataFrame:
+                    order_cols: list, n: int,
+                    rank_col: str = "rnk") -> DataFrame:
     """Top-N rows per group ("3 longest documents per (lang, source)",
     "5 best clips per speaker") — rank over a per-group window,
     filter rank <= n.
@@ -96,8 +105,14 @@ def top_n_per_group(df: DataFrame, part_cols: list[str],
     the reduce side then takes the true top-n. This is the same
     partial/final split as a TakeOrderedAndProject, generalized per
     group. Callers must pass a total order (tie-break column) for
-    deterministic output.
+    deterministic output. ``rank_col`` names the emitted rank column
+    and must not already exist on the input (refusing beats silently
+    clobbering caller data).
     """
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank column {rank_col!r} already exists on the input; "
+            "pass a different rank_col")
     w = Window.partitionBy(*part_cols).orderBy(*order_cols)
-    return (df.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= n))
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= n))

@@ -1109,6 +1109,19 @@ def test_snapshot_diff_statuses(spark):
     r = snapshot_diff(old2, new2, ["k"], ["a", "b"]).collect()[0]
     assert r["status"] == "changed"
 
+    # prefix-free encoding regressions: values containing a would-be
+    # separator must not alias across the column boundary, and NULL
+    # must differ from any literal sentinel-like string
+    old3 = spark.createDataFrame(
+        [(1, "a\x1fb", "c"), (2, None, "z")],
+        "k long, a string, b string")
+    new3 = spark.createDataFrame(
+        [(1, "a", "b\x1fc"), (2, "N", "z")],
+        "k long, a string, b string")
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old3, new3, ["k"], ["a", "b"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
 
 def test_wer_stats_dataframe(spark):
     """WER table over a pair DataFrame: known S/D/I mixes, NULL
@@ -1240,13 +1253,14 @@ def test_segment_clips_boundaries(spark):
     assert segs["c"] == [(0, 0, 3000, 3000), (1, 2500, 3001, 501)]
     assert segs["d"] == [(0, 0, 3000, 3000), (1, 2500, 5500, 3000),
                          (2, 5000, 8000, 3000)]
-    # every consecutive pair overlaps by exactly overlap_ms (except a
-    # short tail), and the union covers [0, dur)
+    # every consecutive pair overlaps by EXACTLY overlap_ms (the
+    # earlier segment of a pair is never the truncated tail), and the
+    # union covers [0, dur)
     for cid, dur in rows:
         v = segs[cid]
         assert v[0][1] == 0 and v[-1][2] == dur
         for (_, s1, e1, _), (_, s2, e2, _) in zip(v, v[1:]):
-            assert s2 < e1  # gapless
+            assert e1 - s2 == 500
 
     with pytest.raises(ValueError):
         segment_clips(df, max_ms=1000, overlap_ms=1000)
