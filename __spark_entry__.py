@@ -841,6 +841,19 @@ def _q_pack_audio_batches(spark, sf_dir):
     return pack_clip_batches(clips, batch_size=32, n_shards=8)
 
 
+def _q_funnel_view_click_purchase(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user over events —
+    chained same-partition window aggregates, ONE shuffle (PLANS.md).
+    Oracle: the identical nested-window algebra as stacked CTEs."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        funnel_steps,
+    )
+
+    _load(spark, sf_dir)
+    return funnel_steps(spark.table("events"), "user_id", "ts",
+                        "event_type", ["view", "click", "purchase"])
+
+
 def _q_rolling_user_stats(spark, sf_dir):
     """Per-user trailing 10-minute RANGE-frame window over events:
     count + cent-exact value sum per event row. True time-range frame
@@ -3008,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_clips": _q_segment_clips,
         "json_props_stats": _q_json_props_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3857,6 +3871,36 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # Steps ['view','click','purchase'] mirror the query; the
+        # chained >= tie semantics are identical nested-window algebra.
+        "funnel_view_click_purchase": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS t_us, event_type AS et
+              FROM events),
+            s0 AS (
+              SELECT *, min(CASE WHEN et = 'view' THEN t_us END)
+                        OVER (PARTITION BY user_id) AS step_0_us
+              FROM ev),
+            s1 AS (
+              SELECT *, min(CASE WHEN et = 'click'
+                                 AND t_us >= step_0_us THEN t_us END)
+                        OVER (PARTITION BY user_id) AS step_1_us
+              FROM s0),
+            s2 AS (
+              SELECT *, min(CASE WHEN et = 'purchase'
+                                 AND t_us >= step_1_us THEN t_us END)
+                        OVER (PARTITION BY user_id) AS step_2_us
+              FROM s1)
+            SELECT user_id,
+                   CAST(max(step_0_us) AS BIGINT) AS step_0_us,
+                   CAST(max(step_1_us) AS BIGINT) AS step_1_us,
+                   CAST(max(step_2_us) AS BIGINT) AS step_2_us,
+                   CAST(CASE WHEN max(step_2_us) IS NOT NULL THEN 3
+                             WHEN max(step_1_us) IS NOT NULL THEN 2
+                             WHEN max(step_0_us) IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS depth
+            FROM s2 GROUP BY user_id
         """,
         # Derives from the BASE table (not the temp JSONL files): a
         # green row therefore proves the Spark JSONL write+read is

@@ -116,3 +116,47 @@ def top_n_per_group(df: DataFrame, part_cols: list[str],
     w = Window.partitionBy(*part_cols).orderBy(*order_cols)
     return (df.withColumn(rank_col, F.row_number().over(w))
             .filter(F.col(rank_col) <= n))
+
+
+def funnel_steps(df: DataFrame, key_col: str, ts_col: str,
+                 type_col: str, steps: list[str]) -> DataFrame:
+    """Ordered funnel analysis ("view → click → purchase"): per key,
+    the earliest time each step was completed IN ORDER (step i counts
+    only at/after the key's step-i-1 time), plus the funnel depth.
+
+    Formulated as CHAINED WINDOW AGGREGATES over one partitioning:
+    ``t_i = min(ts) FILTER (type = step_i AND ts >= t_{i-1}) OVER
+    (PARTITION BY key)`` — every window shares the same partition
+    spec, so Spark plans ONE Exchange and stacks the Window operators
+    on it (no per-step join, no self-join, no collect_list buffering).
+    The identical nested-window algebra runs in an ANSI-SQL oracle,
+    so tie semantics (``>=``) are engine-exact, not sort-order luck.
+
+    Timestamps are epoch-microsecond integers (NTZ-safe under the
+    session's pinned UTC). Output: one row per key with
+    ``step_0_us .. step_{k-1}_us`` (NULL where the funnel stalled)
+    and ``depth`` = number of steps completed in order.
+    """
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(F.col(key_col), t_us.alias("t_us"),
+                   F.col(type_col).alias("__et__"))
+    w = Window.partitionBy(key_col)
+    cur = ev
+    for i, s in enumerate(steps):
+        cond = F.col("__et__") == s
+        if i > 0:
+            cond = cond & (F.col("t_us") >= F.col(f"step_{i - 1}_us"))
+        cur = cur.withColumn(
+            f"step_{i}_us",
+            F.min(F.when(cond, F.col("t_us"))).over(w))
+    step_cols = [f"step_{i}_us" for i in range(len(steps))]
+    per_key = (cur.groupBy(key_col)
+               .agg(*[F.max(c).alias(c) for c in step_cols]))
+    depth = F.lit(0)
+    for i in range(len(steps)):
+        depth = F.when(F.col(step_cols[i]).isNotNull(), i + 1) \
+            .otherwise(depth)
+    # depth must be the longest PREFIX completed: later steps are
+    # NULL whenever an earlier one is (the chained >= guard), so the
+    # reversed when-chain above lands on the last non-null step.
+    return per_key.withColumn("depth", depth.cast("long"))

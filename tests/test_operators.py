@@ -1264,3 +1264,42 @@ def test_segment_clips_boundaries(spark):
 
     with pytest.raises(ValueError):
         segment_clips(df, max_ms=1000, overlap_ms=1000)
+
+
+def test_funnel_steps_ordering(spark):
+    """Funnel order matters: a click BEFORE the first view does not
+    count; a later in-order click does; depth is the longest
+    completed prefix; same-timestamp step transitions count (>=)."""
+    import datetime as dt
+
+    from dataflow_flex_templates_spark.operators.relational import (
+        funnel_steps,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: full funnel in order
+        (1, at(10), "view"), (1, at(20), "click"), (1, at(30), "purchase"),
+        # u2: click precedes view -> funnel stalls at view
+        (2, at(10), "click"), (2, at(20), "view"),
+        # u3: purchase before click -> depth 2 only
+        (3, at(10), "view"), (3, at(15), "purchase"), (3, at(20), "click"),
+        # u4: no view at all -> depth 0 despite click+purchase
+        (4, at(10), "click"), (4, at(20), "purchase"),
+        # u5: view and click share a timestamp -> >= counts it
+        (5, at(10), "view"), (5, at(10), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r for r in funnel_steps(
+        df, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"]).collect()}
+    assert out[1]["depth"] == 3
+    assert out[2]["depth"] == 1 and out[2]["step_1_us"] is None
+    assert out[3]["depth"] == 2
+    assert out[4]["depth"] == 0 and out[4]["step_0_us"] is None
+    assert out[5]["depth"] == 2
