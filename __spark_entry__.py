@@ -854,6 +854,19 @@ def _q_funnel_view_click_purchase(spark, sf_dir):
                         "event_type", ["view", "click", "purchase"])
 
 
+def _q_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention triangle over events — DISTINCT
+    (user, day) pairs at the scan, integer-exact day indexing, every
+    shuffle carries two longs per active-user-day. Oracle: identical
+    cohort/offset algebra with DuckDB integer division."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    _load(spark, sf_dir)
+    return retention_cohorts(spark.table("events"), "user_id", "ts")
+
+
 def _q_rolling_user_stats(spark, sf_dir):
     """Per-user trailing 10-minute RANGE-frame window over events:
     count + cent-exact value sum per event row. True time-range frame
@@ -3022,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _q_json_props_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
+        "retention_cohorts": _q_retention_cohorts,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3871,6 +3885,23 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # period = 86400000000 us (1 day) mirrors retention_cohorts'
+        # default; // is DuckDB integer division (exact like the
+        # Spark t - t%p derivation).
+        "retention_cohorts": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            cohort AS (
+              SELECT user_id, MIN(day) AS cohort_day
+              FROM days GROUP BY user_id)
+            SELECT c.cohort_day,
+                   d.day - c.cohort_day AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM days d JOIN cohort c USING (user_id)
+            GROUP BY c.cohort_day, d.day - c.cohort_day
         """,
         # Steps ['view','click','purchase'] mirror the query; the
         # chained >= tie semantics are identical nested-window algebra.

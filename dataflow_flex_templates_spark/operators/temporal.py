@@ -335,3 +335,33 @@ def rolling_stats(df: DataFrame, key_col: str, ts_col: str,
             .withColumn("n_window", F.count("*").over(w))
             .withColumn("sum_cents_window",
                         F.sum("val_cents").over(w)))
+
+
+def retention_cohorts(df: DataFrame, key_col: str, ts_col: str,
+                      period_us: int = 86_400_000_000) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-active
+    period (cohort), counted on every later period they return —
+    the (cohort_day, day_offset, n_users) table behind every
+    retention curve.
+
+    Integer-exact throughout: period index = epoch-micros DIV
+    period_us (integer division, never float — a float quotient can
+    round k*period up/down across the boundary). The pipeline reduces
+    rows to DISTINCT (key, period) pairs at the scan, so every
+    shuffle afterwards carries two longs per active-user-day, never
+    events; the final count is a plain COUNT(*) because (cohort,
+    offset, key) is already unique by construction.
+    """
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    days = (df.select(F.col(key_col),
+                      (t_us - (t_us % period_us)).alias("t0"))
+            .select(key_col, (F.col("t0") / period_us)
+                    .cast("long").alias("day"))
+            .distinct())
+    cohort = days.groupBy(key_col).agg(F.min("day").alias("cohort_day"))
+    joined = days.join(cohort, key_col)
+    return (joined
+            .groupBy("cohort_day",
+                     (F.col("day") - F.col("cohort_day"))
+                     .alias("day_offset"))
+            .agg(F.count("*").alias("n_users")))

@@ -219,3 +219,37 @@ def test_rolling_stats_range_frame(spark):
     assert (out[4]["n_window"], out[4]["sum_cents_window"]) == (4, 3000)
     assert out[5]["n_window"] == 4 and out[5]["sum_cents_window"] == 3000
     assert (out[6]["n_window"], out[6]["sum_cents_window"]) == (1, 3200)
+
+
+def test_retention_cohorts_triangle(spark):
+    """Cohort = first-active day; offsets count distinct returning
+    users; multiple events on one day collapse; day boundaries are
+    integer-exact (23:59:59.999999 vs 00:00:00.000000)."""
+    import datetime as dt
+
+    from dataflow_flex_templates_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def at(day, h=12):
+        return d0 + dt.timedelta(days=day, hours=h)
+
+    rows = [
+        (1, at(0)), (1, at(0, 13)), (1, at(2)),      # cohort 0: d0, d2
+        (2, at(0)), (2, at(1)),                      # cohort 0: d0, d1
+        (3, at(1)),                                  # cohort 1: d1 only
+        # boundary: last microsecond of day 0 vs first of day 1
+        (4, d0 + dt.timedelta(days=1) - dt.timedelta(microseconds=1)),
+        (4, d0 + dt.timedelta(days=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    base = 19723  # days from epoch to 2024-01-01
+    assert out[(base, 0)] == 3        # users 1, 2, 4 first active d0
+    assert out[(base, 1)] == 2        # user 2 and user 4 (boundary!)
+    assert out[(base, 2)] == 1        # user 1
+    assert out[(base + 1, 0)] == 1    # user 3's own cohort
+    assert (base + 1, 1) not in out
