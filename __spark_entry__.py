@@ -854,6 +854,23 @@ def _q_funnel_view_click_purchase(spark, sf_dir):
                         "event_type", ["view", "click", "purchase"])
 
 
+def _q_profile_events(spark, sf_dir):
+    """Per-column data-quality profile of events (null/exact-distinct/
+    min/max, one aggregation pass via Spark's Expand multi-distinct
+    strategy). The float column is deliberately excluded: double→
+    string rendering is not cross-engine-stable (scientific-notation
+    thresholds differ), and a profile gate reads ints/strings/times.
+    Oracle: per-column UNION ALL aggregates."""
+    from dataflow_flex_templates_spark.operators.profile import (
+        profile_table,
+    )
+
+    _load(spark, sf_dir)
+    return profile_table(
+        spark.table("events"),
+        ["event_id", "ts", "user_id", "event_type", "props"])
+
+
 def _q_retention_cohorts(spark, sf_dir):
     """Daily cohort retention triangle over events — DISTINCT
     (user, day) pairs at the scan, integer-exact day indexing, every
@@ -3036,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "retention_cohorts": _q_retention_cohorts,
+        "profile_events": _q_profile_events,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3885,6 +3903,45 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # column list mirrors _q_profile_events; timestamps render
+        # identically ('YYYY-MM-DD HH:MM:SS.ffffff') on both engines.
+        "profile_events": """
+            SELECT 'event_id' AS column,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (event_id IS NULL) AS BIGINT)
+                     AS n_nulls,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_str,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT ts) AS BIGINT),
+                   CAST(MIN(ts) AS VARCHAR), CAST(MAX(ts) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   CAST(MIN(user_id) AS VARCHAR),
+                   CAST(MAX(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (event_type IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   CAST(MIN(event_type) AS VARCHAR),
+                   CAST(MAX(event_type) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'props', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (props IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT props) AS BIGINT),
+                   CAST(MIN(props) AS VARCHAR),
+                   CAST(MAX(props) AS VARCHAR)
+            FROM events
         """,
         # period = 86400000000 us (1 day) mirrors retention_cohorts'
         # default; // is DuckDB integer division (exact like the

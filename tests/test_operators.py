@@ -1303,3 +1303,23 @@ def test_funnel_steps_ordering(spark):
     assert out[3]["depth"] == 2
     assert out[4]["depth"] == 0 and out[4]["step_0_us"] is None
     assert out[5]["depth"] == 2
+
+
+def test_profile_table_nulls_and_distinct(spark):
+    """Profile semantics: NULLs counted separately and excluded from
+    distinct/min/max; n_rows constant across columns; strings and
+    ints share the one report schema."""
+    from dataflow_flex_templates_spark.operators.profile import (
+        profile_table,
+    )
+
+    rows = [(1, "a"), (2, None), (2, "b"), (None, "a")]
+    df = spark.createDataFrame(rows, "x long, s string")
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"x", "s"}
+    x, s = out["x"], out["s"]
+    assert x["n_rows"] == s["n_rows"] == 4
+    assert (x["n_nulls"], x["n_distinct"], x["min_str"], x["max_str"]) \
+        == (1, 2, "1", "2")
+    assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) \
+        == (1, 2, "a", "b")
