@@ -1926,6 +1926,28 @@ def _q_pagerank(spark, sf_dir):
     return pagerank_int(e, iterations=10).select("node", "rank_q")
 
 
+def _q_bfs_levels(spark, sf_dir):
+    """Multi-source BFS over the UNDIRECTED supplier↔part supply
+    graph (the pagerank edge set plus its reverse): minimum hop
+    distance from the suppliers with suppkey % 97 == 0, bounded at 4
+    hops. Oracle: bounded recursive CTE + min(level) GROUP BY."""
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        bfs_levels,
+    )
+
+    _load(spark, sf_dir)
+    e = (spark.table("lineitem")
+         .select(F.col("l_suppkey").cast("long").alias("src"),
+                 (F.col("l_partkey") + F.lit(1_000_000))
+                 .cast("long").alias("dst"))
+         .distinct())
+    und = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    sources = (e.select(F.col("src").alias("node")).distinct()
+               .filter("node % 97 = 0"))
+    return bfs_levels(und, sources, max_hops=4)
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (backward): each purchase event enriched with the
     user's latest at-or-before view event's value — the align-stream-
@@ -3054,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "retention_cohorts": _q_retention_cohorts,
         "profile_events": _q_profile_events,
+        "bfs_levels": _q_bfs_levels,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3903,6 +3926,28 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # Edge set, sources (%97), undirected union, and the 4-hop
+        # bound all mirror _q_bfs_levels; UNION (distinct) bounds the
+        # recursion, min(level) = first-reach BFS level.
+        "bfs_levels": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                     CAST(l_partkey + 1000000 AS BIGINT) AS dst
+              FROM lineitem),
+            und AS (
+              SELECT src, dst FROM e
+              UNION ALL SELECT dst AS src, src AS dst FROM e),
+            srcs AS (
+              SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0),
+            r AS (
+              SELECT node, 0 AS lvl FROM srcs
+              UNION
+              SELECT u.dst AS node, r.lvl + 1 AS lvl
+              FROM r JOIN und u ON u.src = r.node
+              WHERE r.lvl < 4)
+            SELECT node, CAST(MIN(lvl) AS BIGINT) AS level
+            FROM r GROUP BY node
         """,
         # column list mirrors _q_profile_events; timestamps render
         # identically ('YYYY-MM-DD HH:MM:SS.ffffff') on both engines.

@@ -229,3 +229,43 @@ def triangle_counts_py(edges: list[tuple[int, int]]) -> dict[int, int]:
                 out[b] += 1
                 out[c] += 1
     return out
+
+
+def bfs_levels(edges: DataFrame, sources: DataFrame,
+               max_hops: int = 6,
+               checkpoint_every: int = 1) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node,
+    following directed ``(src, dst)`` edges, bounded at ``max_hops``
+    (nodes farther than the bound are absent — callers union reversed
+    edges for undirected reach). Returns (node, level).
+
+    Classic frontier expansion: each hop is one equi-join frontier×
+    edges plus a left-anti against the visited set — the shuffle
+    carries node ids only, and a level is FINAL when first assigned
+    (min-level by construction), so no re-relaxation ever happens.
+    Every frontier is localCheckpoint-ed eagerly: the emptiness test
+    (the standard BFS termination probe, O(diameter) driver jobs)
+    then reads the materialized frame instead of recomputing the
+    join, and lineage stays O(1) like cluster_duplicates. Override
+    ``checkpoint_every`` only to trade recompute for fewer
+    materializations. The oracle is a bounded recursive CTE with
+    min(level) GROUP BY — identical semantics including the hop
+    bound.
+    """
+    levels = (sources.select(F.col("node").cast("long"))
+              .distinct().withColumn("level", F.lit(0)))
+    frontier = levels
+    e = edges.select(F.col("src").cast("long"),
+                     F.col("dst").cast("long"))
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(e["dst"].alias("node")).distinct()
+               .join(levels.select("node"), "node", "left_anti")
+               .withColumn("level", F.lit(hop)))
+        if checkpoint_every and hop % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt)
+        frontier = nxt
+    return levels.withColumn("level", F.col("level").cast("long"))

@@ -78,3 +78,28 @@ def test_triangle_counts_matches_bruteforce(spark):
     want = triangle_counts_py(rnd)
     assert got == want
     assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+
+def test_bfs_levels_path_and_bound(spark):
+    """BFS levels: min distance wins with multiple sources, the hop
+    bound truncates the frontier, unreachable nodes are absent, and
+    directed edges are respected (no implicit reverse)."""
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        bfs_levels,
+    )
+
+    # path 1->2->3->4->5->6, plus isolated 9, plus shortcut 10->4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 4)],
+        "src long, dst long")
+    sources = spark.createDataFrame([(1,), (10,)], "node long")
+    out = {r["node"]: r["level"]
+           for r in bfs_levels(edges, sources, max_hops=3).collect()}
+    # 4 is reached at hop 1 via 10 (min over sources), not hop 3 via 1
+    assert out == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2, 5: 2, 6: 3}
+    # hop bound: max_hops=1 stops the frontier
+    out1 = {r["node"]: r["level"]
+            for r in bfs_levels(edges, sources, max_hops=1).collect()}
+    assert out1 == {1: 0, 10: 0, 2: 1, 4: 1}
+    # directed: nothing reaches 9, and 1 is never re-entered
+    assert 9 not in out
