@@ -396,6 +396,19 @@ def _q_vocabulary(spark, sf_dir):
     return vocabulary(spark.table("documents"), k=200)
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-economics curve: cumulative corpus-token coverage
+    permille by vocabulary rank (top-30 head) — array-side total (no
+    second explode), broadcast scalar, k-row cumsum window. Oracle:
+    the same cumulative algebra in SQL."""
+    from dataflow_flex_templates_spark.operators.text import (
+        vocabulary_coverage,
+    )
+
+    _load(spark, sf_dir)
+    return vocabulary_coverage(spark.table("documents"), k=30)
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling (training-mix upweighting):
     50 documents drawn with probability increasing in n_chars —
@@ -3077,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "profile_events": _q_profile_events,
         "bfs_levels": _q_bfs_levels,
+        "vocab_coverage": _q_vocab_coverage,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3771,6 +3785,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank, word,
                    n_occurrences, n_docs
             FROM r WHERE rank <= 200
+        """,
+        # k=30 mirrors _q_vocab_coverage; total counts ALL corpus
+        # token occurrences (not just the head), so coverage converges
+        # to 1000 only if the corpus vocabulary fits the head.
+        "vocab_coverage": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS word
+              FROM t),
+            ww AS (SELECT word FROM w WHERE length(word) > 0),
+            tot AS (SELECT COUNT(*) AS total_occ FROM ww),
+            c AS (
+              SELECT word, COUNT(*) AS n_occurrences
+              FROM ww GROUP BY word),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+                                           word ASC) AS rank
+              FROM c),
+            cum AS (
+              SELECT rank, word, n_occurrences,
+                     SUM(n_occurrences) OVER (ORDER BY rank)
+                       AS cum_occurrences
+              FROM r WHERE rank <= 30)
+            SELECT CAST(rank AS BIGINT) AS rank, word,
+                   CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                   CAST(cum_occurrences AS BIGINT) AS cum_occurrences,
+                   CAST(total_occ AS BIGINT) AS total_occ,
+                   CAST(cum_occurrences * 1000 // total_occ AS BIGINT)
+                     AS coverage_permille
+            FROM cum, tot
         """,
         # k must mirror _q_oov_rate (top-10 vocabulary).
         "oov_rate": r"""

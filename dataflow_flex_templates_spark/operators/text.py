@@ -773,3 +773,36 @@ def bigram_novelty(df: DataFrame, k: int = 100, text_col: str = "text",
                             F.col("bigram"))).alias("n_novel_distinct"))
             .withColumn("novelty_permille",
                         F.expr(f"n_novel * {scale} div n_bigrams")))
+
+
+def vocabulary_coverage(df: DataFrame, k: int = 50,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-economics curve: for each top-``k`` vocabulary rank,
+    the cumulative permille of ALL corpus token occurrences covered
+    by ranks 1..r — the "how big must the vocab be" read-off before
+    committing to a tokenizer size.
+
+    The total is computed array-side per row (size of the filtered
+    split — the same token definition as :func:`vocabulary`, no
+    explode, no second shuffle) and broadcast as one scalar; the
+    cumulative sum is a window over the k-row head only. Integer
+    permille throughout (``cum*1000 div total``), so the SQL oracle
+    is exact.
+    """
+    from pyspark.sql import Window
+
+    vocab = vocabulary(df, k, text_col, id_col)
+    toks = F.filter(F.split(norm_text(F.col(text_col)), " "),
+                    lambda x: F.length(x) > 0)
+    total = df.agg(F.sum(F.size(toks)).cast("long").alias("total_occ"))
+    w = (Window.orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (vocab.crossJoin(F.broadcast(total))
+            .withColumn("cum_occurrences",
+                        F.sum("n_occurrences").over(w).cast("long"))
+            .withColumn("coverage_permille",
+                        (F.col("cum_occurrences") * 1000
+                         / F.col("total_occ")).cast("long"))
+            .select("rank", "word", "n_occurrences", "cum_occurrences",
+                    "total_occ", "coverage_permille"))

@@ -1323,3 +1323,24 @@ def test_profile_table_nulls_and_distinct(spark):
         == (1, 2, "1", "2")
     assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) \
         == (1, 2, "a", "b")
+
+
+def test_vocabulary_coverage_curve(spark):
+    """Coverage curve: monotone non-decreasing, total counts the WHOLE
+    corpus (not just the head), full-vocab head converges to 1000."""
+    from dataflow_flex_templates_spark.operators.text import (
+        vocabulary_coverage,
+    )
+
+    rows = [(1, "a a a b"), (2, "a b c"), (3, "c d")]
+    # occurrences: a=4, b=2, c=2, d=1; total=9
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted((r["rank"], r["word"], r["cum_occurrences"],
+                  r["total_occ"], r["coverage_permille"])
+                 for r in vocabulary_coverage(df, k=2).collect())
+    assert out == [(1, "a", 4, 9, 444), (2, "b", 6, 9, 666)]
+    full = sorted((r["rank"], r["coverage_permille"])
+                  for r in vocabulary_coverage(df, k=10).collect())
+    assert full[-1] == (4, 1000)
+    perms = [p for _, p in full]
+    assert perms == sorted(perms)
