@@ -396,6 +396,22 @@ def _q_vocabulary(spark, sf_dir):
     return vocabulary(spark.table("documents"), k=200)
 
 
+def _q_curriculum_bins(spark, sf_dir):
+    """Curriculum binning: documents assigned to length deciles via
+    ntile(10) under a TOTAL order (n_chars, doc_id) — ANSI ntile
+    semantics (bucket sizes differ by at most one, earlier buckets
+    take the remainder) are engine-identical given a total order.
+    Pure built-in window; one shuffle. Oracle: the same ntile SQL."""
+    _load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (spark.table("documents")
+            .select("doc_id", F.col("n_chars").cast("long")
+                    .alias("n_chars"))
+            .withColumn("decile", F.ntile(10).over(w).cast("long")))
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """Tokenizer-economics curve: cumulative corpus-token coverage
     permille by vocabulary rank (top-30 head) — array-side total (no
@@ -3091,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": _q_profile_events,
         "bfs_levels": _q_bfs_levels,
         "vocab_coverage": _q_vocab_coverage,
+        "curriculum_bins": _q_curriculum_bins,
         "compression_ratio": _q_compression_ratio,
         "doc_chunks": _q_doc_chunks,
         "pack_chunks": _q_pack_chunks,
@@ -3785,6 +3802,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank, word,
                    n_occurrences, n_docs
             FROM r WHERE rank <= 200
+        """,
+        # (n_chars, doc_id) total order mirrors _q_curriculum_bins;
+        # ANSI ntile is engine-identical under a total order.
+        "curriculum_bins": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars ASC,
+                                        doc_id ASC) AS BIGINT)
+                     AS decile
+            FROM documents
         """,
         # k=30 mirrors _q_vocab_coverage; total counts ALL corpus
         # token occurrences (not just the head), so coverage converges
