@@ -97,6 +97,18 @@ def _load(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+def _await_or_raise(q, name: str, timeout_s: int = 600) -> None:
+    """awaitTermination with a hard failure on timeout: an availableNow
+    query that hasn't finished means the sink parquet is partial —
+    surfacing that as an explicit error beats an oracle hash mismatch
+    downstream."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"{name}: availableNow query timed out ({timeout_s} s) — "
+            "refusing to read partial output")
+
+
 def _run_flagship(spark: SparkSession, sf_dir: str):
     from dataflow_flex_templates_spark.graph.build import run_job
     from dataflow_flex_templates_spark.spec.parser import parse_job_spec
@@ -555,7 +567,7 @@ def _q_ewma_stream_chars(spark, sf_dir):
          .option("path", out_dir)
          .option("checkpointLocation", os.path.join(root, "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await_or_raise(q, "ewma_stream_chars")
     epoch_us = int(EPOCH.timestamp()) * 1_000_000
     return (spark.read.parquet(out_dir)
             .filter(F.col("event_time") < F.lit(EPOCH + timedelta(days=1)))
@@ -709,10 +721,7 @@ def _q_stream_wer(spark, sf_dir):
     q = (scored.writeStream.outputMode("append").format("parquet")
          .option("path", out_dir).option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_wer: availableNow query timed out "
-                           "(600 s) — refusing to read partial output")
+    _await_or_raise(q, "stream_wer")
     return spark.read.parquet(out_dir).select(
         "clip_id", "ref_words", "hyp_words", "wer_distance",
         "wer_permille")
@@ -2174,7 +2183,7 @@ def _q_asof_enrich_stream(spark, sf_dir):
          .option("path", f"{root}/out")
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await_or_raise(q, "asof_enrich_stream")
     out = spark.read.parquet(f"{root}/out")
     return out.select(
         "user_id",
@@ -2309,7 +2318,7 @@ def _q_cep_sequence_detect(spark, sf_dir):
          .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
          .option("checkpointLocation", os.path.join(root, "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await_or_raise(q, "cep_sequence_detect")
     return (spark.read.parquet(out)
             .select("user_id",
                     F.unix_micros("match_start").alias("match_start"),
@@ -2362,7 +2371,7 @@ def _q_cep_absence_detect(spark, sf_dir):
          .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
          .option("checkpointLocation", os.path.join(root, "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await_or_raise(q, "cep_absence_detect")
     return (spark.read.parquet(out)
             .select("user_id",
                     F.unix_micros("trigger_time").alias("trigger_us"),
@@ -2537,7 +2546,7 @@ def _q_stream_stream_left_join(spark, sf_dir):
     q = (joined.writeStream.outputMode("append").format("parquet")
          .option("path", out_dir).option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await_or_raise(q, "stream_stream_left_join")
     res = spark.read.parquet(out_dir).filter("clip_id <> 'flush'")
     if res.count() < len(docs):
         # outer state not fully evicted (watermark landed short): one
@@ -2555,7 +2564,7 @@ def _q_stream_stream_left_join(spark, sf_dir):
         q = (joined.writeStream.outputMode("append").format("parquet")
              .option("path", out_dir).option("checkpointLocation", ck)
              .trigger(availableNow=True).start())
-        q.awaitTermination(600)
+        _await_or_raise(q, "stream_stream_left_join")
         res = spark.read.parquet(out_dir).filter(
             "clip_id NOT LIKE 'flush%'")
     return res.select(
@@ -2624,7 +2633,7 @@ def _q_stream_dedup_within_wm(spark, sf_dir):
          .option("path", out_dir)
          .option("checkpointLocation", os.path.join(root, "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    _await_or_raise(q, "stream_dedup_within_wm")
     return (spark.read.parquet(out_dir)
             .select("clip_id", "transcript", "n_chars"))
 

@@ -51,7 +51,8 @@ def _canonical_nodes(spark: SparkSession, target: Target, df: DataFrame) -> Data
     for c in ct.prop_cols:
         if c in df.columns:
             prop_entries.extend([F.lit(c), F.col(c).cast("string")])
-    props = F.create_map(*prop_entries) if prop_entries else F.create_map()
+    props = (F.create_map(*prop_entries) if prop_entries
+             else F.create_map().cast("map<string,string>"))
     return df.select(
         F.lit(label).alias("label"),
         F.lit(key_name).alias("key_name"),
@@ -70,7 +71,8 @@ def _canonical_edges(spark: SparkSession, target: Target, df: DataFrame) -> Data
     for c in ct.prop_cols:
         if c in df.columns:
             prop_entries.extend([F.lit(c), F.col(c).cast("string")])
-    props = F.create_map(*prop_entries) if prop_entries else F.create_map()
+    props = (F.create_map(*prop_entries) if prop_entries
+             else F.create_map().cast("map<string,string>"))
     return df.select(
         F.lit(target.edge_type).alias("type"),
         F.lit(src_label).alias("src_label"),

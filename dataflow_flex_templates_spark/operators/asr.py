@@ -90,7 +90,9 @@ def wer_stats(df: DataFrame, ref_col: str = "ref", hyp_col: str = "hyp",
     out = (df.select(F.col(id_col), w.alias("__w__"))
            .select(id_col, "__w__.ref_words", "__w__.hyp_words",
                    "__w__.wer_distance"))
+    # true integer div (not double-divide + cast): bit-exact vs the
+    # integer-div SQL oracle even past double's 2^53 exact range
     permille = (F.when(F.col("ref_words") == 0, F.lit(None))
-                .otherwise((F.col("wer_distance") * 1000
-                            / F.col("ref_words")).cast("long")))
+                .otherwise(F.expr(
+                    "wer_distance * 1000L div ref_words")))
     return out.withColumn("wer_permille", permille)

@@ -53,9 +53,9 @@ def pack_clip_batches(df: DataFrame, batch_size: int = 32,
     return (agg.withColumn("padded_ms", padded)
             .withColumn(
                 "waste_permille",
-                F.when(F.col("padded_ms") == 0, F.lit(0)).otherwise(
-                    ((F.col("padded_ms") - F.col("sum_dur_ms")) * 1000
-                     / F.col("padded_ms")).cast("long"))))
+                F.when(F.col("padded_ms") == 0, F.lit(0).cast("long"))
+                 .otherwise(F.expr(
+                     "(padded_ms - sum_dur_ms) * 1000L div padded_ms"))))
 
 
 def segment_clips(df: DataFrame, max_ms: int = 30_000,

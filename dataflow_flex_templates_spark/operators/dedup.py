@@ -514,9 +514,11 @@ def edit_distance_pairs(
     lev = F.levenshtein("nt_a", "nt_b").cast("long")
     return (cands.join(ta, "id_a").join(tb, "id_b")
             .withColumn("lev", lev)
+            .withColumn("__maxlen__", maxlen)
             .withColumn("sim_permille",
-                        F.when(maxlen == 0, F.lit(1000))
-                         .otherwise(((maxlen - F.col("lev")) * 1000
-                                     / maxlen).cast("long")))
+                        F.when(F.col("__maxlen__") == 0, F.lit(1000))
+                         .otherwise(F.expr(
+                             "(__maxlen__ - lev) * 1000L div __maxlen__")))
+            .drop("__maxlen__")
             .filter(F.col("sim_permille") >= min_sim_permille)
             .select("id_a", "id_b", "lev", "sim_permille"))

@@ -166,9 +166,11 @@ def triangle_counts(
     which is what makes this survive power-law graphs at scale.
     Returns (node, n_triangles) for every node (0 included).
 
-    All joins are equi-joins on node ids; the order key is the exact
-    integer deg·2^32 + node, so orientation is deterministic and a SQL
-    oracle replays it bit-for-bit.
+    All joins are equi-joins on node ids; the order key is the struct
+    (deg, node) compared lexicographically — a strict total order for
+    ANY int64 node id / degree (no packed-64-bit overflow at ids ≥
+    2^32), deterministic, and replayed bit-for-bit by a SQL oracle
+    comparing (deg, node) tuples.
     """
     e_raw = edges.select(F.col(src_col).alias("a"),
                          F.col(dst_col).alias("b"))
@@ -182,7 +184,8 @@ def triangle_counts(
     deg = (und.select(F.col("a").alias("node"))
            .unionByName(und.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
-    key = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("k")
+    key = F.struct(F.col("deg").alias("d"),
+                   F.col("node").alias("n")).alias("k")
     dk = deg.select("node", key)
     ea = und.join(dk.withColumnRenamed("node", "a")
                   .withColumnRenamed("k", "ka"), "a")
@@ -193,7 +196,8 @@ def triangle_counts(
          .otherwise(F.col("b")).alias("u"),
         F.when(F.col("ka") < F.col("kb"), F.col("b"))
          .otherwise(F.col("a")).alias("v"),
-        F.greatest("ka", "kb").alias("kv"))
+        F.when(F.col("ka") < F.col("kb"), F.col("kb"))
+         .otherwise(F.col("ka")).alias("kv"))
     o1 = oriented.select(F.col("u"), F.col("v"), F.col("kv"))
     o2 = (oriented.select(F.col("u"), F.col("v").alias("w"),
                           F.col("kv").alias("kw")))

@@ -381,7 +381,18 @@ def bloom_might_contain(
     """Probe rows → (probes..., might_contain). No false negatives by
     construction; false-positive rate ≈ (1 - e^{-kn/m})^k. The register
     table is tiny (≤ m_bits/64 words per group) — Catalyst broadcasts
-    it, so probing never shuffles the probe side."""
+    it, so probing never shuffles the probe side.
+
+    Output is one row per DISTINCT probe row (the final groupBy keys on
+    every probe column) — duplicate probe rows collapse; carry an
+    explicit row-id column in ``probes`` to keep them apart. Probe
+    columns may not be named ``bit_pos``/``word_idx``/``bit``/``bits``
+    (internal working columns) — raises on clash."""
+    clash = {"bit_pos", "word_idx", "bit", "bits"} & set(probes.columns)
+    if clash:
+        raise ValueError(
+            f"probe column collides with internal working columns: "
+            f"{sorted(clash)}")
     pos = _bloom_positions(value_col, m_bits, k)
     pcols = [c for c in probes.columns]
     exploded = (probes.select(*pcols, F.explode(F.array(*pos))

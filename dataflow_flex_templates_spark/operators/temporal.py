@@ -70,8 +70,12 @@ def asof_join(
     ties at equal time matching. Left outer: unmatched rows keep
     nulls.
 
-    Right rows where ALL ``values`` are null act as missing
-    observations (the carry-forward skips them). For deterministic
+    The ENTIRE matched right row is carried as one struct (SQL ASOF
+    semantics): a right row whose ``values`` are all null still
+    matches, and its nulls surface as nulls in the output — it is NOT
+    skipped in favor of an older non-null row (per-column carry would
+    stitch values from different rows; see
+    test_asof_join_struct_carry_not_columnwise). For deterministic
     results right must be unique per (by, on) — or pass
     ``right_ord_col`` and the largest ordinal wins among equal
     timestamps.
@@ -246,42 +250,46 @@ def ewma_smooth(df: DataFrame, key_col: str, order_col: str,
     python ``//`` and DuckDB ``//`` floor) and the recurrence
     amplifies the one-off.
 
-    Unlike CUSUM/debounce (python kernels via applyInPandas), the
-    whole recurrence here runs JVM-side through Catalyst higher-order
-    functions: collect the key's series once, ``array_sort`` by
-    (order, value), then a single ``aggregate`` fold that emits the
-    running smoothed array, ``posexplode`` back to rows. No Python in
-    the loop at all.
+    Like CUSUM/debounce, the recurrence runs as the shared python
+    kernel (:func:`run_ewma` — the same function the streaming EWMA
+    state handler replays) under one Arrow ``applyInPandas`` pass:
+    sort the key's batch by (order, value) — the tie-break
+    ``array_sort`` used to give — then one linear fold. A Catalyst
+    ``aggregate``+``array_append`` fold was the previous formulation
+    but copies the accumulator array each step (O(n²) in per-key
+    series length); the Arrow kernel is O(n) with identical
+    bit-for-bit output.
 
     Scale: one shuffle on the key; the fold is sequential per key (the
     only parallelism a recurrence admits — same argument as
-    changepoint.py). Per-key series must be horizon-bounded (windowed
-    aggregates, not raw events) — the collected array is the state.
+    changepoint.py). Per-key series should be horizon-bounded
+    (windowed aggregates, not raw events) — a key's series must fit
+    one Arrow batch.
     """
-    dn = alpha_den - alpha_num
-    pairs = F.array_sort(F.collect_list(F.struct(
-        F.col(order_col).cast("long").alias("o"),
-        F.col(value_col).cast("long").alias("v"))))
-    # Fold: acc is an array of (o, v, s) structs; each step appends the
-    # next smoothed value computed from the previous element's s.
-    fold = F.expr(f"""
-        aggregate(
-          pairs,
-          CAST(array() AS ARRAY<STRUCT<o: BIGINT, v: BIGINT, s: BIGINT>>),
-          (acc, x) -> array_append(acc, struct(
-            x.o AS o, x.v AS v,
-            CASE WHEN size(acc) = 0 THEN x.v
-                 ELSE ({alpha_num} * x.v
-                       + {dn} * element_at(acc, -1).s) div {alpha_den}
-            END AS s)))
-    """)
-    return (df.groupBy(key_col)
-            .agg(pairs.alias("pairs"))
-            .select(key_col, F.explode(fold).alias("e"))
-            .select(key_col,
-                    F.col("e.o").alias(order_col),
-                    F.col("e.v").alias(value_col),
-                    F.col("e.s").alias("ewma_q")))
+    import pandas as pd
+
+    an, ad = alpha_num, alpha_den
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_type}, {order_col} bigint, "
+                  f"{value_col} bigint, ewma_q bigint")
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["__o__", "__v__"], kind="mergesort")
+        rows, _ = run_ewma(
+            list(zip(pdf["__o__"].tolist(), pdf["__v__"].tolist())),
+            an, ad)
+        return pd.DataFrame({
+            key_col: pdf[key_col].to_numpy(),
+            order_col: [r[0] for r in rows],
+            value_col: [r[1] for r in rows],
+            "ewma_q": [r[2] for r in rows],
+        })
+
+    return (df.select(F.col(key_col),
+                      F.col(order_col).cast("long").alias("__o__"),
+                      F.col(value_col).cast("long").alias("__v__"))
+            .groupBy(F.col(key_col))
+            .applyInPandas(fn, out_schema))
 
 
 def run_ewma(pairs: list[tuple[int, int]], alpha_num: int,

@@ -535,15 +535,19 @@ def pack_chunks(chunks: DataFrame, budget_tokens: int = 512,
          .orderBy(id_col, "chunk_idx")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("chunk_len").over(w)
-    start = (cum - F.col("chunk_len"))
-    seq_id = (start / budget_tokens).cast("long")
-    end_seq = ((cum - 1) / budget_tokens).cast("long")
+    # true integer div (`div`), not double-divide + cast: the cumulative
+    # token offset exceeds double's 2^53 exact range long before a
+    # 10^12-clip corpus does, and the SQL oracle uses integer div
     return (chunks
             .select(shard, F.col(id_col), "chunk_idx", "chunk_len")
-            .withColumn("seq_id", seq_id)
-            .withColumn("offset",
-                        (start - seq_id * budget_tokens).cast("long"))
-            .withColumn("straddles", end_seq != F.col("seq_id")))
+            .withColumn("__cum__", cum.cast("long"))
+            .withColumn("seq_id", F.expr(
+                f"(__cum__ - chunk_len) div {budget_tokens}"))
+            .withColumn("offset", F.expr(
+                f"__cum__ - chunk_len - seq_id * {budget_tokens}L"))
+            .withColumn("straddles", F.expr(
+                f"(__cum__ - 1) div {budget_tokens} != seq_id"))
+            .drop("__cum__"))
 
 
 # --------------------------------------------------- chunk-level dedup

@@ -14,23 +14,11 @@ import sys
 sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
 
-
-def canon(df: pd.DataFrame) -> list[tuple]:
-    df = df[sorted(df.columns)]
-    rows = []
-    for t in df.itertuples(index=False):
-        row = []
-        for v in t:
-            if isinstance(v, float):
-                row.append(round(v, 4))
-            elif hasattr(v, "item"):
-                row.append(v.item() if not isinstance(v, bytes) else v)
-            else:
-                row.append(v)
-        rows.append(tuple(row))
-    return sorted(rows, key=repr)
+from dataflow_flex_templates_spark.testing.oracle import (  # noqa: E402
+    canon,
+    compare_frames,
+)
 
 
 def main() -> int:
@@ -57,19 +45,11 @@ def main() -> int:
                 failed.append((name, "0 rows"))
             continue
         oracle_pdf = con.execute(os_[name]).df()
-        sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
-        if sc != oc:
-            failed.append((name, f"schema {sc} != {oc}"))
-            print(f"  {name:28s} SCHEMA MISMATCH {sc} vs {oc}")
-            continue
-        a, b = canon(spark_pdf), canon(oracle_pdf)
-        status = "OK " if a == b else "FAIL"
-        if a != b:
-            diff_a = [r for r in a if r not in set(b)][:3]
-            diff_b = [r for r in b if r not in set(a)][:3]
-            failed.append((name, f"{len(a)} vs {len(b)} rows; "
-                                 f"spark-only={diff_a} oracle-only={diff_b}"))
-        print(f"  {name:28s} rows={len(a):7d} oracle={len(b):7d}  {status}")
+        ok, msg = compare_frames(spark_pdf, oracle_pdf)
+        if not ok:
+            failed.append((name, msg))
+        print(f"  {name:28s} rows={len(spark_pdf):7d} "
+              f"oracle={len(oracle_pdf):7d}  {'OK ' if ok else 'FAIL'}")
     spark.stop()
     if failed:
         print("\nFAILURES:")

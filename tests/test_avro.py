@@ -69,7 +69,8 @@ def test_avro_header_is_spec_compliant():
         assert b"avro.schema" in raw and b"avro.codec" in raw
         back = read_avro_file(fn)
         assert list(back["k"]) == ["x", "y", None]
-        assert back["v"].fillna(-1).astype(int).tolist() == [1, -1, 3]
+        assert [-1 if pd.isna(x) else int(x)
+                for x in back["v"]] == [1, -1, 3]
     finally:
         if os.path.exists(fn):
             os.remove(fn)

@@ -189,6 +189,30 @@ def test_ewma_smooth_integer_recurrence(spark):
                    ("b", 1, 100, 100)]
 
 
+def test_ewma_smooth_long_single_key_linear(spark):
+    """A 10k-event single-key series completes in seconds (the old
+    Catalyst array_append fold was O(n²) per key) and stays bit-equal
+    to the shared python kernel run_ewma."""
+    import time
+
+    from dataflow_flex_templates_spark.operators.temporal import (
+        ewma_smooth,
+        run_ewma,
+    )
+
+    n = 10_000
+    vals = [(i * 1103515245 + 12345) % 10_000 for i in range(n)]
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate(vals)],
+                               "k string, t long, v long").coalesce(4)
+    t0 = time.monotonic()
+    got = [(r.t, r.v, r.ewma_q) for r in
+           ewma_smooth(df, "k", "t", "v").orderBy("t").collect()]
+    elapsed = time.monotonic() - t0
+    want, _ = run_ewma(list(enumerate(vals)), 3, 10)
+    assert got == want
+    assert elapsed < 60, f"ewma_smooth 10k-row key took {elapsed:.1f}s"
+
+
 def test_rolling_stats_range_frame(spark):
     """RANGE frame semantics: the trailing window is time-bounded
     (inclusive), equal timestamps all see each other regardless of
