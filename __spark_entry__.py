@@ -3297,16 +3297,35 @@ _EWMA_CHARS_SQL = r"""
 
 _CONSTANTS = None
 
+#: The sf dir scripts/gen_oracle_constants.py pinned its constants
+#: from (the driver's correctness tier). Queries in SF_PINNED_QUERIES
+#: have oracles that embed constants derived from that sf's
+#: text/embedding PAYLOADS, so their oracle SQL is correct only at
+#: this sf. (The audio constants derive from doc_id alone via
+#: testing/clips.py's deterministic synth, so audio oracles hold at
+#: every sf — they are not in the set.) To sweep another tier,
+#: regenerate constants there (SPARK_GRAFT_ORACLE_SF_DIR +
+#: SPARK_GRAFT_ORACLE_CONST_OUT) and point
+#: SPARK_GRAFT_ORACLE_CONSTANTS at the result.
+ORACLE_PINNED_SF_DIR = "/root/testdata/sf0.01"
+SF_PINNED_QUERIES = frozenset({
+    "simhash", "simhash_pairs", "minhash_lsh",
+    "lsh_ann_topk", "ivf_ann_topk", "embedding_neardup_lsh",
+    "compression_ratio",
+})
+
 
 def _constants() -> dict:
     global _CONSTANTS
     if _CONSTANTS is None:
         import os
 
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "dataflow_flex_templates_spark", "testing",
-            "oracle_constants.json")
+        path = os.environ.get(
+            "SPARK_GRAFT_ORACLE_CONSTANTS",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "dataflow_flex_templates_spark", "testing",
+                "oracle_constants.json"))
         with open(path) as f:
             _CONSTANTS = json.load(f)
     return _CONSTANTS

@@ -41,6 +41,7 @@ DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 #: this box); 8→32 would measure the memory bus, not the engine — see
 #: BASELINE.md "Scaling" for the full 2-32 ladder + analysis.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+DO_SKEW = os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0"
 CLIP_SEED = 42
 
 #: Headline subset of __spark_entry__.queries() timed at SF_DIR.
@@ -115,6 +116,44 @@ def _ensure_clips(spark) -> str:
     return path
 
 
+#: Skew-stress input size: a quarter of the headline run keeps the
+#: section's wall-clock proportionate while still ~40 micro-batches.
+N_SKEW = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_CLIPS",
+                            str(max(N_CLIPS // 4, 20000))))
+
+
+def _skewed_clips_cache_dir() -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bench_skew_n{N_SKEW}_s{CLIP_SEED}")
+
+
+def _ensure_skewed_clips(spark) -> str:
+    """north_rule skew stress: ≥90% one hot codec + one hot sr_hz, AND
+    hot-partition file layout (hash-partitioned by codec, so ~92% of
+    the bytes land in ONE file — the 'Iceberg partitioned by codec'
+    upstream shape where the salt knob is supposed to earn its keep)."""
+    path = _skewed_clips_cache_dir()
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from dataflow_flex_templates_spark.testing.clips import (
+        generate_clips_distributed,
+    )
+    df = generate_clips_distributed(
+        spark, N_SKEW, seed=CLIP_SEED, max_dur_ms=1000,
+        codec_weights=[0.92, 0.05, 0.03],
+        sr_weights=[0.90, 0.06, 0.03, 0.01])
+    # codec-clustered layout with Iceberg-style capped files: ~92% of
+    # rows sit in ONE codec's file run (written by one task), split at
+    # maxRecordsPerFile like a real table's target-file-size cap —
+    # micro-batches (maxFilesPerTrigger) land all-hot or all-cold.
+    (df.repartition(16, "codec")
+     .write.mode("overwrite")
+     .option("maxRecordsPerFile", max(N_SKEW // 120, 500))
+     .parquet(path))
+    return path
+
+
 def run_batch_queries() -> dict[str, float]:
     import __spark_entry__ as entry
     from dataflow_flex_templates_spark.session import get_spark
@@ -139,6 +178,8 @@ def run_batch_queries() -> dict[str, float]:
     # (warmed: the cold run pays one-time Python-worker + codegen cost
     # that is irrelevant to sustained 100 TB throughput).
     clips_path = _ensure_clips(spark)
+    if DO_SKEW:
+        _ensure_skewed_clips(spark)
     from dataflow_flex_templates_spark.functions.audio import (
         with_audio_features,
     )
@@ -152,7 +193,7 @@ def run_batch_queries() -> dict[str, float]:
     return timings
 
 
-def stream_run(input_dir: str, cores: int) -> dict:
+def stream_run(input_dir: str, cores: int, salt_buckets: int = 0) -> dict:
     """Run the streaming clip→graph job to completion; one JSON dict."""
     from dataflow_flex_templates_spark.session import get_spark
     from dataflow_flex_templates_spark.streaming.job import ClipGraphJob
@@ -165,6 +206,7 @@ def stream_run(input_dir: str, cores: int) -> dict:
         output_dir=os.path.join(root, "out"),
         checkpoint_dir=os.path.join(root, "ckpt"),
         max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_MFPT", "32")),
+        salt_buckets=salt_buckets,
     )
     # Warm up the FULL pipeline — Python workers, Arrow, the codegen of
     # the actual union+split write plan, parquet writer init — so the
@@ -246,7 +288,8 @@ def stream_run(input_dir: str, cores: int) -> dict:
     }
 
 
-def _stream_subprocess(input_dir: str, cores: int, best_of: int = 1) -> dict:
+def _stream_subprocess(input_dir: str, cores: int, best_of: int = 1,
+                       salt_buckets: int = 0) -> dict:
     """Run the stream at `cores` in a clean JVM; with best_of > 1 take
     the highest-throughput run — a steady-state estimate that filters
     one-off JVM GC/page-cache stalls out of the scaling measurement."""
@@ -258,7 +301,7 @@ def _stream_subprocess(input_dir: str, cores: int, best_of: int = 1) -> dict:
     for _ in range(max(best_of, 1)):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--stream",
-             input_dir, str(cores)],
+             input_dir, str(cores), str(salt_buckets)],
             capture_output=True, text=True, check=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -270,7 +313,9 @@ def _stream_subprocess(input_dir: str, cores: int, best_of: int = 1) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--stream":
-        print(json.dumps(stream_run(sys.argv[2], int(sys.argv[3]))))
+        salt = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+        print(json.dumps(stream_run(sys.argv[2], int(sys.argv[3]),
+                                    salt_buckets=salt)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--batch-only":
         # variance study / quick iteration: batch queries only
@@ -326,6 +371,32 @@ def main() -> None:
             f"clips_per_sec_c{SCALE_N}": lo["clips_per_sec"],
             f"clips_per_sec_c{4 * SCALE_N}": hi4["clips_per_sec"],
             "scaling_efficiency": round(eff, 3),
+        })
+
+    if DO_SKEW:
+        # north_rule skew stress: ≥90% hot codec + hot sr_hz AND a
+        # hot-partition file layout (~92% of bytes in one file). Run
+        # at c8 unsalted (the engine's no-payload-shuffle default:
+        # map-side combine + 16 MB scan splits absorb key skew) and
+        # salted (salt_buckets=8 spreads the hot file's rows before
+        # decode — the knob for when upstream layout starves the scan).
+        # The pass bar: skewed-input throughput ≥0.8× the uniform-input
+        # number at the same core count (BASELINE.md "Skew").
+        skew_path = _skewed_clips_cache_dir()
+        _prewarm_page_cache(skew_path)
+        sk_un = _stream_subprocess(skew_path, 8, best_of=2)
+        sk_salt = _stream_subprocess(skew_path, 8, best_of=2,
+                                     salt_buckets=8)
+        sk_best = max(sk_un, sk_salt, key=lambda r: r["clips_per_sec"])
+        timings["stream_clips_skewed"] = sk_best["wall_sec"]
+        uniform_c8 = (extras.get("clips_per_sec_c8")
+                      or hi["clips_per_sec"])
+        extras.update({
+            "skew_n_clips": sk_un["input_rows"],
+            "skew_clips_per_sec_unsalted_c8": sk_un["clips_per_sec"],
+            "skew_clips_per_sec_salted_c8": sk_salt["clips_per_sec"],
+            "skew_vs_uniform_c8": round(
+                sk_best["clips_per_sec"] / uniform_c8, 3),
         })
 
     result = {

@@ -74,10 +74,14 @@ def cusum_alarms(
         xs = pdf[value_col].astype("int64")
         items = sorted(zip((int(t) for t in ts), (int(x) for x in xs)))
         alarms, _ = run_cusum(items, target, slack, threshold)
+        # explicit dtypes: a zero-alarm group would otherwise infer
+        # float64 for the empty ts column, and Arrow refuses the
+        # double→timestamp cast (first bites at sf0.001, where sparse
+        # keys produce alarm-free groups)
         return pd.DataFrame({
-            key_col: [pdf[key_col].iloc[0]] * len(alarms),
-            "ts": [pd.Timestamp(t, unit="us") for t, _ in alarms],
-            "s_q": [s for _, s in alarms],
+            key_col: pd.Series([pdf[key_col].iloc[0]] * len(alarms)),
+            "ts": pd.to_datetime([t for t, _ in alarms], unit="us"),
+            "s_q": pd.Series([s for _, s in alarms], dtype="int64"),
         })
 
     return df.groupBy(F.col(key_col)).applyInPandas(fn, out_schema)

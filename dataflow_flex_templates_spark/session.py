@@ -12,14 +12,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: providerClass for each supported state-store backend. ``rocksdb``
+#: is the one that matters at cluster scale: the default HDFS-backed
+#: store keeps every state row on the JVM heap (per executor, with a
+#: full copy retained per retained version), which at the north rule's
+#: 10^12 dedup keys is an executor-memory scale-killer; RocksDB spills
+#: state to local SSD with bounded block-cache memory and supports
+#: changelog checkpointing (incremental, not full-snapshot, commits).
+STATE_STORE_PROVIDERS = {
+    "hdfs": ("org.apache.spark.sql.execution.streaming."
+             "state.HDFSBackedStateStoreProvider"),
+    "rocksdb": ("org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"),
+}
+
+
 def get_spark(
     app_name: str = "dataflow-flex-templates-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    state_store = (state_store
+                   or os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+                   or None)
+    if state_store is not None and state_store not in STATE_STORE_PROVIDERS:
+        raise ValueError(
+            f"unknown state_store {state_store!r}; "
+            f"choose from {sorted(STATE_STORE_PROVIDERS)}")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -58,6 +81,15 @@ def get_spark(
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
     )
+    if state_store is not None:
+        b = b.config("spark.sql.streaming.stateStore.providerClass",
+                     STATE_STORE_PROVIDERS[state_store])
+        if state_store == "rocksdb":
+            # incremental (changelog) commits instead of full SST
+            # snapshots per batch — the setting that makes RocksDB
+            # state viable at high batch rates on a real cluster
+            b = b.config("spark.sql.streaming.stateStore.rocksdb."
+                         "changelogCheckpointing.enabled", "true")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -105,10 +105,14 @@ def _collect_triples(pdf: pd.DataFrame, key_col: str,
 
 
 def _emit_frame(emitted, key_col: str) -> pd.DataFrame:
+    # explicit dtypes so a zero-emission frame keeps timestamp/int64
+    # columns (an empty plain list infers float64, which Arrow refuses
+    # to cast to timestamp)
     return pd.DataFrame({
-        key_col: [v for _, _, v in emitted],
-        "event_time": [pd.Timestamp(t, unit="us") for t, _, _ in emitted],
-        "ord": [o for _, o, _ in emitted],
+        key_col: pd.Series([v for _, _, v in emitted], dtype="int64"),
+        "event_time": pd.to_datetime([t for t, _, _ in emitted],
+                                     unit="us"),
+        "ord": pd.Series([o for _, o, _ in emitted], dtype="int64"),
     })
 
 

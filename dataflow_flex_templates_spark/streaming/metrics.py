@@ -99,6 +99,30 @@ class ProgressRecorder(StreamingQueryListener):
                 out.append(float(v))
         return out
 
+    def state_series(self, run_ids: set | None = None) -> list[dict]:
+        """Per-batch state-store footprint, sorted by batchId — the
+        evidence trail for the bounded-state claims (bloom_dedup's
+        O(1) words/shard, dedup_state's watermark eviction): each
+        entry sums numRowsTotal / memoryUsedBytes across the batch's
+        stateful operators. A bounded operator's state_rows plateaus
+        while cumulative input keeps growing; an unbounded one grows
+        linearly with it."""
+        out = []
+        for p in self._events(run_ids):
+            ops = p.get("stateOperators") or []
+            if not ops:
+                continue
+            out.append({
+                "batch_id": p.get("batchId"),
+                "input_rows": int(p.get("numInputRows", 0)),
+                "state_rows": sum(int(o.get("numRowsTotal", 0))
+                                  for o in ops),
+                "state_memory_bytes": sum(
+                    int(o.get("memoryUsedBytes", 0)) for o in ops),
+            })
+        return sorted(out, key=lambda d: (d["batch_id"] is None,
+                                          d["batch_id"]))
+
     def summary(self, run_ids: set | None = None) -> dict:
         evts = self._events(run_ids)
         lat = self.batch_latencies_ms(run_ids)

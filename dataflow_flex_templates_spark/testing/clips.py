@@ -382,16 +382,24 @@ def generate_clips_distributed(
     max_dur_ms: int = 2000,
     step_ms: int = 25,
     num_partitions: int | None = None,
+    codec_weights: list[float] | None = None,
+    sr_weights: list[float] | None = None,
 ):
     """Synthesize n clips as a distributed DataFrame via mapInPandas.
 
     event_time is ``EPOCH + i*step_ms - jitter`` (jitter ≤ watermark/2,
     late tail ≫ watermark) — index-derivable, unlike make_clips_pdf's
     sequential walk, so partitions generate independently.
+
+    ``codec_weights`` / ``sr_weights`` override the stock distributions
+    (aligned with CODEC_CHOICES / SR_CHOICES) — e.g. [0.92, 0.05, 0.03]
+    for the north rule's hot-codec skew stress.
     """
     schema = clips_spark_schema()
     num_partitions = num_partitions or max(
         8, spark.sparkContext.defaultParallelism * 2)
+    cw = codec_weights if codec_weights is not None else CODEC_WEIGHTS
+    sw = sr_weights if sr_weights is not None else SR_WEIGHTS
 
     def gen(batches):
         for pdf in batches:
@@ -400,8 +408,8 @@ def generate_clips_distributed(
                 i = int(i)
                 rng = random.Random((seed << 32) ^ i)
                 clip_id = f"clip_{i:012d}"
-                sr = rng.choices(SR_CHOICES, SR_WEIGHTS)[0]
-                codec = rng.choices(CODEC_CHOICES, CODEC_WEIGHTS)[0]
+                sr = rng.choices(SR_CHOICES, sw)[0]
+                codec = rng.choices(CODEC_CHOICES, cw)[0]
                 dur = rng.randrange(200, max_dur_ms)
                 payload = encode_pcm_np(
                     reference_waveform(clip_id, sr, dur), codec)

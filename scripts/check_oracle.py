@@ -27,6 +27,15 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    import os
+    if (sf_dir.rstrip("/") != e.ORACLE_PINNED_SF_DIR
+            and not os.environ.get("SPARK_GRAFT_ORACLE_CONSTANTS")):
+        print(f"note: {sorted(e.SF_PINNED_QUERIES)} embed constants "
+              f"pinned at {e.ORACLE_PINNED_SF_DIR}; to verify them at "
+              f"{sf_dir} regenerate via SPARK_GRAFT_ORACLE_SF_DIR="
+              f"{sf_dir} SPARK_GRAFT_ORACLE_CONST_OUT=<tmp> "
+              f"scripts/gen_oracle_constants.py and set "
+              f"SPARK_GRAFT_ORACLE_CONSTANTS=<tmp>")
     spark = get_spark("oracle-check", cores=8)
     con = duckdb.connect()
     for t in e.TABLES:

@@ -30,9 +30,11 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "dataflow_flex_templates_spark", "testing",
-                   "oracle_constants.json")
+OUT = os.environ.get(
+    "SPARK_GRAFT_ORACLE_CONST_OUT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "dataflow_flex_templates_spark", "testing",
+                 "oracle_constants.json"))
 
 
 def _assert_not_knife_edge(x: float, digits: int = 4) -> float:

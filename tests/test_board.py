@@ -32,24 +32,43 @@ _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
 
 
-@pytest.fixture(scope="module")
-def oracle_con():
+def _connect(sf_dir: str):
     con = duckdb.connect()
     for t in entry_mod.TABLES:
         con.execute(f"CREATE VIEW {t} AS "
-                    f"SELECT * FROM '{BOARD_SF_DIR}/{t}.parquet'")
+                    f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = _connect(BOARD_SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def oracle_con_pinned():
+    """SF_PINNED_QUERIES oracles embed constants generated from
+    ORACLE_PINNED_SF_DIR's text/embedding payloads — those pairs must
+    run at that sf (exactly as the driver does)."""
+    con = _connect(entry_mod.ORACLE_PINNED_SF_DIR)
     yield con
     con.close()
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_board_query_matches_oracle(name, spark, oracle_con):
-    spark_pdf = _QUERIES[name](spark, BOARD_SF_DIR).toPandas()
+def test_board_query_matches_oracle(name, spark, oracle_con,
+                                    oracle_con_pinned):
+    pinned = name in entry_mod.SF_PINNED_QUERIES
+    sf_dir = entry_mod.ORACLE_PINNED_SF_DIR if pinned else BOARD_SF_DIR
+    spark_pdf = _QUERIES[name](spark, sf_dir).toPandas()
     if name not in _ORACLES:
         # driver's rows-only fallback for non-SQL-expressible ops
         assert len(spark_pdf) > 0, f"{name}: 0 rows (rows-only check)"
         return
-    oracle_pdf = oracle_con.execute(_ORACLES[name]).df()
+    con = oracle_con_pinned if pinned else oracle_con
+    oracle_pdf = con.execute(_ORACLES[name]).df()
     ok, msg = compare_frames(spark_pdf, oracle_pdf)
     assert ok, f"{name}: {msg}"
 

@@ -1261,3 +1261,141 @@ def test_windowed_target_distinct_count_sketch(spark):
         assert saw_dup_window, "fixture produced no duplicate window"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- chaos matrix
+
+def _two_stream_inputs(spark, root, pdf, tag):
+    """Audio + transcript sides of the same clip set, chronologically
+    chunked into 6 files each (mfpt=1 → ~6 micro-batches per side)."""
+    from pyspark.sql import types as T
+
+    audio_dir = os.path.join(root, f"in_audio_{tag}")
+    script_dir = os.path.join(root, f"in_scripts_{tag}")
+    audio_schema = T.StructType(
+        [f for f in clips_spark_schema() if f.name != "transcript"])
+    script_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        part = pdf.iloc[i:i + chunk]
+        spark.createDataFrame(
+            part.drop(columns=["transcript"]), schema=audio_schema) \
+            .coalesce(1).write.mode("append").parquet(audio_dir)
+        spark.createDataFrame(
+            part[["clip_id", "transcript", "event_time"]],
+            schema=script_schema) \
+            .coalesce(1).write.mode("append").parquet(script_dir)
+    return audio_dir, script_dir, audio_schema, script_schema
+
+
+@pytest.fixture(scope="module")
+def chaos_env(spark, stream_env):
+    """The flagship two-stream (clip↔transcript join) spec job WITH the
+    windowed target, run once uninterrupted — the golden tables every
+    kill/resume run must reproduce byte-for-byte."""
+    from dataflow_flex_templates_spark.streaming.spec_stream import (
+        SpecStreamJob,
+    )
+
+    from datetime import timedelta
+
+    from dataflow_flex_templates_spark.testing.clips import EPOCH
+
+    root, inp, pdf, job = stream_env
+    # Spread event times to 3 s/row (~15 min span): the stock fixture
+    # packs all 300 clips into ~7 s, so under the 60 s watermark no
+    # session EVER closes and the windowed target would emit nothing.
+    pdf = pdf.copy().reset_index(drop=True)
+    pdf["event_time"] = [EPOCH + timedelta(seconds=3 * i)
+                         for i in range(len(pdf))]
+    audio_dir, script_dir, audio_schema, script_schema = \
+        _two_stream_inputs(spark, root, pdf, "chaos")
+
+    # Tumbling/sliding windowed targets emit cumulative UPDATEs, and
+    # Spark forbids a stream-stream join upstream of an update-mode
+    # sink — session windows are the append-mode windowed shape that
+    # composes with the join (multiple stateful operators, append).
+    spec = _spec()
+    for t in spec["targets"]:
+        if "window" in (t.get("transform") or {}):
+            t["transform"]["window"] = {"type": "session",
+                                        "gap": "10 seconds"}
+
+    def mk(tag):
+        return SpecStreamJob(
+            _parse(spec),
+            input_dir=audio_dir,
+            input_schema=audio_schema,
+            output_dir=os.path.join(root, f"out_chaos_{tag}"),
+            checkpoint_dir=os.path.join(root, f"ckpt_chaos_{tag}"),
+            watermark="60 seconds",
+            max_files_per_trigger=1,
+            prepare_fn=_prepare, prepare_preserves="*",
+            join_input_dir=script_dir,
+            join_schema=script_schema,
+            join_window="5 minutes",
+        )
+
+    golden = mk("golden")
+    golden.run_to_completion(spark, timeout_s=900)
+    want = {t: _merged_sorted(spark, golden, t)
+            for t in ("Clip", "ENCODED_AS", "CodecWindow")}
+    assert len(want["Clip"]) == pdf["clip_id"].nunique()
+    assert len(want["CodecWindow"]) > 0
+    return mk, want
+
+
+def _merged_sorted(spark, job, target):
+    pdf = job.read_merged(spark, target).toPandas()
+    cols = sorted(pdf.columns)
+    return (pdf[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("kill_after", [0, 1, 2, 3, 4])
+def test_chaos_kill_resume_matrix(spark, chaos_env, kill_after):
+    """Systematic kill/resume sweep (round-3 verdict ask #5): kill the
+    flagship join+windowed spec-stream job after the (kill_after+1)-th
+    committed row batch, resume from the same checkpoint, and require
+    ALL merged tables — node, edge, AND windowed — byte-identical to
+    the uninterrupted run. Exactly-once must hold at EVERY batch
+    boundary, not just the one the old single-point test happened to
+    hit."""
+    import time
+
+    mk, want = chaos_env
+    j = mk(f"k{kill_after}")
+    q = j.start(spark, available_now=True)
+    deadline = time.time() + 600
+    drained = False
+    while time.time() < deadline:
+        if len(j.tables["Clip"].committed_batches()) > kill_after:
+            break
+        if not q.isActive:
+            drained = True  # stream finished before the kill point
+            break
+        time.sleep(0.05)
+    if not drained:
+        q.stop()
+        try:
+            q.awaitTermination(60)
+        except Exception:
+            pass  # cancellation surfacing as StreamingQueryException
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        assert not q.isActive, "queries did not stop after kill"
+        # resume on the same checkpoint/output
+        j2 = mk(f"k{kill_after}")
+        j2.run_to_completion(spark, timeout_s=900)
+    else:
+        j2 = j
+
+    for t in ("Clip", "ENCODED_AS", "CodecWindow"):
+        got = _merged_sorted(spark, j2, t)
+        assert got.equals(want[t]), (
+            f"{t} diverged after kill@{kill_after}: "
+            f"{len(got)} vs {len(want[t])} rows")
