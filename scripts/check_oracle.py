@@ -36,7 +36,9 @@ def main() -> int:
               f"{sf_dir} SPARK_GRAFT_ORACLE_CONST_OUT=<tmp> "
               f"scripts/gen_oracle_constants.py and set "
               f"SPARK_GRAFT_ORACLE_CONSTANTS=<tmp>")
-    spark = get_spark("oracle-check", cores=8)
+    spark = get_spark("oracle-check",
+                      cores=int(os.environ.get("SPARK_GRAFT_ORACLE_CPUS",
+                                               "8")))
     con = duckdb.connect()
     for t in e.TABLES:
         con.execute(
