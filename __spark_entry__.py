@@ -727,6 +727,53 @@ def _q_stream_wer(spark, sf_dir):
         "wer_permille")
 
 
+#: Shared utterance-stream fixture for asr_session_assembly: each
+#: event becomes one utterance (speaker = user_id, spoken at ts), the
+#: text being the first 8 whitespace tokens of a deterministically
+#: chosen document (doc_id = event_id % |documents|). Both engines
+#: compute the identical fixture, so the oracle checks the ASSEMBLY
+#: semantics, not the synthesis.
+_UTTERANCES_SPARK_SQL = """
+    WITH n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT e.user_id, e.ts, e.event_id,
+           array_join(slice(split(trim(d.text), '\\\\s+'), 1, 8), ' ')
+             AS utt
+    FROM events e
+    CROSS JOIN n
+    JOIN documents d ON d.doc_id = e.event_id % n.n_docs
+"""
+
+
+def _q_asr_session_assembly(spark, sf_dir):
+    """Utterance→conversation assembly: the step after per-clip ASR in
+    a speech-training pipeline — group utterances into gap-based
+    sessions per speaker and concatenate transcripts in event-time
+    order. Spark side: the same session_agg operator the streaming
+    path uses (F.session_window, 5-minute gap), with the ordered
+    concat expressed as array_sort(collect_list(struct(ts, event_id,
+    utt))) → transform → array_join — one shuffle, no window-function
+    second pass, order guaranteed by the struct sort (not by input
+    partitioning, so it is retry/AQE-stable). The documents join is
+    fixture synthesis only (broadcast dim); a production utterance
+    stream arrives with its text inline. Oracle: DuckDB lag/cumsum
+    sessionization + string_agg(... ORDER BY ts, event_id)."""
+    from dataflow_flex_templates_spark.streaming.windows import session_agg
+
+    _load(spark, sf_dir)
+    utt = spark.sql(_UTTERANCES_SPARK_SQL)
+    out = session_agg(
+        utt, "ts", "5 minutes", ["user_id"],
+        {"n_utt": "count(*)",
+         "transcript": ("array_join(transform(array_sort("
+                        "collect_list(struct(ts, event_id, utt))), "
+                        "x -> x.utt), ' ')")})
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp"))
+         .alias("window_start"),
+        "user_id", F.col("n_utt").cast("long").alias("n_utt"),
+        "transcript")
+
+
 def _q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: events.props carries a JSON blob;
     pull $.k out with the JVM json path evaluator (get_json_object —
@@ -3106,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
+        "asr_session_assembly": _q_asr_session_assembly,
         "top_docs_per_source": _q_top_docs_per_source,
         "asr_curation_pipeline": _q_asr_curation_pipeline,
         "segment_clips": _q_segment_clips,
@@ -3979,6 +4027,40 @@ def oracle_sql() -> dict[str, str]:
         "stream_wer": _wer_oracle_sql(
             "doc_id < 200",
             "'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id"),
+        # Same lag/cumsum sessionization as session_window's oracle
+        # (identical gap semantics: strictly-greater-than-gap opens a
+        # session, matching F.session_window's half-open [start,
+        # last+gap) on this data); assembly order pinned by
+        # (ts, event_id) — mirrors the Spark struct sort.
+        "asr_session_assembly": r"""
+            WITH utt AS (
+              SELECT e.user_id, e.ts, e.event_id,
+                     array_to_string(
+                       (regexp_split_to_array(trim(d.text, ' '),
+                                              '\s+'))[1:8], ' ') AS utt
+              FROM events e
+              JOIN documents d
+                ON d.doc_id = e.event_id %
+                   (SELECT count(*) FROM documents)),
+            ordered AS (
+              SELECT *,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 MINUTES
+                               OR lag(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM utt
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM ordered)
+            SELECT epoch_us(MIN(ts)) AS window_start, user_id,
+                   COUNT(*) AS n_utt,
+                   string_agg(utt, ' ' ORDER BY ts, event_id)
+                     AS transcript
+            FROM sess GROUP BY user_id, sid
+        """,
         # Three-stage composed oracle mirroring _q_asr_curation_pipeline:
         # WER gate (<=350 permille, via the shared cross-algebra WER
         # subquery over the mirror-extended corpus) -> md5 exact dedup
