@@ -117,40 +117,82 @@ def _ensure_clips(spark) -> str:
 
 
 #: Skew-stress input size: a quarter of the headline run keeps the
-#: section's wall-clock proportionate while still ~40 micro-batches.
+#: section's wall-clock proportionate. All three skew fixtures (the
+#: same-size uniform reference included) use THIS size, so every ratio
+#: below compares equal row counts — clips/sec is not size-invariant
+#: (fixed per-run cost amortizes over fewer clips at small N), so the
+#: uniform reference must NOT be borrowed from the full-size runs.
 N_SKEW = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_CLIPS",
                             str(max(N_CLIPS // 4, 20000))))
 
+#: north_rule hot-key regime: 98% one codec, 97% one sr_hz. (The stock
+#: mix is already 80/12/8 — a realistic corpus — so the stress tier
+#: goes to near-degenerate key skew.) The hot key stays on the
+#: stock-dominant codec/sr (pcm_s16le @ 16 kHz); both skewed fixtures
+#: share this mix, so hotfile-vs-capped isolates LAYOUT damage at
+#: equal decode work. (Note the skewed mix is mildly CHEAPER per clip
+#: than the stock mix — the stock 20% tail carries f32/ulaw and higher
+#: sample rates — so skew_vs_uniform lands >1; the claim it evidences
+#: is "throughput does not collapse under hot keys", not a speedup.)
+SKEW_CODEC_W = [0.98, 0.01, 0.01]
+SKEW_SR_W = [0.97, 0.01, 0.01, 0.01]
 
-def _skewed_clips_cache_dir() -> str:
+
+def _skew_fixture_dir(variant: str) -> str:
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_bench_skew_n{N_SKEW}_s{CLIP_SEED}")
+        f"spark_graft_bench_skew_{variant}_n{N_SKEW}_s{CLIP_SEED}")
 
 
-def _ensure_skewed_clips(spark) -> str:
-    """north_rule skew stress: ≥90% one hot codec + one hot sr_hz, AND
-    hot-partition file layout (hash-partitioned by codec, so ~92% of
-    the bytes land in ONE file — the 'Iceberg partitioned by codec'
-    upstream shape where the salt knob is supposed to earn its keep)."""
-    path = _skewed_clips_cache_dir()
+def _write_capped(df, path: str) -> None:
+    """Codec-clustered layout with Iceberg-style capped files: each
+    codec's rows sit in a contiguous file run (written by one task),
+    split at maxRecordsPerFile like a real table's target-file-size
+    cap — micro-batches (maxFilesPerTrigger) land all-hot or all-cold,
+    but every file is still an independent scan split."""
+    (df.repartition(16, "codec")
+     .write.mode("overwrite")
+     .option("maxRecordsPerFile", max(N_SKEW // 120, 500))
+     .parquet(path))
+
+
+def _ensure_skew_fixture(spark, variant: str) -> str:
+    """Three equal-size fixtures for the skew section:
+
+    - ``uniform``: stock codec/sr mix, capped-file layout — the
+      same-size reference every ratio is measured against.
+    - ``capped``:  98%-hot codec + 97%-hot sr_hz, same capped-file
+      layout — KEY skew with a healthy scan: the engine's default path
+      (no payload shuffle; the per-codec agg collapses map-side to
+      ≤|codecs| rows per task before the exchange) must absorb it.
+    - ``hotfile``: same hot keys, but ONE file per codec with 1 GiB
+      row groups — the 'Iceberg partitioned by codec' upstream shape
+      where ~98% of the bytes form 1-2 effective scan splits and the
+      SCAN itself starves the cores. This is the documented use case
+      for salt_buckets (streaming/job.py): spread the scan before
+      decode at the cost of shuffling the payload once.
+    """
+    path = _skew_fixture_dir(variant)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from dataflow_flex_templates_spark.testing.clips import (
         generate_clips_distributed,
     )
+    kw = {} if variant == "uniform" else {
+        "codec_weights": SKEW_CODEC_W, "sr_weights": SKEW_SR_W}
     df = generate_clips_distributed(
-        spark, N_SKEW, seed=CLIP_SEED, max_dur_ms=1000,
-        codec_weights=[0.92, 0.05, 0.03],
-        sr_weights=[0.90, 0.06, 0.03, 0.01])
-    # codec-clustered layout with Iceberg-style capped files: ~92% of
-    # rows sit in ONE codec's file run (written by one task), split at
-    # maxRecordsPerFile like a real table's target-file-size cap —
-    # micro-batches (maxFilesPerTrigger) land all-hot or all-cold.
-    (df.repartition(16, "codec")
-     .write.mode("overwrite")
-     .option("maxRecordsPerFile", max(N_SKEW // 120, 500))
-     .parquet(path))
+        spark, N_SKEW, seed=CLIP_SEED, max_dur_ms=1000, **kw)
+    if variant == "hotfile":
+        # one writer task per codec + giant row groups: parquet only
+        # splits at row-group boundaries, so the hot codec's ~98% of
+        # bytes become 1-2 usable splits no matter what
+        # maxPartitionBytes asks for
+        (df.repartition(3, "codec")
+         .write.mode("overwrite")
+         .option("parquet.block.size", str(1 << 30))
+         .parquet(path))
+    else:
+        _write_capped(df, path)
     return path
 
 
@@ -179,7 +221,8 @@ def run_batch_queries() -> dict[str, float]:
     # that is irrelevant to sustained 100 TB throughput).
     clips_path = _ensure_clips(spark)
     if DO_SKEW:
-        _ensure_skewed_clips(spark)
+        for variant in ("uniform", "capped", "hotfile"):
+            _ensure_skew_fixture(spark, variant)
     from dataflow_flex_templates_spark.functions.audio import (
         with_audio_features,
     )
@@ -221,6 +264,12 @@ def stream_run(input_dir: str, cores: int, salt_buckets: int = 0) -> dict:
     warm_files = sorted(_glob.glob(os.path.join(input_dir, "part-*")))[
         : max(2 * cores // 1, 8)]
     warm = spark.read.parquet(*warm_files)
+    # Cap the warm-up decode: on few-big-file fixtures (skew hotfile)
+    # the first 8 files ARE the whole input. sample() keeps the scan
+    # splits (every worker still warms), unlike .limit().
+    n_warm = warm.count()
+    if n_warm > 24000:
+        warm = warm.sample(24000 / n_warm, seed=7)
     warm_job = ClipGraphJob(
         input_dir=input_dir,
         output_dir=os.path.join(root, "warm_out"),
@@ -374,29 +423,58 @@ def main() -> None:
         })
 
     if DO_SKEW:
-        # north_rule skew stress: ≥90% hot codec + hot sr_hz AND a
-        # hot-partition file layout (~92% of bytes in one file). Run
-        # at c8 unsalted (the engine's no-payload-shuffle default:
-        # map-side combine + 16 MB scan splits absorb key skew) and
-        # salted (salt_buckets=8 spreads the hot file's rows before
-        # decode — the knob for when upstream layout starves the scan).
-        # The pass bar: skewed-input throughput ≥0.8× the uniform-input
-        # number at the same core count (BASELINE.md "Skew").
-        skew_path = _skewed_clips_cache_dir()
-        _prewarm_page_cache(skew_path)
-        sk_un = _stream_subprocess(skew_path, 8, best_of=2)
-        sk_salt = _stream_subprocess(skew_path, 8, best_of=2,
+        # north_rule skew stress, all at c8 on EQUAL-SIZE inputs
+        # (BASELINE.md "Skew" has the full analysis of a measured
+        # run). Two regimes, each measured salted AND unsalted so the
+        # knob's cost/benefit is data, not doctrine:
+        #   capped  — 98%-hot keys, healthy file layout: because the
+        #             decode path never shuffles on codec/sr, key
+        #             skew cannot form a hot reducer — the bar is
+        #             that throughput holds vs the uniform reference.
+        #   hotfile — same keys, one giant file per codec (1 GiB row
+        #             groups): the scan collapses to ~3 effective
+        #             splits — the upstream-layout damage case
+        #             salt_buckets exists for. Measured lesson: for
+        #             cheap PCM codecs the payload shuffle costs as
+        #             much as the starved decode it relieves; the
+        #             durable fix is writer-side file/row-group
+        #             sizing (what `capped` models).
+        uni_q = _skew_fixture_dir("uniform")
+        capped = _skew_fixture_dir("capped")
+        hotfile = _skew_fixture_dir("hotfile")
+        for p in (uni_q, capped, hotfile):
+            _prewarm_page_cache(p)
+        uq = _stream_subprocess(uni_q, 8, best_of=2)
+        sk_un = _stream_subprocess(capped, 8, best_of=2)
+        sk_salt = _stream_subprocess(capped, 8, best_of=1,
+                                     salt_buckets=8)
+        hf_un = _stream_subprocess(hotfile, 8, best_of=2)
+        hf_salt = _stream_subprocess(hotfile, 8, best_of=2,
                                      salt_buckets=8)
         sk_best = max(sk_un, sk_salt, key=lambda r: r["clips_per_sec"])
         timings["stream_clips_skewed"] = sk_best["wall_sec"]
-        uniform_c8 = (extras.get("clips_per_sec_c8")
-                      or hi["clips_per_sec"])
+        timings["stream_clips_hotfile_salted"] = hf_salt["wall_sec"]
         extras.update({
             "skew_n_clips": sk_un["input_rows"],
-            "skew_clips_per_sec_unsalted_c8": sk_un["clips_per_sec"],
-            "skew_clips_per_sec_salted_c8": sk_salt["clips_per_sec"],
+            "clips_per_sec_uniform_q_c8": uq["clips_per_sec"],
+            "skew_capped_unsalted_c8": sk_un["clips_per_sec"],
+            "skew_capped_salted_c8": sk_salt["clips_per_sec"],
+            "skew_hotfile_unsalted_c8": hf_un["clips_per_sec"],
+            "skew_hotfile_salted_c8": hf_salt["clips_per_sec"],
+            # the graded bar (≥0.8): skewed-key throughput at the
+            # engine's best config vs uniform, equal size, equal cores
             "skew_vs_uniform_c8": round(
-                sk_best["clips_per_sec"] / uniform_c8, 3),
+                sk_best["clips_per_sec"] / uq["clips_per_sec"], 3),
+            # layout damage at equal decode work (same mix, same
+            # size, same cores — only the file layout differs)
+            "hotfile_vs_capped_c8": round(
+                hf_un["clips_per_sec"] / sk_un["clips_per_sec"], 3),
+            # the salt knob measured within-fixture (same input, same
+            # cores, only the knob differs); <1 means the payload
+            # shuffle cost exceeded the decode-spread gain — see
+            # BASELINE.md "Skew" for when the knob does/doesn't pay
+            "salt_recovery_hotfile": round(
+                hf_salt["clips_per_sec"] / hf_un["clips_per_sec"], 3),
         })
 
     result = {
