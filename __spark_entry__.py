@@ -635,6 +635,24 @@ def _wer_pairs_sql(doc_filter: str = "1=1",
     """
 
 
+def _q_word_timestamps(spark, sf_dir):
+    """Per-word timing interpolation (operators/asr.word_timestamps):
+    spread each document's synthetic clip duration (n_chars x 40 ms)
+    over its words proportionally to word length, integer-exact. Zero
+    shuffle on the Spark side — cumulative offsets are folded INSIDE
+    the per-row word array, then posexploded; the oracle recomputes
+    the same boundaries with unnest + window cumsum (sums cast to
+    BIGINT — DuckDB HUGEINT floats through pandas otherwise)."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        word_timestamps,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("n_chars") * 40).alias("dur_ms"), "text")
+    return word_timestamps(docs, "doc_id", "dur_ms", "text")
+
+
 def _q_wer_transcripts(spark, sf_dir):
     """Word-error-rate between each document's transcript and a
     deterministically perturbed hypothesis (see _wer_pairs_sql).
@@ -744,6 +762,37 @@ _UTTERANCES_SPARK_SQL = """
 """
 
 
+_ASR_SESSION_ORACLE_SQL = r"""
+    WITH utt AS (
+      SELECT e.user_id, e.ts, e.event_id,
+             array_to_string(
+               (regexp_split_to_array(trim(d.text, ' '),
+                                      '\s+'))[1:8], ' ') AS utt
+      FROM events e
+      JOIN documents d
+        ON d.doc_id = e.event_id %
+           (SELECT count(*) FROM documents)),
+    ordered AS (
+      SELECT *,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 MINUTES
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM utt
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT *,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered)
+    SELECT epoch_us(MIN(ts)) AS window_start, user_id,
+           COUNT(*) AS n_utt,
+           string_agg(utt, ' ' ORDER BY ts, event_id)
+             AS transcript
+    FROM sess GROUP BY user_id, sid
+"""
+
+
 def _q_asr_session_assembly(spark, sf_dir):
     """Utterance→conversation assembly: the step after per-clip ASR in
     a speech-training pipeline — group utterances into gap-based
@@ -772,6 +821,69 @@ def _q_asr_session_assembly(spark, sf_dir):
          .alias("window_start"),
         "user_id", F.col("n_utt").cast("long").alias("n_utt"),
         "transcript")
+
+
+def _q_stream_session_assembly(spark, sf_dir):
+    """Streaming twin of asr_session_assembly: the same utterance
+    fixture replayed as a chunked file stream (8 files in global ts
+    order), assembled by a WATERMARKED session-window aggregation in
+    append mode — Spark merges per-key session state across
+    micro-batches and emits a session only once its window end + gap
+    falls behind the watermark, so each conversation appears exactly
+    once with its transcript in event-time order. Per-user flush rows
+    30 days past the end push the final watermark so every real
+    session finalizes; their own (far-future) sessions are filtered
+    out. Oracle: the SAME sessionization SQL as the batch row — the
+    streaming path must land on identical assembled transcripts."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from dataflow_flex_templates_spark.streaming.windows import session_agg
+
+    _load(spark, sf_dir)
+    pdf = (spark.sql(_UTTERANCES_SPARK_SQL)
+           .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                   "event_id", "utt")
+           .orderBy("ts", "event_id").toPandas())
+    schema = "user_id long, ts timestamp, event_id long, utt string"
+    root = tempfile.mkdtemp(prefix="entry_sess_asm_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 8 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+    far = pdf["ts"].max() + timedelta(days=30)
+    flush = pd.DataFrame(
+        [(u, far, 0, "") for u in sorted(pdf["user_id"].unique())],
+        columns=["user_id", "ts", "event_id", "utt"])
+    spark.createDataFrame(flush, schema=schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp)
+              .withWatermark("ts", "10 seconds"))
+    sess = session_agg(
+        stream, "ts", "5 minutes", ["user_id"],
+        {"n_utt": "count(*)",
+         "transcript": ("array_join(transform(array_sort("
+                        "collect_list(struct(ts, event_id, utt))), "
+                        "x -> x.utt), ' ')")})
+    out_dir = os.path.join(root, "out")
+    q = (sess.writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_session_assembly")
+    cutoff = F.lit(far - timedelta(days=1))
+    return (spark.read.parquet(out_dir)
+            .filter(F.col("window_start") < cutoff)
+            .select(F.unix_micros("window_start").alias("window_start"),
+                    "user_id",
+                    F.col("n_utt").cast("long").alias("n_utt"),
+                    "transcript"))
 
 
 def _q_json_props_stats(spark, sf_dir):
@@ -3150,10 +3262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_stream_chars": _q_ewma_stream_chars,
         "corpus_diff": _q_corpus_diff,
         "wer_transcripts": _q_wer_transcripts,
+        "word_timestamps": _q_word_timestamps,
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
+        "stream_session_assembly": _q_stream_session_assembly,
         "top_docs_per_source": _q_top_docs_per_source,
         "asr_curation_pipeline": _q_asr_curation_pipeline,
         "segment_clips": _q_segment_clips,
@@ -4024,6 +4138,37 @@ def oracle_sql() -> dict[str, str]:
         # byte-levenshtein); stream_wer is the doc_id<200 clip-keyed
         # slice that flows through the stream-stream join first.
         "wer_transcripts": _wer_oracle_sql("1=1", "doc_id"),
+        # Same integer boundary algebra as operators/asr.word_timestamps,
+        # re-derived via unnest + window cumsum. Sums CAST to BIGINT:
+        # DuckDB window SUM yields HUGEINT, which pandas converts to
+        # float64 (the training_pipeline round-2 lesson).
+        "word_timestamps": r"""
+            WITH arrs AS (
+              SELECT doc_id, n_chars * 40 AS dur_ms,
+                     list_filter(
+                       regexp_split_to_array(trim(text, ' '), '\s+'),
+                       x -> x != '') AS words
+              FROM documents
+            ), w AS (
+              SELECT doc_id, dur_ms,
+                     unnest(words) AS word,
+                     generate_subscripts(words, 1) AS idx1
+              FROM arrs
+            ), c AS (
+              SELECT doc_id, dur_ms, idx1 - 1 AS word_idx, word,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id ORDER BY idx1) AS BIGINT)
+                       AS cum_after,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id) AS BIGINT) AS total
+              FROM w
+            )
+            SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, word,
+                   dur_ms * (cum_after - length(word)) // total
+                     AS start_ms,
+                   dur_ms * cum_after // total AS end_ms
+            FROM c
+        """,
         "stream_wer": _wer_oracle_sql(
             "doc_id < 200",
             "'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS clip_id"),
@@ -4032,35 +4177,9 @@ def oracle_sql() -> dict[str, str]:
         # session, matching F.session_window's half-open [start,
         # last+gap) on this data); assembly order pinned by
         # (ts, event_id) — mirrors the Spark struct sort.
-        "asr_session_assembly": r"""
-            WITH utt AS (
-              SELECT e.user_id, e.ts, e.event_id,
-                     array_to_string(
-                       (regexp_split_to_array(trim(d.text, ' '),
-                                              '\s+'))[1:8], ' ') AS utt
-              FROM events e
-              JOIN documents d
-                ON d.doc_id = e.event_id %
-                   (SELECT count(*) FROM documents)),
-            ordered AS (
-              SELECT *,
-                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 MINUTES
-                               OR lag(ts) OVER w IS NULL
-                          THEN 1 ELSE 0 END AS new_sess
-              FROM utt
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-            sess AS (
-              SELECT *,
-                     SUM(new_sess) OVER (PARTITION BY user_id
-                         ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS sid
-              FROM ordered)
-            SELECT epoch_us(MIN(ts)) AS window_start, user_id,
-                   COUNT(*) AS n_utt,
-                   string_agg(utt, ' ' ORDER BY ts, event_id)
-                     AS transcript
-            FROM sess GROUP BY user_id, sid
-        """,
+        "asr_session_assembly": _ASR_SESSION_ORACLE_SQL,
+        # streaming twin — byte-identical target: same oracle
+        "stream_session_assembly": _ASR_SESSION_ORACLE_SQL,
         # Three-stage composed oracle mirroring _q_asr_curation_pipeline:
         # WER gate (<=350 permille, via the shared cross-algebra WER
         # subquery over the mirror-extended corpus) -> md5 exact dedup

@@ -96,3 +96,70 @@ def wer_stats(df: DataFrame, ref_col: str = "ref", hyp_col: str = "hyp",
                 .otherwise(F.expr(
                     "wer_distance * 1000L div ref_words")))
     return out.withColumn("wer_permille", permille)
+
+
+def word_timestamps(df: DataFrame, id_col: str = "doc_id",
+                    dur_col: str = "dur_ms",
+                    text_col: str = "text") -> DataFrame:
+    """Per-word timing interpolation: spread a clip's duration over
+    its transcript words proportionally to word length — the standard
+    fallback when the ASR decoder emits only utterance-level
+    boundaries but the training pipeline needs word-level timestamps
+    (CTC-less forced-alignment substitute; also the subtitle-cue
+    splitter's input).
+
+    One output row per word: ``(id, word_idx, word, start_ms,
+    end_ms)`` with integer-exact boundaries::
+
+        total      = sum(length(word_i))           -- spaces excluded
+        start_ms_i = dur_ms * cum_before_i div total
+        end_ms_i   = dur_ms * (cum_before_i + len_i) div total
+
+    so ``end_ms`` of the last word is exactly ``dur_ms``, boundaries
+    are monotone, and adjacent words share a boundary (no gaps/overlap
+    — subtitle-safe). Empty/whitespace-only transcripts produce zero
+    rows (not a zero-length word).
+
+    Scale: zero shuffle — the cumulative offsets are computed INSIDE
+    the per-row word array with one ``aggregate`` fold, then
+    ``posexplode``d; no window function, so no (id, word) shuffle ever
+    happens and the operator inherits the input partitioning. The
+    fold's ``array_append`` is O(words²) per ROW (not per key) — words
+    per transcript is bounded by the row width (~10²), unlike the
+    per-key series the streaming EWMA kernel handles, so the quadratic
+    term is a few KB of copying per row.
+
+    Reference parity: none (§2.11 extension; the reference has no
+    audio/ASR surface). Oracle: identical integer algebra in DuckDB
+    via unnest + generate_subscripts + window cumsum.
+    """
+    words = F.expr(
+        f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')")
+    # fold → array<struct<w, s, e>> of (word, cum_before, cum_after)
+    timed = F.expr("""
+        aggregate(
+          __words__,
+          struct(cast(array() as array<struct<w:string,s:bigint,e:bigint>>)
+                   AS acc,
+                 0L AS cum),
+          (st, w) -> struct(
+            array_append(st.acc,
+                         struct(w AS w, st.cum AS s,
+                                st.cum + length(w) AS e)),
+            st.cum + length(w)),
+          st -> st.acc)
+    """)
+    total = F.expr("aggregate(__words__, 0L, (a, w) -> a + length(w))")
+    ex = (df.select(F.col(id_col), F.col(dur_col).cast("long")
+                    .alias("__dur__"), words.alias("__words__"))
+          .filter(F.size("__words__") > 0)
+          .select(id_col, "__dur__", timed.alias("__timed__"),
+                  total.alias("__total__"))
+          .select(id_col, "__dur__", "__total__",
+                  F.posexplode("__timed__").alias("word_idx", "__t__")))
+    return ex.select(
+        F.col(id_col),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        F.col("__t__.w").alias("word"),
+        F.expr("__dur__ * __t__.s div __total__").alias("start_ms"),
+        F.expr("__dur__ * __t__.e div __total__").alias("end_ms"))
