@@ -653,6 +653,24 @@ def _q_word_timestamps(spark, sf_dir):
     return word_timestamps(docs, "doc_id", "dur_ms", "text")
 
 
+def _q_subtitle_cues(spark, sf_dir):
+    """Subtitle-cue segmentation (operators/asr.subtitle_cues): cut
+    each document's interpolated word timeline into 3-second display
+    cues with a reading-speed (chars/sec x10) QA column. Zero shuffle
+    — timing and cue grouping are folds inside the per-row word array;
+    the oracle re-derives the cues by GROUPing the word_timestamps
+    algebra BY start_ms // 3000."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        subtitle_cues,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("n_chars") * 40).alias("dur_ms"), "text")
+    return subtitle_cues(docs, cue_ms=3000, id_col="doc_id",
+                         dur_col="dur_ms", text_col="text")
+
+
 def _q_wer_transcripts(spark, sf_dir):
     """Word-error-rate between each document's transcript and a
     deterministically perturbed hypothesis (see _wer_pairs_sql).
@@ -3263,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "wer_transcripts": _q_wer_transcripts,
         "word_timestamps": _q_word_timestamps,
+        "subtitle_cues": _q_subtitle_cues,
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
@@ -4168,6 +4187,51 @@ def oracle_sql() -> dict[str, str]:
                      AS start_ms,
                    dur_ms * cum_after // total AS end_ms
             FROM c
+        """,
+        # Cue grid over the same word-timing algebra: a word joins the
+        # cue containing its start (start_ms // 3000); start/end are
+        # the first word's start / last word's end; cps_x10 is the
+        # reading-speed gate (chars/sec x10, integer div, NULL on
+        # zero-duration cues).
+        "subtitle_cues": r"""
+            WITH arrs AS (
+              SELECT doc_id, n_chars * 40 AS dur_ms,
+                     list_filter(
+                       regexp_split_to_array(trim(text, ' '), '\s+'),
+                       x -> x != '') AS words
+              FROM documents
+            ), w AS (
+              SELECT doc_id, dur_ms,
+                     unnest(words) AS word,
+                     generate_subscripts(words, 1) AS idx1
+              FROM arrs
+            ), c AS (
+              SELECT doc_id, dur_ms, idx1, word,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id ORDER BY idx1) AS BIGINT)
+                       AS cum_after,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id) AS BIGINT) AS total
+              FROM w
+            ), timed AS (
+              SELECT doc_id, idx1, word,
+                     dur_ms * (cum_after - length(word)) // total
+                       AS start_ms,
+                     dur_ms * cum_after // total AS end_ms
+              FROM c
+            ), cues AS (
+              SELECT doc_id, start_ms // 3000 AS cue_idx,
+                     MIN(start_ms) AS start_ms, MAX(end_ms) AS end_ms,
+                     COUNT(*) AS n_words,
+                     string_agg(word, ' ' ORDER BY idx1) AS text
+              FROM timed GROUP BY doc_id, start_ms // 3000
+            )
+            SELECT doc_id, cue_idx, start_ms, end_ms, n_words, text,
+                   CASE WHEN end_ms > start_ms
+                        THEN CAST(length(text) AS BIGINT) * 10000
+                             // (end_ms - start_ms)
+                        ELSE NULL END AS cps_x10
+            FROM cues
         """,
         "stream_wer": _wer_oracle_sql(
             "doc_id < 200",

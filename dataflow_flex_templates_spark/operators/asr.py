@@ -155,11 +155,113 @@ def word_timestamps(df: DataFrame, id_col: str = "doc_id",
           .filter(F.size("__words__") > 0)
           .select(id_col, "__dur__", timed.alias("__timed__"),
                   total.alias("__total__"))
+          # *_outer: Generate with outer=false triggers Catalyst's
+          # InferFiltersFromGenerate, which clones the whole fold into
+          # a Filter condition (size(..)>0 AND isnotnull(..)) and
+          # evaluates it up to 3x per row; outer=true skips the
+          # inferred filter, and the words-filter above already
+          # guarantees the array is non-empty (no null rows appear)
           .select(id_col, "__dur__", "__total__",
-                  F.posexplode("__timed__").alias("word_idx", "__t__")))
+                  F.posexplode_outer("__timed__")
+                  .alias("word_idx", "__t__")))
     return ex.select(
         F.col(id_col),
         F.col("word_idx").cast("long").alias("word_idx"),
         F.col("__t__.w").alias("word"),
         F.expr("__dur__ * __t__.s div __total__").alias("start_ms"),
         F.expr("__dur__ * __t__.e div __total__").alias("end_ms"))
+
+
+def subtitle_cues(df: DataFrame, cue_ms: int = 3000,
+                  id_col: str = "doc_id", dur_col: str = "dur_ms",
+                  text_col: str = "text") -> DataFrame:
+    """Subtitle-cue segmentation: cut each clip's word-level timeline
+    (the :func:`word_timestamps` interpolation) into display cues on a
+    fixed ``cue_ms`` media-time grid — a word belongs to the cue
+    containing its start (``start_ms div cue_ms``), so cues never
+    reorder words and every word lands in exactly one cue. The fixed
+    grid (vs greedy char-capped packing) is the same deterministic-
+    grid-over-running-state choice ``text.pack_chunks`` makes: it
+    keeps the operator stateless per row AND bit-reproducible in ANSI
+    SQL, where a greedy fold would need a recursive CTE.
+
+    One output row per cue: ``(id, cue_idx, start_ms, end_ms,
+    n_words, text, cps_x10)`` where ``start_ms``/``end_ms`` are the
+    first word's start / last word's end (tighter than the grid cell),
+    ``text`` is the words in timeline order, and ``cps_x10`` is the
+    reading-speed QA gate subtitle pipelines apply (chars/sec × 10,
+    spaces included, integer div — the usual accept bar is ≤ ~20 cps,
+    i.e. ``cps_x10 <= 200``).
+
+    Scale: zero shuffle, like :func:`word_timestamps` — timing AND
+    cue grouping are two ``aggregate`` folds INSIDE the per-row word
+    array (cue buckets are monotone along the timeline, so grouping is
+    a last-element merge), then one ``posexplode``. The merge's
+    slice-and-copy is O(words²) per ROW, bounded by row width.
+
+    Reference parity: none (§2.11 extension). Oracle: GROUP BY
+    ``start_ms // cue_ms`` over the word_timestamps integer algebra.
+    """
+    if cue_ms <= 0:
+        raise ValueError(f"cue_ms must be positive, got {cue_ms}")
+    words = F.expr(
+        f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')")
+    total = F.expr("aggregate(__words__, 0L, (a, w) -> a + length(w))")
+    # fold 1 → array<struct<w, s, e>> with integer-exact ms boundaries
+    timed = F.expr("""
+        aggregate(
+          __words__,
+          struct(cast(array() as array<struct<w:string,s:bigint,e:bigint>>)
+                   AS acc,
+                 0L AS cum),
+          (st, w) -> struct(
+            array_append(st.acc,
+              named_struct(
+                'w', w,
+                's', __dur__ * st.cum div __total__,
+                'e', __dur__ * (st.cum + length(w)) div __total__)),
+            st.cum + length(w)),
+          st -> st.acc)
+    """)
+    # fold 2 → array<struct<b, s, e, n, txt>>: merge-into-last while
+    # the word's cue bucket matches the open cue (buckets are monotone)
+    cues = F.expr(f"""
+        aggregate(
+          __timed__,
+          cast(array() as
+               array<struct<b:bigint,s:bigint,e:bigint,n:bigint,txt:string>>),
+          (acc, t) -> if(
+            size(acc) > 0
+              and element_at(acc, -1).b = t.s div {cue_ms}L,
+            concat(
+              slice(acc, 1, size(acc) - 1),
+              array(named_struct(
+                'b',   element_at(acc, -1).b,
+                's',   element_at(acc, -1).s,
+                'e',   t.e,
+                'n',   element_at(acc, -1).n + 1L,
+                'txt', concat(element_at(acc, -1).txt, ' ', t.w)))),
+            array_append(acc, named_struct(
+              'b', t.s div {cue_ms}L, 's', t.s, 'e', t.e,
+              'n', 1L, 'txt', t.w))))
+    """)
+    ex = (df.select(F.col(id_col), F.col(dur_col).cast("long")
+                    .alias("__dur__"), words.alias("__words__"))
+          .filter(F.size("__words__") > 0)
+          .withColumn("__total__", total)
+          .withColumn("__timed__", timed)
+          .select(id_col, cues.alias("__cues__"))
+          # explode_outer for the same InferFiltersFromGenerate reason
+          # as word_timestamps: keeps the double fold evaluated ONCE
+          .select(id_col, F.explode_outer("__cues__").alias("__c__")))
+    return ex.select(
+        F.col(id_col),
+        F.col("__c__.b").alias("cue_idx"),
+        F.col("__c__.s").alias("start_ms"),
+        F.col("__c__.e").alias("end_ms"),
+        F.col("__c__.n").alias("n_words"),
+        F.col("__c__.txt").alias("text"),
+        # chars/sec x10, zero-duration cues -> NULL (integer div by 0)
+        F.expr("if(__c__.e > __c__.s, "
+               "length(__c__.txt) * 10000L div (__c__.e - __c__.s), "
+               "cast(null as bigint))").alias("cps_x10"))

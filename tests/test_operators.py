@@ -1146,6 +1146,59 @@ def test_wer_stats_dataframe(spark):
     assert out[6]["wer_distance"] == 0
 
 
+def test_word_timestamps_boundaries(spark):
+    """Integer-exact word timing: last word ends exactly at dur_ms,
+    boundaries are monotone and gap-free, empty transcripts vanish."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        word_timestamps,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 9000, "a bb ccc dddd eeeee ffffff ggggggg"),
+         (2, 5000, "   "),            # whitespace-only -> 0 rows
+         (3, 100, "one")],
+        "doc_id long, dur_ms long, text string")
+    out = word_timestamps(df).orderBy("doc_id", "word_idx").collect()
+    assert {r["doc_id"] for r in out} == {1, 3}
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert d1[0]["start_ms"] == 0 and d1[-1]["end_ms"] == 9000
+    for prev, cur in zip(d1, d1[1:]):
+        assert prev["end_ms"] == cur["start_ms"]      # gap-free
+        assert cur["start_ms"] <= cur["end_ms"]
+    # proportional-to-length: 'dddd' covers cum 6..10 of 28 chars
+    assert (d1[3]["start_ms"], d1[3]["end_ms"]) == (1928, 3214)
+    d3 = [r for r in out if r["doc_id"] == 3]
+    assert (d3[0]["start_ms"], d3[0]["end_ms"]) == (0, 100)
+
+
+def test_subtitle_cues_grid_and_cps(spark):
+    """Cue grid: words grouped by start bucket in timeline order,
+    tight start/end, zero-duration cues -> NULL cps, cue monotone."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        subtitle_cues,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 9000, "a bb ccc dddd eeeee ffffff ggggggg"),
+         (4, 0, "zero duration words"),     # all words at ms 0
+         (3, 5000, " ")],                   # no words -> no cues
+        "doc_id long, dur_ms long, text string")
+    out = subtitle_cues(df, cue_ms=3000).orderBy(
+        "doc_id", "cue_idx").collect()
+    d5 = [r for r in out if r["doc_id"] == 5]
+    assert [r["cue_idx"] for r in d5] == [0, 1, 2]
+    assert [r["text"] for r in d5] == [
+        "a bb ccc dddd", "eeeee ffffff", "ggggggg"]
+    assert d5[0]["start_ms"] == 0 and d5[-1]["end_ms"] == 9000
+    # adjacent cues share the word boundary (tight, not grid-aligned)
+    assert d5[0]["end_ms"] == d5[1]["start_ms"] == 3214
+    assert all(r["cps_x10"] > 0 for r in d5)
+    d4 = [r for r in out if r["doc_id"] == 4]
+    assert len(d4) == 1 and d4[0]["n_words"] == 3
+    assert d4[0]["cps_x10"] is None          # zero-duration cue
+    assert not [r for r in out if r["doc_id"] == 3]
+
+
 def test_pack_clip_batches_padding_economics(spark):
     """Sorted batching: batches are cut from per-shard duration order,
     padded_ms = max*count, and total padding waste is never worse
