@@ -1432,6 +1432,32 @@ def _q_audio_resample_stats(spark, sf_dir):
             .orderBy("sr_hz"))
 
 
+def _q_speed_perturb(spark, sf_dir):
+    """Kaldi-style speed perturbation (functions/audio.
+    speed_perturb_stats): each clip replayed at 0.9x/1.0x/1.1x —
+    decode ONCE per clip, resample per factor in the same Arrow pass,
+    then roll up the augmented corpus per (factor, codec). Oracle:
+    single-process numpy twin (same kernels) pinned as VALUES;
+    aggregation re-done in DuckDB."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        speed_perturb_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    sp = speed_perturb_stats()
+    return (clips
+            .withColumn("__sp__", sp(F.col("bytes"), F.col("codec"),
+                                     F.col("sr_hz")))
+            .select("codec", F.explode("__sp__").alias("__p__"))
+            .groupBy(F.col("__p__.factor_x100").alias("factor_x100"),
+                     "codec")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__p__.n_samples_out").alias("total_out_samples"),
+                 F.round(F.avg("__p__.rms_out"), 4).alias("avg_rms"))
+            .orderBy("factor_x100", "codec"))
+
+
 def _q_audio_spectral_stats(spark, sf_dir):
     """Decode → FFT → spectral summary (centroid/bandwidth/rolloff/
     flatness) in one Arrow pass per clip, rolled up per codec. Oracle:
@@ -3320,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "audio_decode_stats": _q_audio_decode_stats,
         "audio_resample_stats": _q_audio_resample_stats,
+        "speed_perturb": _q_speed_perturb,
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
@@ -5491,6 +5518,18 @@ def oracle_sql() -> dict[str, str]:
                                  "avg_bandwidth", "avg_rolloff",
                                  "avg_flatness"])}
             ORDER BY codec
+        """
+    if "speed_perturb" in const:
+        out["speed_perturb"] = f"""
+            SELECT CAST(factor_x100 AS BIGINT) AS factor_x100, codec,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(total_out_samples AS BIGINT)
+                     AS total_out_samples,
+                   CAST(avg_rms AS DOUBLE) AS avg_rms
+            FROM {_values_table(const["speed_perturb"],
+                                ["factor_x100", "codec", "n",
+                                 "total_out_samples", "avg_rms"])}
+            ORDER BY factor_x100, codec
         """
     # Audio health: per-clip waveform counters pinned (numpy twin);
     # defect flags + per-codec rollup genuine SQL. Thresholds must

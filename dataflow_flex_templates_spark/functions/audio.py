@@ -306,6 +306,60 @@ _RESAMPLE_SCHEMA = T.StructType([
     T.StructField("rms_out", T.DoubleType()),
 ])
 
+_SPEED_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("factor_x100", T.LongType()),
+    T.StructField("n_samples_out", T.LongType()),
+    T.StructField("rms_out", T.DoubleType()),
+]))
+
+
+def speed_perturb_stats(factors=(0.9, 1.0, 1.1), kernel: str = "linear"):
+    """Factory: Kaldi-style speed perturbation — THE standard ASR
+    training augmentation (each clip replayed at 0.9×/1.0×/1.1×,
+    tripling the corpus). Playing at factor f is resampling from a
+    pretend input rate round(sr·f) back to sr, so duration scales by
+    ~1/f while the sample-rate label is unchanged (pitch shifts with
+    tempo — by design, as in Kaldi's sp augmentation).
+
+    One Arrow pass per clip: decode ONCE, resample once per factor —
+    bytes never cross a shuffle and the decode cost is not paid per
+    augmented copy. Returns an array of (factor_x100, n_samples_out,
+    rms_out) structs per clip (integer factor key — no float group-by
+    keys downstream); explode it for the augmented-corpus view.
+    Undecodable rows → NULL array (poison-row convention).
+
+    Scale: pure map over the input partitioning, 3× output rows but
+    only stats here — a materializing variant would re-encode with
+    ``encode_pcm_np`` in the same pass. Oracle: single-process numpy
+    twin pinned as a VALUES table (same decode/resample kernels,
+    aggregation re-done in DuckDB SQL).
+    """
+    resample = (resample_sinc_np if kernel == "sinc"
+                else resample_linear_np)
+    fx = [(int(round(f * 100)), float(f)) for f in factors]
+
+    @pandas_udf(_SPEED_SCHEMA)
+    def _sp(bytes_col: pd.Series, codec: pd.Series, sr: pd.Series
+            ) -> pd.Series:
+        out = []
+        for b, c, s in zip(bytes_col, codec, sr):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+            except Exception:
+                out.append(None)                 # poison → NULL array
+                continue
+            rows = []
+            for fq, f in fx:
+                r = resample(w, int(round(int(s) * f)), int(s))
+                rms = (math.sqrt(float(np.dot(r, r)) / len(r))
+                       if len(r) else 0.0)
+                rows.append((fq, len(r), rms))
+            out.append(rows)
+        return pd.Series(out)
+
+    return _sp
+
 
 def vad_segments_np(wave: np.ndarray, sr_hz: int, frame_ms: int = 20,
                     threshold: float = 0.02) -> tuple[int, int, int]:

@@ -138,6 +138,24 @@ def main() -> None:
          _assert_not_knife_edge(sum(z for _, z in v) / len(v))]
         for codec, v in sorted(by_codec.items())
     ]
+
+    # Speed perturbation twin: same decode + linear-resample kernels,
+    # factor f = resample from round(sr*f) back to sr (duration ~1/f).
+    # Must mirror functions/audio.speed_perturb_stats defaults exactly.
+    sp_by: dict[tuple[int, str], list[tuple[int, float]]] = {}
+    for _, r in clips.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        for fq, f in ((90, 0.9), (100, 1.0), (110, 1.1)):
+            rs = resample_linear_np(
+                w, int(round(int(r["sr_hz"]) * f)), int(r["sr_hz"]))
+            rms = (math.sqrt(float(np.dot(rs, rs)) / len(rs))
+                   if len(rs) else 0.0)
+            sp_by.setdefault((fq, r["codec"]), []).append((len(rs), rms))
+    out["speed_perturb"] = [
+        [fq, codec, len(v), int(sum(n for n, _ in v)),
+         _assert_not_knife_edge(sum(x for _, x in v) / len(v))]
+        for (fq, codec), v in sorted(sp_by.items())
+    ]
     out["audio_resample_stats"] = [
         [sr, len(v), int(sum(n for n, _ in v)),
          _assert_not_knife_edge(sum(r for _, r in v) / len(v))]

@@ -135,6 +135,53 @@ def test_resample_stats_udf(spark):
     assert (out["rms_out"] > 0).all()
 
 
+def test_speed_perturb_duration_economics(spark):
+    """Kaldi-style sp augmentation: f=1.0 is the identity (exact
+    original length + rms), other factors scale length by exactly
+    round(n * sr / round(sr*f)), and rms stays in the same ballpark
+    (resampling preserves energy density)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm_np,
+        speed_perturb_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_clips_df,
+        make_clips_pdf,
+    )
+
+    clips = make_clips_df(spark, 40, seed=11)
+    sp = speed_perturb_stats()
+    out = (clips.withColumn("__sp__", sp(F.col("bytes"), F.col("codec"),
+                                         F.col("sr_hz")))
+           .select("clip_id", "sr_hz", F.explode("__sp__").alias("p"))
+           .select("clip_id", "sr_hz", "p.factor_x100",
+                   "p.n_samples_out", "p.rms_out")
+           .toPandas())
+    pdf = make_clips_pdf(40, seed=11)
+    n_in = {r["clip_id"]: len(decode_pcm_np(r["bytes"], r["codec"]))
+            for _, r in pdf.iterrows()}
+    rms_in = {}
+    for _, r in pdf.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        rms_in[r["clip_id"]] = float((w.astype("float64") ** 2).mean()
+                                     ** 0.5)
+    assert len(out) == 3 * 40
+    for _, r in out.iterrows():
+        n, sr, f = n_in[r["clip_id"]], int(r["sr_hz"]), r["factor_x100"]
+        if f == 100:
+            assert r["n_samples_out"] == n
+            # float32 dot vs float64 mean accumulation: ~1e-7 noise
+            assert abs(r["rms_out"] - rms_in[r["clip_id"]]) < 1e-5
+        else:
+            sr_in = int(round(sr * f / 100))
+            assert r["n_samples_out"] == max(int(round(n * sr / sr_in)),
+                                             1)
+        # energy density preserved within 25% (linear kernel smoothing)
+        assert r["rms_out"] > 0.75 * rms_in[r["clip_id"]]
+
+
 def test_sinc_resampler_beats_linear():
     """Kaiser-windowed-sinc resampling reconstructs in-band tones
     >40 dB better than linear interpolation in up-, down-, and
