@@ -671,6 +671,31 @@ def _q_subtitle_cues(spark, sf_dir):
                          dur_col="dur_ms", text_col="text")
 
 
+def _q_subtitle_qa(spark, sf_dir):
+    """Per-document subtitle QA rollup — the acceptance gate applied
+    after cue generation: cue count, words, how many cues exceed the
+    ~20 chars/sec reading-speed bar (cps_x10 > 200), and the worst
+    cue's cps. One keyed shuffle on doc_id over the zero-shuffle
+    subtitle_cues map; docs whose every cue passes carry qa_pass=1."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        subtitle_cues,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("n_chars") * 40).alias("dur_ms"), "text")
+    cues = subtitle_cues(docs, cue_ms=3000)
+    return (cues.groupBy("doc_id")
+            .agg(F.count("*").alias("n_cues"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum(F.when(F.col("cps_x10") > 200, 1)
+                       .otherwise(0)).alias("n_fast_cues"),
+                 F.max("cps_x10").alias("max_cps_x10"))
+            .withColumn("qa_pass",
+                        F.when(F.col("n_fast_cues") == 0, F.lit(1))
+                        .otherwise(F.lit(0)).cast("int")))
+
+
 def _q_wer_transcripts(spark, sf_dir):
     """Word-error-rate between each document's transcript and a
     deterministically perturbed hypothesis (see _wer_pairs_sql).
@@ -3308,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wer_transcripts": _q_wer_transcripts,
         "word_timestamps": _q_word_timestamps,
         "subtitle_cues": _q_subtitle_cues,
+        "subtitle_qa": _q_subtitle_qa,
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
@@ -4259,6 +4285,58 @@ def oracle_sql() -> dict[str, str]:
                              // (end_ms - start_ms)
                         ELSE NULL END AS cps_x10
             FROM cues
+        """,
+        # Per-doc QA rollup over the same cue algebra; SUMs CAST to
+        # BIGINT (DuckDB HUGEINT), NULL cps never counts as fast.
+        "subtitle_qa": r"""
+            WITH arrs AS (
+              SELECT doc_id, n_chars * 40 AS dur_ms,
+                     list_filter(
+                       regexp_split_to_array(trim(text, ' '), '\s+'),
+                       x -> x != '') AS words
+              FROM documents
+            ), w AS (
+              SELECT doc_id, dur_ms,
+                     unnest(words) AS word,
+                     generate_subscripts(words, 1) AS idx1
+              FROM arrs
+            ), c AS (
+              SELECT doc_id, dur_ms, idx1, word,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id ORDER BY idx1) AS BIGINT)
+                       AS cum_after,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id) AS BIGINT) AS total
+              FROM w
+            ), timed AS (
+              SELECT doc_id, idx1, word,
+                     dur_ms * (cum_after - length(word)) // total
+                       AS start_ms,
+                     dur_ms * cum_after // total AS end_ms
+              FROM c
+            ), cues AS (
+              SELECT doc_id, start_ms // 3000 AS cue_idx,
+                     MIN(start_ms) AS start_ms, MAX(end_ms) AS end_ms,
+                     COUNT(*) AS n_words,
+                     string_agg(word, ' ' ORDER BY idx1) AS text
+              FROM timed GROUP BY doc_id, start_ms // 3000
+            ), scored AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN end_ms > start_ms
+                          THEN CAST(length(text) AS BIGINT) * 10000
+                               // (end_ms - start_ms)
+                          ELSE NULL END AS cps_x10
+              FROM cues
+            )
+            SELECT doc_id, COUNT(*) AS n_cues,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(CASE WHEN cps_x10 > 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fast_cues,
+                   MAX(cps_x10) AS max_cps_x10,
+                   CAST(CASE WHEN SUM(CASE WHEN cps_x10 > 200 THEN 1
+                                           ELSE 0 END) = 0
+                             THEN 1 ELSE 0 END AS INT) AS qa_pass
+            FROM scored GROUP BY doc_id
         """,
         "stream_wer": _wer_oracle_sql(
             "doc_id < 200",
