@@ -100,7 +100,8 @@ def wer_stats(df: DataFrame, ref_col: str = "ref", hyp_col: str = "hyp",
 
 def word_timestamps(df: DataFrame, id_col: str = "doc_id",
                     dur_col: str = "dur_ms",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    max_words: int = 4096) -> DataFrame:
     """Per-word timing interpolation: spread a clip's duration over
     its transcript words proportionally to word length — the standard
     fallback when the ASR decoder emits only utterance-level
@@ -129,10 +130,22 @@ def word_timestamps(df: DataFrame, id_col: str = "doc_id",
     per-key series the streaming EWMA kernel handles, so the quadratic
     term is a few KB of copying per row.
 
+    ``max_words`` bounds that quadratic term against adversarial input
+    (an hour-long talk fed as ONE row is ~10⁴ words → ~10⁸ struct
+    copies per row): transcripts with more than ``max_words`` words
+    skip the fold entirely and surface as a single POISON row — the id
+    with every payload column NULL (``word_idx`` included) — so the
+    caller can count/route them instead of silently losing rows or
+    stalling an executor. The default (4096 ≈ 27 min of speech) is far
+    above any sane per-clip transcript; pass a larger value only with
+    the quadratic cost in mind.
+
     Reference parity: none (§2.11 extension; the reference has no
     audio/ASR surface). Oracle: identical integer algebra in DuckDB
     via unnest + generate_subscripts + window cumsum.
     """
+    if max_words <= 0:
+        raise ValueError(f"max_words must be positive, got {max_words}")
     words = F.expr(
         f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')")
     # fold → array<struct<w, s, e>> of (word, cum_before, cum_after)
@@ -153,6 +166,12 @@ def word_timestamps(df: DataFrame, id_col: str = "doc_id",
     ex = (df.select(F.col(id_col), F.col(dur_col).cast("long")
                     .alias("__dur__"), words.alias("__words__"))
           .filter(F.size("__words__") > 0)
+          # overflow guard: null the word array BEFORE the fold so the
+          # O(words²) copy never runs; aggregate(NULL,...) is NULL and
+          # posexplode_outer(NULL) emits exactly one all-NULL poison row
+          .withColumn("__words__", F.expr(
+              f"if(size(__words__) <= {int(max_words)}, __words__, "
+              "cast(null as array<string>))"))
           .select(id_col, "__dur__", timed.alias("__timed__"),
                   total.alias("__total__"))
           # *_outer: Generate with outer=false triggers Catalyst's
@@ -174,7 +193,8 @@ def word_timestamps(df: DataFrame, id_col: str = "doc_id",
 
 def subtitle_cues(df: DataFrame, cue_ms: int = 3000,
                   id_col: str = "doc_id", dur_col: str = "dur_ms",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  max_words: int = 4096) -> DataFrame:
     """Subtitle-cue segmentation: cut each clip's word-level timeline
     (the :func:`word_timestamps` interpolation) into display cues on a
     fixed ``cue_ms`` media-time grid — a word belongs to the cue
@@ -197,13 +217,20 @@ def subtitle_cues(df: DataFrame, cue_ms: int = 3000,
     cue grouping are two ``aggregate`` folds INSIDE the per-row word
     array (cue buckets are monotone along the timeline, so grouping is
     a last-element merge), then one ``posexplode``. The merge's
-    slice-and-copy is O(words²) per ROW, bounded by row width.
+    slice-and-copy is O(words²) per ROW, bounded by row width — and
+    hard-bounded by ``max_words``: transcripts longer than that skip
+    both folds and surface as a single all-NULL-payload POISON row
+    (same contract as :func:`word_timestamps`), so an hour-long
+    transcript fed as one row degrades to a routable marker instead of
+    an executor stall.
 
     Reference parity: none (§2.11 extension). Oracle: GROUP BY
     ``start_ms // cue_ms`` over the word_timestamps integer algebra.
     """
     if cue_ms <= 0:
         raise ValueError(f"cue_ms must be positive, got {cue_ms}")
+    if max_words <= 0:
+        raise ValueError(f"max_words must be positive, got {max_words}")
     words = F.expr(
         f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')")
     total = F.expr("aggregate(__words__, 0L, (a, w) -> a + length(w))")
@@ -248,6 +275,11 @@ def subtitle_cues(df: DataFrame, cue_ms: int = 3000,
     ex = (df.select(F.col(id_col), F.col(dur_col).cast("long")
                     .alias("__dur__"), words.alias("__words__"))
           .filter(F.size("__words__") > 0)
+          # overflow guard (see word_timestamps): NULL array short-
+          # circuits both folds; explode_outer(NULL) = one poison row
+          .withColumn("__words__", F.expr(
+              f"if(size(__words__) <= {int(max_words)}, __words__, "
+              "cast(null as array<string>))"))
           .withColumn("__total__", total)
           .withColumn("__timed__", timed)
           .select(id_col, cues.alias("__cues__"))

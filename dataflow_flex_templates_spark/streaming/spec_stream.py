@@ -136,13 +136,21 @@ class MultiQuery:
         return any(q.isActive for q in self.queries)
 
     def awaitTermination(self, timeout_s: int | None = None):  # noqa: N802
+        """Wait for every query; with a timeout, returns True only if
+        ALL queries terminated within it (mirrors StreamingQuery's
+        bool-on-timeout contract so callers can raise on partial runs).
+        """
         import time
 
         deadline = None if timeout_s is None else time.monotonic() + timeout_s
+        done = True
         for q in self.queries:
             remaining = (None if deadline is None
                          else max(0.1, deadline - time.monotonic()))
-            q.awaitTermination(remaining)
+            finished = q.awaitTermination(remaining)
+            if remaining is not None and not finished:
+                done = False
+        return done if timeout_s is not None else None
 
     def stop(self) -> None:
         for q in self.queries:
@@ -578,7 +586,15 @@ class SpecStreamJob:
         )
 
         q = self.start(spark, available_now=True)
-        q.awaitTermination(timeout_s)
+        # Hard-fail on timeout: an unfinished availableNow run means the
+        # merged tables are partial, and every downstream read (oracle
+        # rows, named-barrier actions, metrics) would silently operate
+        # on short data. Same contract as _await_or_raise / ClipGraphJob.
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError(
+                f"SpecStreamJob: availableNow run timed out ({timeout_s} s)"
+                " — refusing to treat partial target tables as complete")
         q.stop()
         # Listener events are delivered asynchronously and can lag
         # arbitrarily under load (a 15 s settle wait was observed to

@@ -1199,6 +1199,51 @@ def test_subtitle_cues_grid_and_cps(spark):
     assert not [r for r in out if r["doc_id"] == 3]
 
 
+def test_word_fold_max_words_poison(spark):
+    """max_words overflow guard: transcripts beyond the cap skip the
+    O(words²) fold and surface as ONE all-NULL-payload poison row per
+    id (word_timestamps AND subtitle_cues), while rows under the cap
+    are byte-identical to the unguarded output; invalid caps raise."""
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.operators.asr import (
+        subtitle_cues,
+        word_timestamps,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, 9000, "a bb ccc dddd"),
+         (2, 60_000, long_text)],            # 50 words > max_words=8
+        "doc_id long, dur_ms long, text string")
+
+    wt = word_timestamps(df, max_words=8).orderBy(
+        "doc_id", "word_idx").collect()
+    d1 = [r for r in wt if r["doc_id"] == 1]
+    d2 = [r for r in wt if r["doc_id"] == 2]
+    assert len(d1) == 4 and d1[-1]["end_ms"] == 9000   # under cap: real
+    assert len(d2) == 1                                 # poison marker
+    assert all(d2[0][c] is None
+               for c in ("word_idx", "word", "start_ms", "end_ms"))
+
+    sc = subtitle_cues(df, cue_ms=3000, max_words=8).collect()
+    c1 = [r for r in sc if r["doc_id"] == 1]
+    c2 = [r for r in sc if r["doc_id"] == 2]
+    assert len(c1) >= 1 and all(r["text"] is not None for r in c1)
+    assert len(c2) == 1
+    assert all(c2[0][c] is None
+               for c in ("cue_idx", "start_ms", "end_ms", "n_words",
+                         "text", "cps_x10"))
+
+    # default cap leaves a 50-word transcript untouched (oracle parity)
+    assert word_timestamps(df).filter("doc_id = 2").count() == 50
+
+    with _pytest.raises(ValueError, match="max_words"):
+        word_timestamps(df, max_words=0)
+    with _pytest.raises(ValueError, match="max_words"):
+        subtitle_cues(df, max_words=-1)
+
+
 def test_pack_clip_batches_padding_economics(spark):
     """Sorted batching: batches are cut from per-shard duration order,
     padded_ms = max*count, and total padding waste is never worse
