@@ -46,6 +46,16 @@ from dataflow_flex_templates_spark.testing.clips import clips_spark_schema
 
 SEQ_COL = "__seq__"
 
+#: Codecs whose per-byte decode cost is high enough that spreading a
+#: starved scan pays for shuffling the payload. Measured break-even
+#: (BASELINE.md "Skew", bench `salt_recovery_hotfile`): LUT codecs
+#: (ulaw/alaw) and raw PCM are DRAM-bound — salting a cheap-codec
+#: hotfile measured 0.675x (the payload shuffle costs MORE than the
+#: starved decode it relieves). Only the sequential-prediction ADPCM
+#: decode (~4 bits in → 16 bits out through a per-sample state machine)
+#: is compute-bound enough to clear the break-even.
+EXPENSIVE_CODECS = frozenset({"adpcm_ima"})
+
 
 @dataclass
 class ClipGraphJob:
@@ -65,19 +75,80 @@ class ClipGraphJob:
     #: per task before the exchange), and clip_id state ops hash a
     #: uniform key. Set >1 only when upstream file layout itself is
     #: skewed (e.g. one giant file per hot codec) to spread the scan.
-    salt_buckets: int = 0
+    #: ``"auto"`` measures instead of guessing: on the FIRST micro-batch
+    #: it salts (to the core count) only when BOTH break-even conditions
+    #: from the measured skew study hold — the scan is layout-starved
+    #: (fewer input files than cores) AND the codec mix is
+    #: expensive-per-byte (≥ ``auto_expensive_frac`` of rows in
+    #: EXPENSIVE_CODECS). The decision is cached for the query's
+    #: lifetime, so steady state pays zero extra jobs.
+    salt_buckets: int | str = 0
+    #: "auto" threshold: row fraction in EXPENSIVE_CODECS above which
+    #: the batch counts as compute-bound. ADPCM decodes ~5-10x slower
+    #: per byte than the LUT/PCM paths, so at >=25% of rows it already
+    #: dominates wall-clock and a starved scan serializes it.
+    auto_expensive_frac: float = 0.25
     decode_audio: bool = True
 
     nodes_table: ExactlyOnceTable = dc_field(init=False)
     edges_table: ExactlyOnceTable = dc_field(init=False)
 
     def __post_init__(self):
+        if isinstance(self.salt_buckets, str) and self.salt_buckets != "auto":
+            raise ValueError(
+                f"salt_buckets must be an int or 'auto', "
+                f"got {self.salt_buckets!r}")
+        #: cached "auto" decision (bucket count; 0 = don't salt).
+        #: None = not yet decided.
+        self._auto_salt: int | None = None
         self.nodes_table = ExactlyOnceTable(
             os.path.join(self.output_dir, "nodes_clip"),
             key_cols=["clip_id"], order_col=SEQ_COL)
         self.edges_table = ExactlyOnceTable(
             os.path.join(self.output_dir, "edges_encoded_as"),
             key_cols=["clip_id", "codec"], order_col=SEQ_COL)
+
+    def _decide_auto_salt(self, batch_df: DataFrame) -> int:
+        """Measure the two break-even conditions on ONE micro-batch and
+        cache the verdict (BASELINE.md "Skew" derived this rule from
+        bench data, not doctrine):
+
+        1. *Scan starved*: fewer input files than cores. File count is
+           the conservative split estimate — parquet only splits at
+           row-group boundaries, so the pathological layouts this knob
+           exists for (one writer file per hot partition value, giant
+           row groups) show up as a tiny file count regardless of
+           ``maxPartitionBytes``.
+        2. *Expensive decode*: ≥ ``auto_expensive_frac`` of rows carry
+           an EXPENSIVE_CODECS codec. Costs one columnar codec-only agg
+           on the decision batch; nothing afterwards.
+
+        Salting helps only when BOTH hold: a starved scan of a cheap
+        codec is bounded by the scan itself (the shuffle just adds
+        payload traffic — measured 0.675x), and an expensive mix over a
+        healthy layout already decodes in place on every core.
+        """
+        spark = batch_df.sparkSession
+        cores = spark.sparkContext.defaultParallelism
+        try:
+            n_files = len(batch_df.inputFiles())
+        except Exception:  # non-file source (rate, memory): can't starve
+            n_files = cores
+        if n_files >= cores:
+            return 0
+        counts = dict(batch_df.groupBy("codec").count().collect())
+        total = sum(counts.values())
+        if total == 0:
+            return 0
+        hot = sum(n for c, n in counts.items() if c in EXPENSIVE_CODECS)
+        return cores if hot / total >= self.auto_expensive_frac else 0
+
+    def _effective_salt_buckets(self, batch_df: DataFrame) -> int:
+        if self.salt_buckets != "auto":
+            return int(self.salt_buckets)
+        if self._auto_salt is None:
+            self._auto_salt = self._decide_auto_salt(batch_df)
+        return self._auto_salt
 
     # -- per-micro-batch transform (pure DataFrame; unit-testable) --------
 
@@ -88,12 +159,13 @@ class ClipGraphJob:
         single plan branch; callers fanning out to several derived
         frames should persist() the result."""
         df = batch_df
-        if self.salt_buckets > 1:
+        buckets = self._effective_salt_buckets(batch_df)
+        if buckets > 1:
             # Salted repartition: hot codec keys spread across buckets.
             df = df.repartition(
-                self.salt_buckets,
+                buckets,
                 F.col("codec"),
-                F.pmod(F.xxhash64("clip_id"), F.lit(self.salt_buckets)),
+                F.pmod(F.xxhash64("clip_id"), F.lit(buckets)),
             )
         if self.decode_audio:
             df = with_audio_features(df)
@@ -190,7 +262,14 @@ class ClipGraphJob:
 
     def run_to_completion(self, spark: SparkSession, timeout_s: int = 600):
         q = self.start(spark, available_now=True)
-        q.awaitTermination(timeout_s)
-        if q.isActive:
+        # awaitTermination returning False means the availableNow run is
+        # still mid-flight: the sink tables are partial. Surfacing that
+        # as a hard error beats letting a caller read short output and
+        # fail an oracle hash downstream (same contract as the entry
+        # module's _await_or_raise).
+        if not q.awaitTermination(timeout_s):
             q.stop()
+            raise RuntimeError(
+                f"clip_graph: availableNow query timed out ({timeout_s} s)"
+                " — refusing to treat partial sink output as complete")
         return q

@@ -478,6 +478,66 @@ def test_salted_repartition_spreads_skewed_file_layout(spark, tmp_path):
     assert n_parts(salted) >= 6        # salt spreads the hot layout
 
 
+def test_salt_buckets_auto_decision(spark, tmp_path):
+    """salt_buckets='auto' wires the MEASURED break-even (BASELINE.md
+    "Skew"): salt only when the scan is layout-starved (files < cores)
+    AND the codec mix is expensive-per-byte (ADPCM). Four quadrants:
+    only starved+expensive salts; the decision is cached after batch 0;
+    a bogus string raises."""
+    import pyspark.sql.functions as F
+
+    from dataflow_flex_templates_spark.streaming.job import ClipGraphJob
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    cheap = make_clips_df(spark, 400, seed=8)  # stock mix: pcm-dominant
+    expensive = make_clips_df(
+        spark, 400, seed=8,
+        codec_choices=["adpcm_ima", "pcm_s16le"],
+        codec_weights=[0.6, 0.4])
+
+    layouts = {}
+    for tag, df, nf in (("cheap_1f", cheap, 1), ("cheap_8f", cheap, 8),
+                        ("adpcm_1f", expensive, 1),
+                        ("adpcm_8f", expensive, 8)):
+        p = str(tmp_path / tag)
+        df.repartition(nf).write.parquet(p)
+        layouts[tag] = p
+
+    cores = spark.sparkContext.defaultParallelism
+
+    def decide(tag):
+        job = ClipGraphJob(input_dir=layouts[tag],
+                           output_dir=str(tmp_path / f"o_{tag}"),
+                           checkpoint_dir=str(tmp_path / f"c_{tag}"),
+                           salt_buckets="auto")
+        return job, job._effective_salt_buckets(
+            spark.read.parquet(layouts[tag]))
+
+    _, b = decide("cheap_1f")
+    assert b == 0                      # starved scan, cheap codec: no
+    _, b = decide("cheap_8f")
+    assert b == 0                      # healthy scan: no
+    job_hot, b = decide("adpcm_1f")
+    assert b == cores                  # starved + expensive: salt
+    if cores >= 8:
+        _, b = decide("adpcm_8f")
+        assert b == 0                  # expensive but healthy scan: no
+
+    # cached: a later (cheap) batch does NOT flip the batch-0 verdict
+    assert job_hot._effective_salt_buckets(cheap) == cores
+    # and the salted path actually spreads the one-file layout
+    n_parts = (job_hot.prepare_batch(spark.read.parquet(layouts["adpcm_1f"]))
+               .select(F.spark_partition_id().alias("p"))
+               .groupBy("p").count().count())
+    assert n_parts >= min(cores, 6)
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        ClipGraphJob(input_dir=layouts["cheap_1f"],
+                     output_dir=str(tmp_path / "o_bad"),
+                     checkpoint_dir=str(tmp_path / "c_bad"),
+                     salt_buckets="always")
+
+
 def test_late_rows_dropped_and_counted(spark, tmp_path):
     """Rows later than the watermark are dropped by the stateful agg
     AND surfaced in the metrics summary (north_rule: 'late rows
