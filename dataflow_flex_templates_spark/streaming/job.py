@@ -109,9 +109,10 @@ class ClipGraphJob:
             key_cols=["clip_id", "codec"], order_col=SEQ_COL)
 
     def _decide_auto_salt(self, batch_df: DataFrame) -> int:
-        """Measure the two break-even conditions on ONE micro-batch and
-        cache the verdict (BASELINE.md "Skew" derived this rule from
-        bench data, not doctrine):
+        """Measure the two break-even conditions ONCE (at the first
+        trigger) against the input table and cache the verdict
+        (BASELINE.md "Skew" derived this rule from bench data, not
+        doctrine):
 
         1. *Scan starved*: fewer input files than cores. File count is
            the conservative split estimate — parquet only splits at
@@ -120,8 +121,9 @@ class ClipGraphJob:
            row groups) show up as a tiny file count regardless of
            ``maxPartitionBytes``.
         2. *Expensive decode*: ≥ ``auto_expensive_frac`` of rows carry
-           an EXPENSIVE_CODECS codec. Costs one columnar codec-only agg
-           on the decision batch; nothing afterwards.
+           an EXPENSIVE_CODECS codec. Costs one columnar codec-only
+           scan of the (few, by precondition 1) input files; nothing
+           afterwards.
 
         Salting helps only when BOTH hold: a starved scan of a cheap
         codec is bounded by the scan itself (the shuffle just adds
@@ -130,13 +132,25 @@ class ClipGraphJob:
         """
         spark = batch_df.sparkSession
         cores = spark.sparkContext.defaultParallelism
+        # Layout starvation is a property of the INPUT TABLE, not of
+        # one micro-batch — and micro-batch DataFrames report no
+        # inputFiles() at all (measured: always []), so the decision
+        # reads the table's file list via a batch-path metadata probe.
         try:
-            n_files = len(batch_df.inputFiles())
-        except Exception:  # non-file source (rate, memory): can't starve
-            n_files = cores
-        if n_files >= cores:
+            files = spark.read.parquet(self.input_dir).inputFiles()
+        except Exception:  # unreadable/non-parquet input: don't salt
             return 0
-        counts = dict(batch_df.groupBy("codec").count().collect())
+        if not files or len(files) >= cores:
+            return 0
+        # Codec distribution via a FRESH pruned batch read, NOT an
+        # aggregate over the micro-batch plan: the streaming batch
+        # relation does not column-prune, so grouping it re-reads the
+        # full payload (measured ~2.4 s/GiB on the hotfile fixture) —
+        # a codec-only parquet scan reads just that column's pages.
+        # Bounded by the starvation precondition: we only get here
+        # with fewer files than cores.
+        counts = dict(spark.read.parquet(*files).select("codec")
+                      .groupBy("codec").count().collect())
         total = sum(counts.values())
         if total == 0:
             return 0

@@ -384,6 +384,7 @@ def generate_clips_distributed(
     num_partitions: int | None = None,
     codec_weights: list[float] | None = None,
     sr_weights: list[float] | None = None,
+    codec_choices: list[str] | None = None,
 ):
     """Synthesize n clips as a distributed DataFrame via mapInPandas.
 
@@ -393,12 +394,18 @@ def generate_clips_distributed(
 
     ``codec_weights`` / ``sr_weights`` override the stock distributions
     (aligned with CODEC_CHOICES / SR_CHOICES) — e.g. [0.92, 0.05, 0.03]
-    for the north rule's hot-codec skew stress.
+    for the north rule's hot-codec skew stress. ``codec_choices``
+    swaps the codec set itself (e.g. to make ADPCM the hot codec for
+    the expensive-decode salting quadrant); when given, weights align
+    with it and default to uniform.
     """
     schema = clips_spark_schema()
     num_partitions = num_partitions or max(
         8, spark.sparkContext.defaultParallelism * 2)
-    cw = codec_weights if codec_weights is not None else CODEC_WEIGHTS
+    codecs = (codec_choices if codec_choices is not None
+              else CODEC_CHOICES)
+    cw = codec_weights if codec_weights is not None else (
+        CODEC_WEIGHTS if codec_choices is None else [1.0] * len(codecs))
     sw = sr_weights if sr_weights is not None else SR_WEIGHTS
 
     def gen(batches):
@@ -409,7 +416,7 @@ def generate_clips_distributed(
                 rng = random.Random((seed << 32) ^ i)
                 clip_id = f"clip_{i:012d}"
                 sr = rng.choices(SR_CHOICES, sw)[0]
-                codec = rng.choices(CODEC_CHOICES, cw)[0]
+                codec = rng.choices(codecs, cw)[0]
                 dur = rng.randrange(200, max_dur_ms)
                 payload = encode_pcm_np(
                     reference_waveform(clip_id, sr, dur), codec)
