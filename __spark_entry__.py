@@ -696,6 +696,56 @@ def _q_subtitle_qa(spark, sf_dir):
                         .otherwise(F.lit(0)).cast("int")))
 
 
+def _q_subtitle_srt(spark, sf_dir):
+    """SubRip rendering (operators/asr.srt_render): contiguous 1-based
+    sequence numbers per document (row_number over cue_idx — the ONE
+    keyed shuffle), the HH:MM:SS,mmm timing line (bigint div/mod +
+    C-style padding, identical in both engines), and the assembled
+    block. Oracle: row_number + printf over the subtitle_cues CTE."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        srt_render,
+        subtitle_cues,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("n_chars") * 40).alias("dur_ms"), "text")
+    return srt_render(subtitle_cues(docs, cue_ms=3000))
+
+
+def _q_mixture_plan(spark, sf_dir):
+    """Temperature-based training-mix planning
+    (operators/sampling.mixture_plan): per-source token totals
+    flattened through share^0.5 and a 10M-token budget split by the
+    smoothed weights. One map-side-collapsing hash agg + broadcast
+    totals; the double algebra (pow/sum) is IEEE-identical in DuckDB
+    to well past the 4-decimal compare rounding."""
+    from dataflow_flex_templates_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    _load(spark, sf_dir)
+    return mixture_plan(spark.table("documents"), "source", "n_chars",
+                        alpha=0.5, budget_tokens=10_000_000)
+
+
+def _q_specaugment_plan(spark, sf_dir):
+    """Deterministic SpecAugment mask planning
+    (operators/asr.specaugment_plan): one time + one frequency mask
+    per clip from a seeded LCG on doc_id — pure bigint algebra, zero
+    shuffle, bit-equal across engines. The plan (not the draw) is what
+    ships to the masking UDF, so retries and replays mask
+    identically."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        specaugment_plan,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("n_chars") * 40).alias("dur_ms"))
+    return specaugment_plan(docs)
+
+
 def _q_wer_transcripts(spark, sf_dir):
     """Word-error-rate between each document's transcript and a
     deterministically perturbed hypothesis (see _wer_pairs_sql).
@@ -3334,6 +3384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_timestamps": _q_word_timestamps,
         "subtitle_cues": _q_subtitle_cues,
         "subtitle_qa": _q_subtitle_qa,
+        "subtitle_srt": _q_subtitle_srt,
+        "mixture_plan": _q_mixture_plan,
+        "specaugment_plan": _q_specaugment_plan,
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
@@ -4285,6 +4338,117 @@ def oracle_sql() -> dict[str, str]:
                              // (end_ms - start_ms)
                         ELSE NULL END AS cps_x10
             FROM cues
+        """,
+        # SRT rendering over the same cue algebra: row_number gives the
+        # contiguous per-doc sequence, printf the %02d/%03d-padded
+        # timing line (C-style both engines), chr(10) the block joins.
+        "subtitle_srt": r"""
+            WITH arrs AS (
+              SELECT doc_id, n_chars * 40 AS dur_ms,
+                     list_filter(
+                       regexp_split_to_array(trim(text, ' '), '\s+'),
+                       x -> x != '') AS words
+              FROM documents
+            ), w AS (
+              SELECT doc_id, dur_ms,
+                     unnest(words) AS word,
+                     generate_subscripts(words, 1) AS idx1
+              FROM arrs
+            ), c AS (
+              SELECT doc_id, dur_ms, idx1, word,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id ORDER BY idx1) AS BIGINT)
+                       AS cum_after,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id) AS BIGINT) AS total
+              FROM w
+            ), timed AS (
+              SELECT doc_id, idx1, word,
+                     dur_ms * (cum_after - length(word)) // total
+                       AS start_ms,
+                     dur_ms * cum_after // total AS end_ms
+              FROM c
+            ), cues AS (
+              SELECT doc_id, start_ms // 3000 AS cue_idx,
+                     MIN(start_ms) AS start_ms, MAX(end_ms) AS end_ms,
+                     string_agg(word, ' ' ORDER BY idx1) AS text
+              FROM timed GROUP BY doc_id, start_ms // 3000
+            ), seqd AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cue_idx)
+                       AS INT) AS srt_seq,
+                     cue_idx, start_ms, end_ms, text,
+                     printf('%02d:%02d:%02d,%03d --> %02d:%02d:%02d,%03d',
+                            start_ms // 3600000, start_ms // 60000 % 60,
+                            start_ms // 1000 % 60, start_ms % 1000,
+                            end_ms // 3600000, end_ms // 60000 % 60,
+                            end_ms // 1000 % 60, end_ms % 1000) AS timing
+              FROM cues
+            )
+            SELECT doc_id, srt_seq, cue_idx, start_ms, end_ms, timing,
+                   text,
+                   CAST(srt_seq AS VARCHAR) || chr(10) || timing
+                     || chr(10) || text AS srt_block
+            FROM seqd
+        """,
+        # Identical pow/sum double algebra; integer ppm via //.
+        "mixture_plan": r"""
+            WITH per AS (
+              SELECT source, COUNT(*) AS n_rows,
+                     CAST(SUM(n_chars) AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(SUM(tokens) AS BIGINT) AS t,
+                     SUM(pow(CAST(tokens AS DOUBLE), 0.5)) AS ws
+              FROM per
+            )
+            SELECT source, n_rows, tokens,
+                   tokens * 1000000 // t AS natural_share_ppm,
+                   pow(CAST(tokens AS DOUBLE), 0.5) / ws AS weight,
+                   pow(CAST(tokens AS DOUBLE), 0.5) / ws * 10000000.0
+                     AS planned_tokens,
+                   pow(CAST(tokens AS DOUBLE), 0.5) / ws * 10000000.0
+                     * 1000.0 / CAST(tokens AS DOUBLE) AS epochs_x1000
+            FROM per, tot
+        """,
+        # The same three-step LCG bigint recurrence; % is remainder on
+        # non-negative operands in both engines, so every mask field
+        # is bit-exact.
+        "specaugment_plan": r"""
+            WITH d AS (
+              SELECT doc_id, (n_chars * 40) // 10 AS n_frames
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_frames,
+                     (doc_id * 1103515245 + 12345) % 2147483648 AS r1
+              FROM d
+            ), r2t AS (
+              SELECT *, (r1 * 1103515245 + 12345) % 2147483648 AS r2
+              FROM r
+            ), r3t AS (
+              SELECT *, (r2 * 1103515245 + 12345) % 2147483648 AS r3
+              FROM r2t
+            ), tw AS (
+              SELECT doc_id, n_frames, r1, r2, r3,
+                     CASE WHEN n_frames >= 1 THEN
+                       r1 % (least(100, n_frames // 2) + 1)
+                     END AS t_mask_w,
+                     CASE WHEN n_frames >= 1 THEN
+                       r2 % (least(27, 79) + 1)
+                     END AS f_mask_w
+              FROM r3t
+            )
+            SELECT doc_id, n_frames,
+                   CASE WHEN n_frames >= 1 THEN
+                     r2 % (n_frames - t_mask_w + 1)
+                   END AS t_mask_start,
+                   t_mask_w,
+                   CASE WHEN n_frames >= 1 THEN
+                     r3 % (80 - f_mask_w)
+                   END AS f_mask_start,
+                   f_mask_w
+            FROM tw
         """,
         # Per-doc QA rollup over the same cue algebra; SUMs CAST to
         # BIGINT (DuckDB HUGEINT), NULL cps never counts as fast.

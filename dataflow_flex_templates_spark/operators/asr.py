@@ -297,3 +297,115 @@ def subtitle_cues(df: DataFrame, cue_ms: int = 3000,
         F.expr("if(__c__.e > __c__.s, "
                "length(__c__.txt) * 10000L div (__c__.e - __c__.s), "
                "cast(null as bigint))").alias("cps_x10"))
+
+
+def srt_render(cues: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render :func:`subtitle_cues` output into SubRip (SRT) fields —
+    the sequence number, the ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` timing
+    line, and the assembled block — the exact text a subtitle sink
+    writes per cue.
+
+    SRT sequence numbers must be 1-based and CONTIGUOUS per document
+    even though cue grid cells can be empty (a cell with no word
+    STARTS in it emits no cue), so the operator ranks cues by
+    ``cue_idx`` inside each document: ONE keyed shuffle on the id —
+    the only exchange (the timing/format algebra is per-row). All
+    timestamp arithmetic is bigint div/mod on milliseconds; the
+    format itself is C-style %02d/%03d padding, identical across
+    engines, so the rendered strings hash-compare exactly.
+
+    Reference parity: none (§2.11 extension). Oracle: row_number +
+    printf over the subtitle_cues algebra.
+    """
+    from pyspark.sql import Window
+
+    seq = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("cue_idx"))
+
+    def _ts(col: str) -> list:
+        return [F.expr(f"{col} div 3600000"),
+                F.expr(f"{col} div 60000 % 60"),
+                F.expr(f"{col} div 1000 % 60"),
+                F.expr(f"{col} % 1000")]
+
+    timing = F.format_string(
+        "%02d:%02d:%02d,%03d --> %02d:%02d:%02d,%03d",
+        *_ts("start_ms"), *_ts("end_ms"))
+    out = (cues.withColumn("srt_seq", seq)
+           .withColumn("timing", timing)
+           # concat (not concat_ws): NULL text/timing — the poison rows
+           # the max_words guard emits — must propagate to a NULL
+           # block, matching SQL || semantics, not be silently skipped
+           .withColumn("srt_block",
+                       F.concat(F.col("srt_seq").cast("string"),
+                                F.lit("\n"), F.col("timing"),
+                                F.lit("\n"), F.col("text"))))
+    return out.select(id_col, "srt_seq", "cue_idx", "start_ms",
+                      "end_ms", "timing", "text", "srt_block")
+
+
+#: LCG multiplier/increment (glibc's rand constants) — the point is a
+#: deterministic, engine-portable integer recurrence, not entropy.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+
+
+def specaugment_plan(df: DataFrame, id_col: str = "doc_id",
+                     dur_col: str = "dur_ms", hop_ms: int = 10,
+                     n_mels: int = 80, max_t: int = 100,
+                     max_f: int = 27) -> DataFrame:
+    """SpecAugment mask PLANNING (Park et al. 2019): for each clip,
+    derive one time mask and one frequency mask over its mel
+    spectrogram — deterministically, so the plan (not the draw) is
+    what ships to the masking UDF and every re-run/retry/engine
+    re-derives identical masks. Randomness is a seeded LCG on the row
+    id: three chained ``(a·x + c) mod 2^31`` steps pick t-width,
+    t-start, f-width/f-start — pure bigint algebra, bit-equal in any
+    SQL engine, no RNG state on executors.
+
+    Widths follow the paper's policy shapes: ``t_w = r mod (min(max_t,
+    n_frames div 2) + 1)`` (time mask capped at half the clip so short
+    clips are never obliterated), ``f_w = r mod (max_f + 1)`` capped
+    at ``n_mels - 1``; starts are uniform over the valid range.
+    ``n_frames = dur_ms div hop_ms``; rows too short for even one
+    frame emit NULL mask columns (poison-style, routable).
+
+    Scale: zero shuffle — five integer expressions per row on top of
+    the scan; the plan inherits input partitioning and composes with
+    the decode/mel UDF in the same stage.
+
+    Reference parity: none (§2.11 extension — augmentation planning
+    for ASR training pipelines). Oracle: the identical LCG algebra.
+    """
+    if hop_ms <= 0 or n_mels <= 1 or max_t <= 0 or max_f <= 0:
+        raise ValueError("hop_ms/max_t/max_f must be positive, "
+                         "n_mels > 1")
+    n_frames = F.expr(f"cast({dur_col} as bigint) div {hop_ms}")
+    d = (df.select(F.col(id_col),
+                   n_frames.alias("n_frames"))
+         .withColumn("__r1__", F.expr(
+             f"(cast({id_col} as bigint) * {_LCG_A} + {_LCG_C}) "
+             f"% {_LCG_M}"))
+         .withColumn("__r2__", F.expr(
+             f"(__r1__ * {_LCG_A} + {_LCG_C}) % {_LCG_M}"))
+         .withColumn("__r3__", F.expr(
+             f"(__r2__ * {_LCG_A} + {_LCG_C}) % {_LCG_M}")))
+    t_cap = f"least(cast({max_t} as bigint), n_frames div 2)"
+    f_cap = f"least(cast({max_f} as bigint), {n_mels - 1})"
+    d = (d.withColumn("t_mask_w", F.expr(
+            f"if(n_frames >= 1, __r1__ % ({t_cap} + 1L), "
+            "cast(null as bigint))"))
+         .withColumn("t_mask_start", F.expr(
+            "if(n_frames >= 1, "
+            "__r2__ % (n_frames - t_mask_w + 1L), "
+            "cast(null as bigint))"))
+         .withColumn("f_mask_w", F.expr(
+            f"if(n_frames >= 1, __r2__ % ({f_cap} + 1L), "
+            "cast(null as bigint))"))
+         .withColumn("f_mask_start", F.expr(
+            f"if(n_frames >= 1, "
+            f"__r3__ % ({n_mels}L - f_mask_w), "
+            "cast(null as bigint))")))
+    return d.select(id_col, "n_frames", "t_mask_start", "t_mask_w",
+                    "f_mask_start", "f_mask_w")

@@ -121,3 +121,58 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
             .orderBy(F.asc("priority_q"), F.asc(id_col))
             .limit(k)
             .drop("__h__", "__w__"))
+
+
+def mixture_plan(df: DataFrame, group_col: str, size_col: str,
+                 alpha: float = 0.5,
+                 budget_tokens: int | None = None) -> DataFrame:
+    """Temperature-based corpus mixture planning — the standard
+    multi-source training-mix computation (Devlin et al.'s multilingual
+    exponent-smoothed sampling): each source's natural share
+    ``s_i = t_i / Σt`` is flattened through ``w_i ∝ s_i^alpha``
+    (``alpha=1`` keeps natural proportions, ``alpha→0`` approaches
+    uniform), and a token ``budget`` is split by the smoothed weights.
+
+    One output row per source: ``(group, n_rows, tokens,
+    natural_share_ppm, weight, planned_tokens, epochs_x1000)`` where
+    ``natural_share_ppm`` is integer-exact (ppm, `div`), ``weight`` is
+    the normalized smoothed share (double), ``planned_tokens = budget ×
+    weight`` (double — the caller floors it; kept un-floored so the
+    cross-engine hash can't straddle an integer boundary on a 1-ulp
+    difference), and ``epochs_x1000`` is how many times the source
+    would be repeated to meet its plan (planned/available ×1000,
+    double) — the oversampling-pressure signal mix designers watch.
+
+    Scale: ONE partial+final hash agg on the source key (≤ thousands of
+    groups at any corpus size; collapses map-side), then scalar algebra
+    against two broadcast totals — no second shuffle, no window. The
+    double algebra is a sum over |groups| pow() terms, stable to well
+    past the 4-decimal oracle rounding.
+
+    Reference parity: none (§2.11 extension — training-pipeline mix
+    planning). Oracle: identical SQL algebra in DuckDB (pow/sum are
+    IEEE-double in both engines).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    per = (df.groupBy(group_col)
+           .agg(F.count("*").alias("n_rows"),
+                F.sum(F.col(size_col).cast("long")).alias("tokens")))
+    tot = per.agg(F.sum("tokens").alias("__tot__"),
+                  F.sum(F.pow(F.col("tokens").cast("double"),
+                              F.lit(float(alpha)))).alias("__wsum__"))
+    out = (per.crossJoin(F.broadcast(tot))
+           .withColumn("natural_share_ppm",
+                       F.expr("tokens * 1000000L div __tot__"))
+           .withColumn("weight",
+                       F.pow(F.col("tokens").cast("double"),
+                             F.lit(float(alpha))) / F.col("__wsum__")))
+    if budget_tokens is not None:
+        out = (out.withColumn(
+                   "planned_tokens",
+                   F.col("weight") * F.lit(float(budget_tokens)))
+               .withColumn(
+                   "epochs_x1000",
+                   F.col("planned_tokens") * F.lit(1000.0)
+                   / F.col("tokens").cast("double")))
+    return out.drop("__tot__", "__wsum__")

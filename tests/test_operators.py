@@ -1244,6 +1244,104 @@ def test_word_fold_max_words_poison(spark):
         subtitle_cues(df, max_words=-1)
 
 
+def test_srt_render_sequence_and_timing(spark):
+    """SRT rendering: per-doc sequence numbers are 1-based contiguous
+    even when cue grid cells are skipped; the timing line is
+    %02d/%03d-padded div/mod millisecond algebra; the block is
+    seq\\ntiming\\ntext with NULL propagation (poison rows render a
+    NULL block, not a fragment)."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        srt_render,
+        subtitle_cues,
+    )
+
+    # one word per second for 10 s → words at 0,1,...; 3 s cues at
+    # buckets 0,1,2,3 (contiguous here); plus a >1 h doc to exercise
+    # the HH field, and a poison doc via max_words
+    df = spark.createDataFrame(
+        [(1, 12000, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+         (2, 7_260_000, "x " * 3),       # 2 h 1 min spread over 3 words
+         (3, 9000, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, dur_ms long, text string")
+    out = srt_render(subtitle_cues(df, cue_ms=3000, max_words=30))
+    rows = {(r["doc_id"], r["srt_seq"]): r for r in out.collect()}
+
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == list(range(1, len(d1) + 1))     # contiguous, 1-based
+    first = rows[(1, 1)]
+    assert first["timing"] == "00:00:00,000 --> 00:00:03,000"
+    assert first["srt_block"] == f"1\n{first['timing']}\n{first['text']}"
+
+    d2 = [rows[k] for k in rows if k[0] == 2]
+    assert any(r["timing"].startswith("01:") or r["timing"].startswith(
+        "02:") for r in d2)                       # hour field engaged
+
+    d3 = [rows[k] for k in rows if k[0] == 3]
+    assert len(d3) == 1 and d3[0]["srt_block"] is None  # poison → NULL
+
+
+def test_mixture_plan_temperature_algebra(spark):
+    """Mixture planning: natural shares are integer-exact ppm; alpha<1
+    flattens the mix (small source gets MORE than natural share, big
+    source less); weights sum to 1; budget splits by weight; alpha<=0
+    raises."""
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    rows = [("big", 100) for _ in range(90)] + [("small", 100)
+                                                for _ in range(10)]
+    df = spark.createDataFrame(rows, "source string, n long")
+    out = {r["source"]: r for r in mixture_plan(
+        df, "source", "n", alpha=0.5, budget_tokens=1000).collect()}
+
+    assert out["big"]["natural_share_ppm"] == 900_000
+    assert out["small"]["natural_share_ppm"] == 100_000
+    w_big, w_small = out["big"]["weight"], out["small"]["weight"]
+    assert abs(w_big + w_small - 1.0) < 1e-12
+    assert 0.1 < w_small < 0.5 and w_small > 0.1   # flattened up
+    assert w_big < 0.9                              # flattened down
+    assert abs(out["big"]["planned_tokens"] - 1000 * w_big) < 1e-9
+    # small source must repeat ~0.25x vs big's ~0.08x plan density
+    assert (out["small"]["epochs_x1000"]
+            > out["big"]["epochs_x1000"])
+
+    with _pytest.raises(ValueError, match="alpha"):
+        mixture_plan(df, "source", "n", alpha=0.0)
+
+
+def test_specaugment_plan_determinism_and_bounds(spark):
+    """SpecAugment planning: masks are in-range (time mask inside the
+    clip, freq mask inside n_mels), deterministic across re-runs, time
+    width <= min(max_t, n_frames//2), and zero-frame rows emit NULL
+    masks."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        specaugment_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 40 * (i * 37 % 300)) for i in range(200)] + [(999, 0)],
+        "doc_id long, dur_ms long")
+    out = specaugment_plan(df).collect()
+    a = {r["doc_id"]: r for r in out}
+    for r in out:
+        if r["doc_id"] == 999:
+            assert all(r[c] is None for c in
+                       ("t_mask_start", "t_mask_w",
+                        "f_mask_start", "f_mask_w"))
+            continue
+        if r["n_frames"] < 1:
+            continue
+        assert 0 <= r["t_mask_w"] <= min(100, r["n_frames"] // 2)
+        assert 0 <= r["t_mask_start"] <= r["n_frames"] - r["t_mask_w"]
+        assert 0 <= r["f_mask_w"] <= 27
+        assert 0 <= r["f_mask_start"] <= 80 - r["f_mask_w"] - 1
+    b = {r["doc_id"]: r for r in specaugment_plan(df).collect()}
+    assert a == b                                   # plan, not draw
+
+
 def test_pack_clip_batches_padding_economics(spark):
     """Sorted batching: batches are cut from per-shard duration order,
     padded_ms = max*count, and total padding waste is never worse
