@@ -143,11 +143,16 @@ def mixture_plan(df: DataFrame, group_col: str, size_col: str,
     would be repeated to meet its plan (planned/available ×1000,
     double) — the oversampling-pressure signal mix designers watch.
 
-    Scale: ONE partial+final hash agg on the source key (≤ thousands of
-    groups at any corpus size; collapses map-side), then scalar algebra
-    against two broadcast totals — no second shuffle, no window. The
-    double algebra is a sum over |groups| pow() terms, stable to well
-    past the 4-decimal oracle rounding.
+    Scale: ONE pass — a partial+final hash agg on the source key
+    (≤ thousands of groups at any corpus size; collapses map-side),
+    then the two corpus totals as unbounded-window sums OVER the
+    per-source rows (a deliberate single-partition window: the input
+    is the ALREADY-AGGREGATED |groups|-row frame, never the corpus —
+    a crossJoin against separately-aggregated totals would re-scan
+    the table for the second aggregate instead, measured as 2 scans /
+    4 exchanges vs this plan's 1 scan / 2). The double algebra is a
+    sum over |groups| pow() terms, stable to well past the 4-decimal
+    oracle rounding.
 
     Reference parity: none (§2.11 extension — training-pipeline mix
     planning). Oracle: identical SQL algebra in DuckDB (pow/sum are
@@ -155,18 +160,18 @@ def mixture_plan(df: DataFrame, group_col: str, size_col: str,
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    from pyspark.sql import Window
+
     per = (df.groupBy(group_col)
            .agg(F.count("*").alias("n_rows"),
                 F.sum(F.col(size_col).cast("long")).alias("tokens")))
-    tot = per.agg(F.sum("tokens").alias("__tot__"),
-                  F.sum(F.pow(F.col("tokens").cast("double"),
-                              F.lit(float(alpha)))).alias("__wsum__"))
-    out = (per.crossJoin(F.broadcast(tot))
+    smoothed = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    w = Window.partitionBy()  # |groups| rows by construction
+    out = (per.withColumn("__tot__", F.sum("tokens").over(w))
+           .withColumn("__wsum__", F.sum(smoothed).over(w))
            .withColumn("natural_share_ppm",
                        F.expr("tokens * 1000000L div __tot__"))
-           .withColumn("weight",
-                       F.pow(F.col("tokens").cast("double"),
-                             F.lit(float(alpha))) / F.col("__wsum__")))
+           .withColumn("weight", smoothed / F.col("__wsum__")))
     if budget_tokens is not None:
         out = (out.withColumn(
                    "planned_tokens",
