@@ -746,6 +746,115 @@ def _q_specaugment_plan(spark, sf_dir):
     return specaugment_plan(docs)
 
 
+def _q_stream_srt_emit(spark, sf_dir):
+    """Streaming twin of subtitle_srt: documents replayed as a chunked
+    file stream, each micro-batch rendered to SRT fields inside
+    foreachBatch and appended exactly-once-per-run to parquet. The
+    pipeline is row-local per DOCUMENT (every cue of a doc derives
+    from its one input row, and the srt_seq window partitions by
+    doc_id), so batch boundaries cannot split a document's sequence —
+    which is exactly what the shared oracle checks: the continuous
+    path must land byte-identical to the batch row's SQL."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.operators.asr import (
+        srt_render,
+        subtitle_cues,
+    )
+
+    _load(spark, sf_dir)
+    pdf = (spark.table("documents")
+           .select("doc_id", (F.col("n_chars") * 40).alias("dur_ms"),
+                   "text")
+           .orderBy("doc_id").toPandas())
+    schema = "doc_id long, dur_ms long, text string"
+    root = tempfile.mkdtemp(prefix="entry_srt_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 8 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    out_dir = os.path.join(root, "out")
+
+    def render(batch_df, batch_id):
+        (srt_render(subtitle_cues(batch_df, cue_ms=3000))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(render)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_srt_emit")
+    return spark.read.parquet(out_dir)
+
+
+def _q_stream_mixture_monitor(spark, sf_dir):
+    """Windowed training-mix drift monitor: the document stream's
+    per-source token share per minute bucket — the continuous
+    counterpart of mixture_plan's corpus-wide shares, i.e. the signal
+    that tells a pipeline its mix is drifting BEFORE the corpus-level
+    plan goes stale. Stateful tumbling window (watermark-gated, append
+    mode, flush row past the watermark finalizes the tail bucket, then
+    is filtered out); the within-bucket share is a read-side window
+    over the already-aggregated (bucket, source) rows. Oracle: GROUP
+    BY doc_id//60 (event_time = EPOCH + doc_id s is injective)."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from dataflow_flex_templates_spark.streaming.windows import (
+        tumbling_agg,
+    )
+    from dataflow_flex_templates_spark.testing.clips import EPOCH
+
+    _load(spark, sf_dir)
+    pdf = (spark.table("documents").select("source", "doc_id", "n_chars")
+           .orderBy("doc_id").toPandas())
+    pdf["event_time"] = pdf["doc_id"].map(
+        lambda d: EPOCH + timedelta(seconds=int(d)))
+    pdf = pdf[["source", "event_time", "n_chars"]]
+    schema = "source string, event_time timestamp, n_chars long"
+    root = tempfile.mkdtemp(prefix="entry_mixmon_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 8 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+    far = EPOCH + timedelta(days=30)
+    flush = pd.DataFrame([("__flush__", far, 0)],
+                         columns=["source", "event_time", "n_chars"])
+    spark.createDataFrame(flush, schema=schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    agg = tumbling_agg(stream, "event_time", "60 seconds", ["source"],
+                       {"n_docs": "count(*)",
+                        "tokens": "sum(n_chars)"},
+                       watermark="10 seconds")
+    out_dir = os.path.join(root, "out")
+    q = (agg.writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_mixture_monitor")
+    epoch_us = int(EPOCH.timestamp()) * 1_000_000
+    got = (spark.read.parquet(out_dir)
+           .filter(F.col("source") != "__flush__")
+           .select(((F.unix_micros("window_start") - F.lit(epoch_us))
+                    / F.lit(60_000_000)).cast("long").alias("win_idx"),
+                   "source", "n_docs", "tokens"))
+    return got.withColumn(
+        "share_ppm",
+        F.expr("tokens * 1000000L div "
+               "sum(tokens) over (partition by win_idx)"))
+
+
 def _q_wer_transcripts(spark, sf_dir):
     """Word-error-rate between each document's transcript and a
     deterministically perturbed hypothesis (see _wer_pairs_sql).
@@ -853,6 +962,61 @@ _UTTERANCES_SPARK_SQL = """
     CROSS JOIN n
     JOIN documents d ON d.doc_id = e.event_id % n.n_docs
 """
+
+
+#: SRT-rendering oracle (row_number + printf over the cue algebra),
+#: shared by the batch row and its streaming twin so the continuous
+#: path is held to byte-identical output.
+_SUBTITLE_SRT_ORACLE_SQL = r"""
+            WITH arrs AS (
+              SELECT doc_id, n_chars * 40 AS dur_ms,
+                     list_filter(
+                       regexp_split_to_array(trim(text, ' '), '\s+'),
+                       x -> x != '') AS words
+              FROM documents
+            ), w AS (
+              SELECT doc_id, dur_ms,
+                     unnest(words) AS word,
+                     generate_subscripts(words, 1) AS idx1
+              FROM arrs
+            ), c AS (
+              SELECT doc_id, dur_ms, idx1, word,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id ORDER BY idx1) AS BIGINT)
+                       AS cum_after,
+                     CAST(sum(length(word)) OVER (
+                       PARTITION BY doc_id) AS BIGINT) AS total
+              FROM w
+            ), timed AS (
+              SELECT doc_id, idx1, word,
+                     dur_ms * (cum_after - length(word)) // total
+                       AS start_ms,
+                     dur_ms * cum_after // total AS end_ms
+              FROM c
+            ), cues AS (
+              SELECT doc_id, start_ms // 3000 AS cue_idx,
+                     MIN(start_ms) AS start_ms, MAX(end_ms) AS end_ms,
+                     string_agg(word, ' ' ORDER BY idx1) AS text
+              FROM timed GROUP BY doc_id, start_ms // 3000
+            ), seqd AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cue_idx)
+                       AS INT) AS srt_seq,
+                     cue_idx, start_ms, end_ms, text,
+                     printf('%02d:%02d:%02d,%03d --> %02d:%02d:%02d,%03d',
+                            start_ms // 3600000, start_ms // 60000 % 60,
+                            start_ms // 1000 % 60, start_ms % 1000,
+                            end_ms // 3600000, end_ms // 60000 % 60,
+                            end_ms // 1000 % 60, end_ms % 1000) AS timing
+              FROM cues
+            )
+            SELECT doc_id, srt_seq, cue_idx, start_ms, end_ms, timing,
+                   text,
+                   CAST(srt_seq AS VARCHAR) || chr(10) || timing
+                     || chr(10) || text AS srt_block
+            FROM seqd
+        """
 
 
 _ASR_SESSION_ORACLE_SQL = r"""
@@ -3387,6 +3551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_srt": _q_subtitle_srt,
         "mixture_plan": _q_mixture_plan,
         "specaugment_plan": _q_specaugment_plan,
+        "stream_srt_emit": _q_stream_srt_emit,
+        "stream_mixture_monitor": _q_stream_mixture_monitor,
         "pack_audio_batches": _q_pack_audio_batches,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
@@ -4342,55 +4508,27 @@ def oracle_sql() -> dict[str, str]:
         # SRT rendering over the same cue algebra: row_number gives the
         # contiguous per-doc sequence, printf the %02d/%03d-padded
         # timing line (C-style both engines), chr(10) the block joins.
-        "subtitle_srt": r"""
-            WITH arrs AS (
-              SELECT doc_id, n_chars * 40 AS dur_ms,
-                     list_filter(
-                       regexp_split_to_array(trim(text, ' '), '\s+'),
-                       x -> x != '') AS words
-              FROM documents
-            ), w AS (
-              SELECT doc_id, dur_ms,
-                     unnest(words) AS word,
-                     generate_subscripts(words, 1) AS idx1
-              FROM arrs
-            ), c AS (
-              SELECT doc_id, dur_ms, idx1, word,
-                     CAST(sum(length(word)) OVER (
-                       PARTITION BY doc_id ORDER BY idx1) AS BIGINT)
-                       AS cum_after,
-                     CAST(sum(length(word)) OVER (
-                       PARTITION BY doc_id) AS BIGINT) AS total
-              FROM w
-            ), timed AS (
-              SELECT doc_id, idx1, word,
-                     dur_ms * (cum_after - length(word)) // total
-                       AS start_ms,
-                     dur_ms * cum_after // total AS end_ms
-              FROM c
-            ), cues AS (
-              SELECT doc_id, start_ms // 3000 AS cue_idx,
-                     MIN(start_ms) AS start_ms, MAX(end_ms) AS end_ms,
-                     string_agg(word, ' ' ORDER BY idx1) AS text
-              FROM timed GROUP BY doc_id, start_ms // 3000
-            ), seqd AS (
-              SELECT doc_id,
-                     CAST(row_number() OVER (
-                       PARTITION BY doc_id ORDER BY cue_idx)
-                       AS INT) AS srt_seq,
-                     cue_idx, start_ms, end_ms, text,
-                     printf('%02d:%02d:%02d,%03d --> %02d:%02d:%02d,%03d',
-                            start_ms // 3600000, start_ms // 60000 % 60,
-                            start_ms // 1000 % 60, start_ms % 1000,
-                            end_ms // 3600000, end_ms // 60000 % 60,
-                            end_ms // 1000 % 60, end_ms % 1000) AS timing
-              FROM cues
+        # ONE oracle serves both the batch row and its streaming twin
+        # (stream_srt_emit): the continuous path must land
+        # byte-identical.
+        "subtitle_srt": _SUBTITLE_SRT_ORACLE_SQL,
+        "stream_srt_emit": _SUBTITLE_SRT_ORACLE_SQL,
+        # Windowed mix-drift monitor: minute buckets are doc_id//60 in
+        # both engines (event_time = EPOCH + doc_id s is injective and
+        # order-preserving); shares are integer-ppm within the bucket.
+        "stream_mixture_monitor": r"""
+            WITH per AS (
+              SELECT doc_id // 60 AS win_idx, source,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS tokens
+              FROM documents GROUP BY 1, 2
+            ), tot AS (
+              SELECT win_idx, CAST(SUM(tokens) AS BIGINT) AS win_tokens
+              FROM per GROUP BY win_idx
             )
-            SELECT doc_id, srt_seq, cue_idx, start_ms, end_ms, timing,
-                   text,
-                   CAST(srt_seq AS VARCHAR) || chr(10) || timing
-                     || chr(10) || text AS srt_block
-            FROM seqd
+            SELECT p.win_idx, p.source, p.n_docs, p.tokens,
+                   p.tokens * 1000000 // t.win_tokens AS share_ppm
+            FROM per p JOIN tot t ON p.win_idx = t.win_idx
         """,
         # Identical pow/sum double algebra; integer ppm via //.
         "mixture_plan": r"""
