@@ -1308,6 +1308,55 @@ def _q_funnel_view_click_purchase(spark, sf_dir):
                         "event_type", ["view", "click", "purchase"])
 
 
+def _q_scd2_user_state(spark, sf_dir):
+    """Type-2 SCD history of each user's event_type state over the
+    events change stream — the generalization of the reference's MERGE
+    last-writer-wins (reference ModelUtils merge semantics keep ONLY
+    the final state; SCD2 keeps every state with [valid_from,
+    valid_to) micro-second intervals, and LWW is its is_current=1
+    slice). One exchange + one sort for the whole history (PLANS.md).
+    Oracle: the identical gaps-and-islands window algebra."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        scd2_history,
+    )
+
+    _load(spark, sf_dir)
+    ev = (spark.table("events")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts_us"),
+                  "event_id", "event_type"))
+    out = scd2_history(ev, ["user_id"], "ts_us", ["event_type"],
+                       ["event_id"])
+    # warehouse-idiomatic high-date close for the open interval
+    # (9999-12-31T23:59:59Z in micros) — also keeps the column
+    # non-null for the cross-engine hash (NULL bigint → NaN float in
+    # both engines' pandas bridges, and NaN != NaN kills the multiset
+    # compare; is_current already flags the open version)
+    return out.select(
+        "user_id", F.col("version").cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.coalesce(F.col("valid_to"), F.lit(253402300799000000))
+        .alias("valid_to_us"), "is_current")
+
+
+def _q_rollup_corpus(spark, sf_dir):
+    """source × lang ROLLUP of doc counts and n_chars totals —
+    re-aggregated from the finest level (one data shuffle + tiny
+    subtotal aggs with a ReusedExchange) instead of native rollup's
+    Expand, which would triple the shuffled rows at 10^12 docs.
+    GROUPING()-compatible grp_* flags disambiguate rolled-up NULLs.
+    Oracle: native GROUP BY ROLLUP with GROUPING()."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        rollup_agg,
+    )
+
+    _load(spark, sf_dir)
+    return rollup_agg(spark.table("documents"), ["source", "lang"],
+                      "n_chars")
+
+
 def _q_profile_events(spark, sf_dir):
     """Per-column data-quality profile of events (null/exact-distinct/
     min/max, one aggregation pass via Spark's Expand multi-distinct
@@ -3564,6 +3613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _q_json_props_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
+        "scd2_user_state": _q_scd2_user_state,
+        "rollup_corpus": _q_rollup_corpus,
         "retention_cohorts": _q_retention_cohorts,
         "profile_events": _q_profile_events,
         "bfs_levels": _q_bfs_levels,
@@ -4808,6 +4859,47 @@ def oracle_sql() -> dict[str, str]:
                              WHEN max(step_0_us) IS NOT NULL THEN 1
                              ELSE 0 END AS BIGINT) AS depth
             FROM s2 GROUP BY user_id
+        """,
+        # Gaps-and-islands SCD2: first-or-changed rows are version
+        # openers; lead() over the opener set closes each interval.
+        # IS DISTINCT FROM = Spark's null-safe struct inequality.
+        "scd2_user_state": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     event_type,
+                     lag(event_type) OVER w0 AS prev_state,
+                     ROW_NUMBER() OVER w0 AS rn
+              FROM events
+              WINDOW w0 AS (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id)),
+            changes AS (
+              SELECT * FROM e
+              WHERE rn = 1
+                 OR prev_state IS DISTINCT FROM event_type)
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                   event_type AS state,
+                   CAST(ts_us AS BIGINT) AS valid_from_us,
+                   CAST(COALESCE(LEAD(ts_us) OVER w,
+                                 253402300799000000) AS BIGINT)
+                     AS valid_to_us,
+                   CAST(CASE WHEN LEAD(ts_us) OVER w IS NULL
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_current
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_us, event_id)
+        """,
+        # Native ROLLUP + GROUPING() — the engine-side re-aggregation
+        # rewrite must be level-for-level identical to the lattice.
+        "rollup_corpus": """
+            SELECT source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+                     AS sum_n_chars,
+                   CAST(GROUPING(source) AS BIGINT) AS grp_source,
+                   CAST(GROUPING(lang) AS BIGINT) AS grp_lang
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
         """,
         # Derives from the BASE table (not the temp JSONL files): a
         # green row therefore proves the Spark JSONL write+read is

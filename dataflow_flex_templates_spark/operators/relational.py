@@ -160,3 +160,111 @@ def funnel_steps(df: DataFrame, key_col: str, ts_col: str,
     # NULL whenever an earlier one is (the chained >= guard), so the
     # reversed when-chain above lands on the last non-null step.
     return per_key.withColumn("depth", depth.cast("long"))
+
+
+def scd2_history(df: DataFrame, key_cols: list[str], ts_col: str,
+                 state_cols: list[str],
+                 tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    per key, collapse consecutive identical states and emit one row
+    per VERSION with its validity interval.
+
+    The reference engine's MERGE mapping keeps only the last writer
+    per natural key (`plans/compiler.py lww_latest`, reference
+    ModelUtils MERGE semantics); SCD2 is the generalization a
+    warehouse actually wants from the same change stream — every
+    state the key passed through, with ``[valid_from, valid_to)``
+    micro-second intervals, a per-key ``version`` ordinal, and
+    ``is_current`` on the open interval. LWW is exactly the
+    ``is_current = 1`` slice of this output.
+
+    Semantics (deterministic, engine-exact):
+    - rows are ordered per key by ``(ts_col, *tiebreak_cols)`` —
+      callers must make that a total order per key or versions at
+      equal timestamps are nondeterministic;
+    - a row opens a new version iff its state tuple differs
+      (null-safe) from the previous row's; runs of identical states
+      collapse into the earlier version;
+    - ``valid_to`` is the NEXT version's ``valid_from`` (half-open
+      intervals tile the key's timeline exactly); NULL on the last
+      version, where ``is_current`` = 1. Two changes at one
+      timestamp yield a zero-width older version — pre-collapse with
+      LWW per (key, ts) if that is unwanted.
+
+    Plan shape at 10^12 rows: ONE hash exchange on the key and ONE
+    sort — the change-marking lag, the post-filter lead/row_number,
+    all share the (key)×(ts, tiebreak) window, and FilterExec
+    preserves both partitioning and ordering, so Catalyst plans
+    Exchange → Sort → Window → Filter → Window with no second
+    shuffle/sort (verified in tests/test_relational.py via the
+    executed plan). State comparison ships ONLY the state tuple
+    through lag (a struct column), not the whole row.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in state_cols])
+    clash = {"__prev__", "version", "valid_from",
+             "valid_to", "is_current"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with SCD2 output "
+                         f"columns: {sorted(clash)}")
+    marked = df.withColumn("__prev__", F.lag(state).over(w))
+    changes = marked.where(
+        F.col("__prev__").isNull()
+        | ~F.col("__prev__").eqNullSafe(state))
+    return changes.select(
+        *key_cols,
+        F.row_number().over(w).alias("version"),
+        *state_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().cast("long").alias("is_current"),
+    )
+
+
+def rollup_agg(df: DataFrame, dims: list[str],
+               measure_col: str) -> DataFrame:
+    """ROLLUP(dims...) counts + measure totals — computed as ONE
+    finest-level aggregate plus re-aggregations OF THAT RESULT, not
+    Spark's native ``df.rollup()``.
+
+    Native rollup plans an Expand that replicates EVERY input row once
+    per grouping level (k dims → k+1 copies) before the partial
+    aggregate, so the map side hashes (k+1)·N rows. The algebraic
+    identity ``subtotal = Σ finest cells`` means only the finest
+    GROUP BY ever has to see the data: one shuffle over N rows, then
+    k tiny re-aggregates over the (few-thousand-row) cell table, a
+    plan that is level-for-level identical in output but moves
+    (k+1)× less data at 10^12 rows. SUM/COUNT re-aggregate exactly;
+    this rewrite is NOT valid for non-decomposable aggregates
+    (DISTINCT, percentiles) — callers needing those pay for Expand.
+
+    Output: dims (NULL where aggregated away), ``n_rows``,
+    ``sum_<measure_col>``, and SQL-GROUPING()-compatible ``grp_<dim>``
+    flags (1 = dim aggregated away at that level) so rolled-up NULLs
+    are distinguishable from genuine NULL dim values.
+    """
+    mcol = f"sum_{measure_col}"
+    dtypes = dict(df.dtypes)
+    fine = (df.groupBy(*dims)
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.coalesce(F.sum(measure_col), F.lit(0))
+                 .cast("long").alias(mcol)))
+    pieces = []
+    for k in range(len(dims), -1, -1):
+        if k == len(dims):
+            lvl = fine
+        else:
+            lvl = (fine.groupBy(*dims[:k])
+                   .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                        F.sum(mcol).cast("long").alias(mcol)))
+            for d in dims[k:]:
+                lvl = lvl.withColumn(
+                    d, F.lit(None).cast(dtypes[d]))
+        flags = [F.lit(1 if i >= k else 0).cast("long")
+                 .alias(f"grp_{dims[i]}") for i in range(len(dims))]
+        pieces.append(lvl.select(*dims, "n_rows", mcol, *flags))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1540,3 +1540,122 @@ def test_vocabulary_coverage_curve(spark):
     assert full[-1] == (4, 1000)
     perms = [p for _, p in full]
     assert perms == sorted(perms)
+
+
+def test_scd2_history_versions(spark):
+    """SCD2 semantics: consecutive identical states collapse; equal-ts
+    changes give a zero-width older version (tiebreak order); NULL
+    state runs collapse too; intervals tile per key; is_current marks
+    exactly the open interval."""
+    from dataflow_flex_templates_spark.operators.relational import (
+        scd2_history,
+    )
+
+    rows = [
+        ("u1", 10, 1, "a"), ("u1", 20, 2, "a"), ("u1", 30, 3, "b"),
+        ("u1", 40, 4, "b"), ("u1", 50, 5, "a"),
+        ("u2", 10, 6, "x"), ("u2", 10, 7, "y"),
+        ("u3", 5, 8, None), ("u3", 9, 9, None), ("u3", 12, 10, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user string, ts long, eid long, st string")
+    got = [tuple(r) for r in
+           scd2_history(df, ["user"], "ts", ["st"], ["eid"])
+           .orderBy("user", "version").collect()]
+    assert got == [
+        ("u1", 1, "a", 10, 30, 0),
+        ("u1", 2, "b", 30, 50, 0),
+        ("u1", 3, "a", 50, None, 1),
+        ("u2", 1, "x", 10, 10, 0),   # zero-width: same-ts change
+        ("u2", 2, "y", 10, None, 1),
+        ("u3", 1, None, 5, 12, 0),   # NULL run collapsed
+        ("u3", 2, "z", 12, None, 1),
+    ]
+    # intervals tile: every closed valid_to equals the next
+    # valid_from, checked by construction above; clash guard:
+    import pytest as _pytest
+    bad = df.withColumnRenamed("eid", "version")
+    with _pytest.raises(ValueError, match="clash"):
+        scd2_history(bad, ["user"], "ts", ["st"])
+
+
+def test_scd2_history_single_exchange_plan(spark):
+    """The whole history is ONE hash exchange + ONE sort (both window
+    passes share them; FilterExec preserves ordering) — the plan shape
+    the docstring promises for 10^12-row change streams."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.relational import (
+        scd2_history,
+    )
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts_us"), "event_id", "event_type"))
+    out = scd2_history(ev, ["user_id"], "ts_us", ["event_type"],
+                       ["event_id"])
+    out.collect()
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
+
+
+def test_scd2_lww_is_current_slice(spark):
+    """The reference's MERGE last-writer-wins result is exactly the
+    is_current=1 slice of the SCD2 history (the docstring's claim)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.relational import (
+        scd2_history,
+    )
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts_us"), "event_id", "event_type"))
+    cur = (scd2_history(ev, ["user_id"], "ts_us", ["event_type"],
+                        ["event_id"])
+           .where("is_current = 1")
+           .select("user_id", F.col("event_type").alias("state")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id"))
+    lww = (ev.withColumn("rn", F.row_number().over(w))
+           .where("rn = 1")
+           .select("user_id", F.col("event_type").alias("state")))
+    assert sorted(map(tuple, cur.collect())) == \
+        sorted(map(tuple, lww.collect()))
+
+
+def test_rollup_agg_matches_native_rollup(spark):
+    """The re-aggregation rewrite is level-for-level identical to
+    Spark's native Expand-based rollup (values AND grouping flags),
+    while its executed plan reuses the single data-sized exchange
+    (ReusedExchange) and contains no Expand."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.relational import (
+        rollup_agg,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ours = rollup_agg(d, ["source", "lang"], "n_chars")
+    native = (d.rollup("source", "lang")
+              .agg(F.count("*").cast("long").alias("n_rows"),
+                   F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long")
+                   .alias("sum_n_chars"),
+                   F.grouping("source").cast("long")
+                   .alias("grp_source"),
+                   F.grouping("lang").cast("long").alias("grp_lang")))
+    cols = ["source", "lang", "n_rows", "sum_n_chars",
+            "grp_source", "grp_lang"]
+    a = sorted(map(tuple, ours.select(*cols).collect()), key=repr)
+    b = sorted(map(tuple, native.select(*cols).collect()), key=repr)
+    assert a == b
+    ours.collect()
+    plan = (ours._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "ReusedExchange" in plan
+    assert "Expand" not in plan
