@@ -1308,6 +1308,39 @@ def _q_funnel_view_click_purchase(spark, sf_dir):
                         "event_type", ["view", "click", "purchase"])
 
 
+# Gaps-and-islands SCD2 (shared by the batch row and its streaming
+# twin): first-or-changed rows are version openers; lead() over the
+# opener set closes each interval. IS DISTINCT FROM = Spark's
+# null-safe struct inequality; high-date close keeps the open
+# interval's valid_to non-null for the cross-engine hash.
+_SCD2_ORACLE_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type,
+             lag(event_type) OVER w0 AS prev_state,
+             ROW_NUMBER() OVER w0 AS rn
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id)),
+    changes AS (
+      SELECT * FROM e
+      WHERE rn = 1
+         OR prev_state IS DISTINCT FROM event_type)
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           event_type AS state,
+           CAST(ts_us AS BIGINT) AS valid_from_us,
+           CAST(COALESCE(LEAD(ts_us) OVER w,
+                         253402300799000000) AS BIGINT)
+             AS valid_to_us,
+           CAST(CASE WHEN LEAD(ts_us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us, event_id)
+"""
+
+
 def _q_scd2_user_state(spark, sf_dir):
     """Type-2 SCD history of each user's event_type state over the
     events change stream — the generalization of the reference's MERGE
@@ -1339,6 +1372,78 @@ def _q_scd2_user_state(spark, sf_dir):
         F.col("valid_from").alias("valid_from_us"),
         F.coalesce(F.col("valid_to"), F.lit(253402300799000000))
         .alias("valid_to_us"), "is_current")
+
+
+def _q_stream_scd2(spark, sf_dir):
+    """Streaming twin of scd2_user_state: the events change stream
+    replayed as 6 files in (ts, event_id) commit order, each
+    micro-batch folded into the dimension by
+    `streaming/scd2_stream.py scd2_apply_batch` — a |keys|-sized
+    TAILS store (each key's open version) plus an append-only CLOSED
+    log; no operation ever re-reads the accumulated history. The
+    fold is exact under ordered ingestion (the CDC-log replay this
+    fixture models), so closed ∪ open must land byte-identical to
+    the batch row's full-rebuild SQL — the shared oracle checks
+    precisely that."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.scd2_stream import (
+        scd2_apply_batch,
+    )
+
+    _load(spark, sf_dir)
+    ev = (spark.table("events")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts_us"),
+                  "event_id", "event_type"))
+    pdf = ev.orderBy("ts_us", "event_id").toPandas()
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    root = tempfile.mkdtemp(prefix="entry_scd2_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    closed_dir = os.path.join(root, "closed")
+    tails_root = os.path.join(root, "tails")
+    tails_schema = ("user_id long, version int, event_type string, "
+                    "valid_from long")
+    cur = {"tails": os.path.join(tails_root, "init")}
+    spark.createDataFrame([], tails_schema).write.parquet(cur["tails"])
+
+    def fold(batch_df, batch_id):
+        tails = spark.read.parquet(cur["tails"])
+        closed, new_tails = scd2_apply_batch(
+            batch_df, tails, ["user_id"], "ts_us", ["event_type"],
+            ["event_id"])
+        closed.write.mode("append").parquet(closed_dir)
+        nxt = os.path.join(tails_root, f"b{batch_id}")
+        new_tails.write.parquet(nxt)
+        cur["tails"] = nxt
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_scd2")
+
+    closed = spark.read.parquet(closed_dir).select(
+        "user_id", F.col("version").cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        F.lit(0).cast("long").alias("is_current"))
+    open_rows = spark.read.parquet(cur["tails"]).select(
+        "user_id", F.col("version").cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.lit(253402300799000000).alias("valid_to_us"),
+        F.lit(1).cast("long").alias("is_current"))
+    return closed.unionByName(open_rows)
 
 
 def _q_rollup_corpus(spark, sf_dir):
@@ -3614,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "funnel_view_click_purchase": _q_funnel_view_click_purchase,
         "scd2_user_state": _q_scd2_user_state,
+        "stream_scd2": _q_stream_scd2,
         "rollup_corpus": _q_rollup_corpus,
         "retention_cohorts": _q_retention_cohorts,
         "profile_events": _q_profile_events,
@@ -4860,35 +4966,10 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS depth
             FROM s2 GROUP BY user_id
         """,
-        # Gaps-and-islands SCD2: first-or-changed rows are version
-        # openers; lead() over the opener set closes each interval.
-        # IS DISTINCT FROM = Spark's null-safe struct inequality.
-        "scd2_user_state": """
-            WITH e AS (
-              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-                     event_type,
-                     lag(event_type) OVER w0 AS prev_state,
-                     ROW_NUMBER() OVER w0 AS rn
-              FROM events
-              WINDOW w0 AS (PARTITION BY user_id
-                            ORDER BY epoch_us(ts), event_id)),
-            changes AS (
-              SELECT * FROM e
-              WHERE rn = 1
-                 OR prev_state IS DISTINCT FROM event_type)
-            SELECT user_id,
-                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
-                   event_type AS state,
-                   CAST(ts_us AS BIGINT) AS valid_from_us,
-                   CAST(COALESCE(LEAD(ts_us) OVER w,
-                                 253402300799000000) AS BIGINT)
-                     AS valid_to_us,
-                   CAST(CASE WHEN LEAD(ts_us) OVER w IS NULL
-                             THEN 1 ELSE 0 END AS BIGINT) AS is_current
-            FROM changes
-            WINDOW w AS (PARTITION BY user_id
-                         ORDER BY ts_us, event_id)
-        """,
+        "scd2_user_state": _SCD2_ORACLE_SQL,
+        # the incremental fold must land byte-identical to the
+        # full-rebuild SQL — same oracle as the batch row
+        "stream_scd2": _SCD2_ORACLE_SQL,
         # Native ROLLUP + GROUPING() — the engine-side re-aggregation
         # rewrite must be level-for-level identical to the lattice.
         "rollup_corpus": """

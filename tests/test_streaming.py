@@ -1174,3 +1174,55 @@ def test_ewma_stream_equals_batch(spark, tmp_path):
         t0.timestamp() * 1_000_000)]
     assert got == want_final
     assert len(got) == 9
+
+
+def test_scd2_incremental_equals_batch(spark):
+    """The streaming fold's associativity law: folding ordered
+    micro-batches through scd2_apply_batch (tails store + closed log)
+    lands on EXACTLY the history scd2_history rebuilds from the full
+    change stream — including runs that span batch boundaries
+    (merge-into-tail), changes at a batch's first row (tail close),
+    and keys untouched by a batch (tail carry-through). Driven at
+    chunk sizes 1 (every row its own batch — worst case) and 4."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.relational import (
+        scd2_history,
+    )
+    from dataflow_flex_templates_spark.streaming.scd2_stream import (
+        scd2_apply_batch,
+    )
+
+    rows = [
+        ("u1", 10, 1, "a"), ("u1", 20, 2, "a"), ("u1", 30, 3, "b"),
+        ("u1", 40, 4, "b"), ("u1", 50, 5, "a"),
+        ("u2", 10, 6, "x"), ("u2", 10, 7, "y"),
+        ("u3", 5, 8, None), ("u3", 9, 9, None), ("u3", 12, 10, "z"),
+    ]
+    schema = "user string, ts long, eid long, st string"
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (tuple(r) for r in
+         scd2_history(full, ["user"], "ts", ["st"], ["eid"]).collect()),
+        key=repr)
+
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    for chunk in (1, 4):
+        tails = spark.createDataFrame(
+            [], "user string, version int, st string, valid_from long")
+        closed_all = []
+        for i in range(0, len(ordered), chunk):
+            b = spark.createDataFrame(ordered[i:i + chunk], schema)
+            closed, tails = scd2_apply_batch(
+                b, tails, ["user"], "ts", ["st"], ["eid"])
+            closed_all.extend(tuple(r) for r in closed.collect())
+            # materialize like a store (the driver row's parquet
+            # round-trip); also breaks the growing lineage
+            tails = spark.createDataFrame(
+                tails.collect(), schema=tails.schema)
+        got = sorted(
+            (*c, 0) for c in closed_all)
+        got += sorted(
+            (r["user"], r["version"], r["st"], r["valid_from"],
+             None, 1) for r in tails.collect())
+        assert sorted(got, key=repr) == want, f"chunk={chunk}"
