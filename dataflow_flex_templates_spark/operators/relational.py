@@ -170,8 +170,8 @@ def scd2_history(df: DataFrame, key_cols: list[str], ts_col: str,
     per VERSION with its validity interval.
 
     The reference engine's MERGE mapping keeps only the last writer
-    per natural key (`plans/compiler.py lww_latest`, reference
-    ModelUtils MERGE semantics); SCD2 is the generalization a
+    per natural key (`plans/compiler.py lww_latest`; reference
+    CypherGenerator.java:63-71 MERGE-on-keys); SCD2 is the generalization a
     warehouse actually wants from the same change stream — every
     state the key passed through, with ``[valid_from, valid_to)``
     micro-second intervals, a per-key ``version`` ordinal, and
