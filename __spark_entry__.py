@@ -2201,6 +2201,26 @@ def _q_value_hist_quantile(spark, sf_dir):
                               ["event_type"])
 
 
+def _q_bottomk_quantiles(spark, sf_dir):
+    """Per-source n_chars quantiles read off a bottom-k (KMV) sample
+    sketch — the k=64 rows with the smallest md5(doc_id) per source, a
+    deterministic MERGEABLE uniform sample (state ≤ k rows/group at
+    any corpus size; WindowGroupLimit keeps each map task's local
+    bottom-k before the exchange). Sample selection and nearest-rank
+    pick are pure hash/integer algebra, so the SQL oracle replays the
+    exact estimates."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    _load(spark, sf_dir)
+    samp = bottomk_sample(spark.table("documents"), "doc_id",
+                          ["n_chars"], group_cols=["source"], k=64)
+    return bottomk_quantiles(samp, "n_chars", "doc_id",
+                             group_cols=["source"])
+
+
 def _q_value_hist_drift(spark, sf_dir):
     """Hour-over-hour distribution-drift alarm per event_type: L1
     distance between consecutive windows of the fixed-width histogram
@@ -3767,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
         "value_hist_quantile": _q_value_hist_quantile,
+        "bottomk_quantiles": _q_bottomk_quantiles,
         "value_hist_drift": _q_value_hist_drift,
         "audio_text_quality": _q_audio_text_quality,
         "sink_changelog": _q_sink_changelog,
@@ -4208,6 +4229,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST((MIN(b) + 1) * 5.0 AS DOUBLE) AS q_value
             FROM c CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]) AS q)
             WHERE cum >= ceil(q * tot) GROUP BY event_type, q
+        """,
+        # bottom-k sample: identical md5-order selection and integer
+        # nearest-rank pick — the estimate replays bit-for-bit
+        "bottomk_quantiles": """
+            WITH s AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+              FROM documents),
+            samp AS (
+              SELECT source, doc_id, n_chars FROM s WHERE rk <= 64),
+            r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id)
+                       AS vr,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM samp)
+            SELECT source, p AS p_permille, n_chars AS q_value
+            FROM r CROSS JOIN (SELECT UNNEST([500, 900, 990]) AS p)
+            WHERE vr = 1 + (p * (n - 1)) // 1000
         """,
         # drift: same integer L1 algebra, consecutive windows joined
         # on the shifted bucket start

@@ -546,3 +546,114 @@ def cms_registers_windowed(
             .agg(F.count("*").alias("n"))
             .select(F.col("window.start").alias("window_start"),
                     *group_cols, "row_idx", "col_idx", "n"))
+
+
+# -- bottom-k sample sketch (mergeable uniform sample / quantiles) -------
+
+_BK_INTERNAL = {"hk", "rk"}
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    value_cols: list[str] | tuple[str, ...],
+    group_cols: list[str] | tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """(group_cols..., rk, hk, id_col, value_cols...) — the ``k`` rows
+    whose ``md5(id)`` hashes smallest per group: a bottom-k / KMV
+    sketch (Bar-Yossef et al. 2002) carrying payload columns, i.e. a
+    MERGEABLE deterministic uniform row sample.
+
+    Why this beats ``TABLESAMPLE`` / ``rand()`` at 10^12 rows: the
+    sample is a pure function of the ids (reproducible across runs,
+    engines, and retries — the md5 hex order is identical in Spark
+    and DuckDB, so an oracle can replay the exact selection), its
+    state is ≤ k rows per group no matter the input size, and
+    bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) exactly —
+    per-partition, per-day, or per-table sketches union for free
+    (:func:`bottomk_merge`), the property rand() sampling lacks.
+
+    Plan shape: one narrow projection, then ``row_number() <= k``
+    which Spark compiles to WindowGroupLimit — each map task keeps
+    only its local bottom-k BEFORE the exchange, so shuffle volume is
+    ≤ tasks × k rows regardless of input size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    clash = _BK_INTERNAL & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bottomk_sample input may not contain internal column "
+            f"names {sorted(clash)}")
+    from pyspark.sql.window import Window
+
+    hk = F.md5(F.col(id_col).cast("string")).alias("hk")
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy(F.col("hk"), F.col(id_col)))
+    return (df.select(*group_cols, F.col(id_col), *value_cols, hk)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(*group_cols, "rk", "hk", id_col, *value_cols))
+
+
+def bottomk_merge(
+    *sample_dfs: DataFrame,
+    id_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Union bottom-k sketches and re-take the global bottom-k. The
+    stored ``hk`` is reused (never recomputed), so merging is pure
+    window algebra over ≤ inputs × k rows per group."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    uni = reduce(lambda a, b: a.unionByName(b), sample_dfs)
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy(F.col("hk"), F.col(id_col)))
+    return (uni.drop("rk")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(*sample_dfs[0].columns))
+
+
+def bottomk_quantiles(
+    sample_df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    probs_permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """(group_cols..., p_permille, q_value) — nearest-rank quantile
+    estimates read off a :func:`bottomk_sample` (or any ≤-sample-sized
+    DataFrame): element at 1-based rank ``1 + (p·(n−1)) div 1000`` of
+    the sample ordered by (value, id). All-integer algebra (true
+    ``div``, no doubles), so a SQL oracle reproduces the estimates
+    bit-for-bit; the estimate's accuracy is the standard bottom-k
+    guarantee (uniform sample of size k → rank error O(n/√k)).
+
+    The input is sketch-sized (≤ k rows per group), so the window
+    sort and the ×|probs| explode are over k rows, never the corpus.
+    """
+    clash = {"vr", "n", "p_permille", "q_value"} & set(sample_df.columns)
+    if clash:
+        raise ValueError(
+            f"bottomk_quantiles input may not contain internal "
+            f"column names {sorted(clash)}")
+    from pyspark.sql.window import Window
+
+    gb = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*gb).orderBy(F.col(value_col), F.col(id_col))
+    wn = (Window.partitionBy(*gb)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    ranked = (sample_df
+              .withColumn("vr", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    probs = F.explode(
+        F.array(*[F.lit(int(p)) for p in probs_permille])).alias("p_permille")
+    return (ranked.select(*group_cols, "vr", "n",
+                          F.col(value_col).alias("q_value"), probs)
+            .filter(F.expr("vr = 1 + (p_permille * (n - 1)) div 1000"))
+            .select(*group_cols, "p_permille", "q_value"))

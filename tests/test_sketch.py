@@ -393,3 +393,106 @@ def test_bloom_cms_windowed_streaming_parity(spark, tmp_path):
         allt = {tuple(r[c] for c in keycols): r[valcol]
                 for r in whole(batch_df).collect()}
         assert merged == allt, name
+
+
+# -- bottom-k sample sketch ----------------------------------------------
+
+
+def _bk_twin(rows, k=4):
+    """Python twin of bottomk_sample: k smallest (md5(id), id) per g."""
+    import hashlib
+
+    by_g = {}
+    for g, i, v in rows:
+        hk = hashlib.md5(str(i).encode()).hexdigest()
+        by_g.setdefault(g, []).append((hk, i, v))
+    out = {}
+    for g, lst in by_g.items():
+        lst.sort()
+        out[g] = [(rk + 1, hk, i, v)
+                  for rk, (hk, i, v) in enumerate(lst[:k])]
+    return out
+
+
+def test_bottomk_sample_twin_merge_and_plan(spark):
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_merge,
+        bottomk_sample,
+    )
+
+    rows = [("a", i, i * 7 % 23) for i in range(40)] + \
+           [("b", 1000 + i, i) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = bottomk_sample(df, "id", ["v"], group_cols=["g"], k=4)
+    # WindowGroupLimit: map tasks keep local bottom-k pre-exchange
+    assert "WindowGroupLimit" in got._jdf.queryExecution().executedPlan() \
+        .toString()
+    want = _bk_twin(rows, k=4)
+    by_g = {}
+    for r in got.collect():
+        by_g.setdefault(r["g"], []).append(
+            (r["rk"], r["hk"], r["id"], r["v"]))
+    assert {g: sorted(v) for g, v in by_g.items()} == want
+    # mergeability: bottom-k(A ∪ B) == merge(bottom-k(A), bottom-k(B))
+    a = bottomk_sample(df.filter("id % 2 = 0"), "id", ["v"],
+                       group_cols=["g"], k=4)
+    b = bottomk_sample(df.filter("id % 2 = 1"), "id", ["v"],
+                       group_cols=["g"], k=4)
+    merged = bottomk_merge(a, b, id_col="id", group_cols=["g"], k=4)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, got.collect()))
+
+
+def test_bottomk_quantiles_exact_when_k_covers_group(spark):
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    rows = [("g1", i, (i * 13) % 101) for i in range(25)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    samp = bottomk_sample(df, "id", ["v"], group_cols=["g"], k=64)
+    got = {(r["g"], r["p_permille"]): r["q_value"]
+           for r in bottomk_quantiles(
+               samp, "v", "id", group_cols=["g"]).collect()}
+    vals = sorted(((i * 13) % 101, i) for i in range(25))
+    n = len(vals)
+    for p in (500, 900, 990):
+        want = vals[(p * (n - 1)) // 1000][0]
+        assert got[("g1", p)] == want, p
+
+
+def test_bottomk_quantile_accuracy_on_subsample(spark):
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    n = 4000
+    rows = [("g", i, i) for i in range(n)]  # v uniform 0..n-1
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    samp = bottomk_sample(df, "id", ["v"], group_cols=["g"], k=256)
+    got = {r["p_permille"]: r["q_value"]
+           for r in bottomk_quantiles(
+               samp, "v", "id", group_cols=["g"]).collect()}
+    # uniform values: sample rank error O(n/sqrt(k)) -> generous 4x
+    tol = 4 * n / (256 ** 0.5)
+    for p in (500, 900, 990):
+        true_q = p * (n - 1) // 1000
+        assert abs(got[p] - true_q) <= tol, (p, got[p], true_q)
+
+
+def test_bottomk_internal_column_clash_raises(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    df = spark.createDataFrame([("a", 1, 2)], "g string, id long, rk long")
+    with _pytest.raises(ValueError, match="internal column"):
+        bottomk_sample(df, "id", ["rk"], group_cols=["g"])
+    df2 = spark.createDataFrame([("a", 1, 2)], "g string, id long, vr long")
+    with _pytest.raises(ValueError, match="internal"):
+        bottomk_quantiles(df2, "vr", "id", group_cols=["g"])
