@@ -1851,6 +1851,33 @@ def _q_speed_perturb(spark, sf_dir):
             .orderBy("factor_x100", "codec"))
 
 
+def _q_noise_mix(spark, sf_dir):
+    """SNR-targeted additive-noise augmentation (functions/audio.
+    noise_mix_stats): each clip re-issued at 20/10/5 dB over
+    deterministic counter-based white noise — decode ONCE per clip,
+    generate + mix the noise per target in the same Arrow pass (noise
+    is never materialized or shuffled), then roll up the augmented
+    corpus per (snr, codec). Oracle: numpy twin calling the SAME
+    shared kernel, pinned as VALUES; aggregation re-done in DuckDB."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        noise_mix_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    nm = noise_mix_stats()
+    return (clips
+            .withColumn("__nm__", nm(F.col("bytes"), F.col("codec"),
+                                     F.col("sr_hz")))
+            .select("codec", F.explode("__nm__").alias("__p__"))
+            .groupBy(F.col("__p__.snr_db").alias("snr_db"), "codec")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__p__.n_samples").alias("total_samples"),
+                 F.round(F.avg("__p__.rms_mixed"), 4)
+                  .alias("avg_rms_mixed"))
+            .orderBy("snr_db", "codec"))
+
+
 def _q_audio_spectral_stats(spark, sf_dir):
     """Decode → FFT → spectral summary (centroid/bandwidth/rolloff/
     flatness) in one Arrow pass per clip, rolled up per codec. Oracle:
@@ -3769,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": _q_audio_decode_stats,
         "audio_resample_stats": _q_audio_resample_stats,
         "speed_perturb": _q_speed_perturb,
+        "noise_mix": _q_noise_mix,
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
@@ -6127,6 +6155,17 @@ def oracle_sql() -> dict[str, str]:
                                 ["factor_x100", "codec", "n",
                                  "total_out_samples", "avg_rms"])}
             ORDER BY factor_x100, codec
+        """
+    if "noise_mix" in const:
+        out["noise_mix"] = f"""
+            SELECT CAST(snr_db AS BIGINT) AS snr_db, codec,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(total_samples AS BIGINT) AS total_samples,
+                   CAST(avg_rms_mixed AS DOUBLE) AS avg_rms_mixed
+            FROM {_values_table(const["noise_mix"],
+                                ["snr_db", "codec", "n",
+                                 "total_samples", "avg_rms_mixed"])}
+            ORDER BY snr_db, codec
         """
     # Audio health: per-clip waveform counters pinned (numpy twin);
     # defect flags + per-codec rollup genuine SQL. Thresholds must

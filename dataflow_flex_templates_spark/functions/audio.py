@@ -361,6 +361,81 @@ def speed_perturb_stats(factors=(0.9, 1.0, 1.1), kernel: str = "linear"):
     return _sp
 
 
+def white_noise_np(n: int, seed: int) -> np.ndarray:
+    """Deterministic white noise in [-1, 1): counter-based splitmix64
+    over indices seed..seed+n — fully vectorized (no sequential PRNG
+    state), reproducible bit-for-bit anywhere numpy runs, which is
+    what lets the DuckDB oracle's numpy twin replay the exact mix."""
+    z = np.arange(n, dtype=np.uint64) + np.uint64(seed & (2**64 - 1))
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return ((z >> np.uint64(11)).astype(np.float64)
+            * (2.0 ** -53) * 2.0 - 1.0)
+
+
+def noise_mix_rows_np(wave: np.ndarray, sr_hz: int,
+                      snr_dbs=(20, 10, 5)) -> list[tuple[int, int, float]]:
+    """SNR-targeted additive-noise rows for ONE decoded clip — the
+    shared kernel both the Spark UDF and the oracle's numpy twin call
+    (zero drift by construction). Noise is seeded from (len, sr) so
+    the twin re-derives it from the same fields; the noise gain is
+    rms(speech) / (rms(noise) · 10^(snr/20)), i.e. the mixed clip hits
+    the target SNR exactly. Returns (snr_db, n_samples, rms_mixed);
+    silent/empty clips mix nothing (gain 0)."""
+    n = len(wave)
+    if n == 0:
+        return [(int(s), 0, 0.0) for s in snr_dbs]
+    w = wave.astype(np.float64, copy=False)
+    rms_w = math.sqrt(float(np.dot(w, w)) / n)
+    v = white_noise_np(n, n * 1000003 + int(sr_hz))
+    rms_v = math.sqrt(float(np.dot(v, v)) / n)
+    rows = []
+    for s in snr_dbs:
+        g = (rms_w / (rms_v * 10.0 ** (s / 20.0))
+             if rms_w > 0 and rms_v > 0 else 0.0)
+        m = w + g * v
+        rows.append((int(s), n, math.sqrt(float(np.dot(m, m)) / n)))
+    return rows
+
+
+_NOISE_MIX_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("snr_db", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms_mixed", T.DoubleType()),
+]))
+
+
+def noise_mix_stats(snr_dbs=(20, 10, 5)):
+    """Factory: SNR-targeted additive-noise augmentation — with speed
+    perturbation, the other standard ASR training augmentation (each
+    clip re-issued at several noise levels). One Arrow pass per clip:
+    decode ONCE, generate + mix the deterministic noise per target in
+    the same pass — bytes never cross a shuffle, the decode cost is
+    not paid per augmented copy, and noise is never materialized.
+    Returns an array of (snr_db, n_samples, rms_mixed) structs
+    (integer snr key — no float group-by keys downstream); explode for
+    the augmented-corpus view. Undecodable rows → NULL array."""
+    targets = tuple(int(s) for s in snr_dbs)
+
+    @pandas_udf(_NOISE_MIX_SCHEMA)
+    def _nm(bytes_col: pd.Series, codec: pd.Series, sr: pd.Series
+            ) -> pd.Series:
+        out = []
+        for b, c, s in zip(bytes_col, codec, sr):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+            except Exception:
+                out.append(None)                 # poison → NULL array
+                continue
+            out.append(noise_mix_rows_np(w, int(s), targets))
+        return pd.Series(out)
+
+    return _nm
+
+
 def vad_segments_np(wave: np.ndarray, sr_hz: int, frame_ms: int = 20,
                     threshold: float = 0.02) -> tuple[int, int, int]:
     """Energy-gate voice-activity segmentation over one clip.

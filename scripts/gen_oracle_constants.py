@@ -156,6 +156,24 @@ def main() -> None:
          _assert_not_knife_edge(sum(x for _, x in v) / len(v))]
         for (fq, codec), v in sorted(sp_by.items())
     ]
+
+    # Noise-mix twin: calls the SAME shared kernel the Spark UDF calls
+    # (functions/audio.noise_mix_rows_np) — zero drift by construction;
+    # only the per-(snr, codec) aggregation is re-done here/in DuckDB.
+    from dataflow_flex_templates_spark.functions.audio import (
+        noise_mix_rows_np,
+    )
+
+    nm_by: dict[tuple[int, str], list[tuple[int, float]]] = {}
+    for _, r in clips.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        for snr, nn, rms in noise_mix_rows_np(w, int(r["sr_hz"])):
+            nm_by.setdefault((snr, r["codec"]), []).append((nn, rms))
+    out["noise_mix"] = [
+        [snr, codec, len(v), int(sum(n for n, _ in v)),
+         _assert_not_knife_edge(sum(x for _, x in v) / len(v))]
+        for (snr, codec), v in sorted(nm_by.items())
+    ]
     out["audio_resample_stats"] = [
         [sr, len(v), int(sum(n for n, _ in v)),
          _assert_not_knife_edge(sum(r for _, r in v) / len(v))]

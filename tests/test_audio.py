@@ -899,3 +899,80 @@ def test_segment_plan_drives_byte_exact_pcm_slicing():
         covered[s // 2:e // 2] = True
     assert covered.all()
     assert end_ms == dur_ms
+
+
+def test_noise_mix_kernel_snr_exact_and_determinism():
+    """The shared kernel hits the target SNR exactly: with gain g =
+    rms(w)/(rms(v)*10^(snr/20)), SNR(w, g·v) == snr by construction.
+    Noise is a pure function of (len, sr) — identical across calls."""
+    import math
+
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        noise_mix_rows_np,
+        white_noise_np,
+    )
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal(16000).astype(np.float32) * 0.2
+    rows = noise_mix_rows_np(w, 16000)
+    assert [r[0] for r in rows] == [20, 10, 5]
+    assert all(r[1] == 16000 for r in rows)
+    w64 = w.astype(np.float64)
+    rms_w = math.sqrt(float(np.dot(w64, w64)) / len(w64))
+    v = white_noise_np(len(w), len(w) * 1000003 + 16000)
+    rms_v = math.sqrt(float(np.dot(v, v)) / len(v))
+    for snr, n, rms_m in rows:
+        g = rms_w / (rms_v * 10.0 ** (snr / 20.0))
+        m = w64 + g * v
+        want = math.sqrt(float(np.dot(m, m)) / n)
+        assert rms_m == want, snr              # same kernel, bit-equal
+        # achieved SNR == target (rms of signal vs rms of added noise)
+        got_snr = 20.0 * math.log10(rms_w / (g * rms_v))
+        assert abs(got_snr - snr) < 1e-9
+    # determinism + mixed clip is louder than the clean one
+    assert noise_mix_rows_np(w, 16000) == rows
+    assert all(r[2] > rms_w for r in rows)
+    # silent + empty clips: gain 0, no NaNs
+    assert noise_mix_rows_np(np.zeros(100, np.float32), 8000) == [
+        (20, 100, 0.0), (10, 100, 0.0), (5, 100, 0.0)]
+    assert noise_mix_rows_np(np.zeros(0, np.float32), 8000) == [
+        (20, 0, 0.0), (10, 0, 0.0), (5, 0, 0.0)]
+
+
+def test_noise_mix_stats_dataframe_poison_and_counts(spark):
+    """UDF end-to-end: 3 rows per decodable clip, NULL array for
+    undecodable bytes (poison-row convention), values match the shared
+    kernel applied to the same decoded waveforms."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm_np,
+        noise_mix_rows_np,
+        noise_mix_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        make_clips_df,
+        make_clips_pdf,
+    )
+
+    clips = make_clips_df(spark, 30, seed=11)
+    bad = spark.createDataFrame(
+        [("poison", bytearray(b"xx"), "no_such_codec", 8000)],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    nm = noise_mix_stats()
+    out = (clips.select("clip_id", "bytes", "codec", "sr_hz")
+           .unionByName(bad)
+           .withColumn("__nm__", nm(F.col("bytes"), F.col("codec"),
+                                    F.col("sr_hz"))))
+    rows = {r["clip_id"]: r["__nm__"] for r in
+            out.select("clip_id", "__nm__").collect()}
+    assert rows["poison"] is None
+    pdf = make_clips_pdf(30, seed=11)
+    for _, r in pdf.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        want = noise_mix_rows_np(w, int(r["sr_hz"]))
+        got = [(p["snr_db"], p["n_samples"], p["rms_mixed"])
+               for p in rows[r["clip_id"]]]
+        assert got == want, r["clip_id"]
