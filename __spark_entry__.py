@@ -1446,6 +1446,84 @@ def _q_stream_scd2(spark, sf_dir):
     return closed.unionByName(open_rows)
 
 
+_BOTTOMK_ORACLE_SQL = """
+    WITH s AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents),
+    samp AS (
+      SELECT source, doc_id, n_chars FROM s WHERE rk <= 64),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS vr,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM samp)
+    SELECT source, p AS p_permille, n_chars AS q_value
+    FROM r CROSS JOIN (SELECT UNNEST([500, 900, 990]) AS p)
+    WHERE vr = 1 + (p * (n - 1)) // 1000
+"""
+
+
+def _q_stream_bottomk(spark, sf_dir):
+    """Streaming twin of bottomk_quantiles: the documents table
+    replayed in 6 micro-batch files; each batch's LOCAL bottom-k
+    merges into a ≤ k-rows/group tails table (`bottomk_merge` —
+    stored hashes reused, never recomputed), so state is bounded at
+    k rows per group forever and the accumulated input is never
+    re-read. Bottom-k's exact mergeability (bottom-k(A∪B) == merge
+    of bottom-k's) makes the fold equal the batch row's one-shot
+    sample BYTE-FOR-BYTE — the shared oracle checks precisely that."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source", "n_chars")
+    pdf = docs.orderBy("doc_id").toPandas()
+    schema = "doc_id long, source string, n_chars long"
+    root = tempfile.mkdtemp(prefix="entry_bk_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    state_root = os.path.join(root, "state")
+    cur = {"s": os.path.join(state_root, "init")}
+    spark.createDataFrame(
+        [], "source string, rk int, hk string, doc_id long, n_chars long"
+    ).write.parquet(cur["s"])
+
+    def fold(batch_df, batch_id):
+        local = bottomk_sample(batch_df, "doc_id", ["n_chars"],
+                               group_cols=["source"], k=64)
+        state = spark.read.parquet(cur["s"])
+        merged = bottomk_merge(state, local, id_col="doc_id",
+                               group_cols=["source"], k=64)
+        nxt = os.path.join(state_root, f"b{batch_id}")
+        merged.write.parquet(nxt)
+        cur["s"] = nxt
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_bottomk")
+
+    final = spark.read.parquet(cur["s"])
+    return bottomk_quantiles(final, "n_chars", "doc_id",
+                             group_cols=["source"])
+
+
 def _q_rollup_corpus(spark, sf_dir):
     """source × lang ROLLUP of doc counts and n_chars totals —
     re-aggregated from the finest level (one data shuffle + tiny
@@ -3816,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_hist_windowed": _q_value_hist_windowed,
         "value_hist_quantile": _q_value_hist_quantile,
         "bottomk_quantiles": _q_bottomk_quantiles,
+        "stream_bottomk": _q_stream_bottomk,
         "value_hist_drift": _q_value_hist_drift,
         "audio_text_quality": _q_audio_text_quality,
         "sink_changelog": _q_sink_changelog,
@@ -4259,28 +4338,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum >= ceil(q * tot) GROUP BY event_type, q
         """,
         # bottom-k sample: identical md5-order selection and integer
-        # nearest-rank pick — the estimate replays bit-for-bit
-        "bottomk_quantiles": """
-            WITH s AS (
-              SELECT source, doc_id, n_chars,
-                     row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-                       AS rk
-              FROM documents),
-            samp AS (
-              SELECT source, doc_id, n_chars FROM s WHERE rk <= 64),
-            r AS (
-              SELECT source, doc_id, n_chars,
-                     row_number() OVER (
-                       PARTITION BY source ORDER BY n_chars, doc_id)
-                       AS vr,
-                     COUNT(*) OVER (PARTITION BY source) AS n
-              FROM samp)
-            SELECT source, p AS p_permille, n_chars AS q_value
-            FROM r CROSS JOIN (SELECT UNNEST([500, 900, 990]) AS p)
-            WHERE vr = 1 + (p * (n - 1)) // 1000
-        """,
+        # nearest-rank pick — the estimate replays bit-for-bit; the
+        # streaming fold shares it (exact mergeability == one-shot)
+        "bottomk_quantiles": _BOTTOMK_ORACLE_SQL,
+        "stream_bottomk": _BOTTOMK_ORACLE_SQL,
         # drift: same integer L1 algebra, consecutive windows joined
         # on the shifted bucket start
         "value_hist_drift": """
