@@ -1956,6 +1956,28 @@ def _q_noise_mix(spark, sf_dir):
             .orderBy("snr_db", "codec"))
 
 
+def _q_speaking_rate(spark, sf_dir):
+    """Cross-modal alignment gate (operators/asr.speaking_rate_gate):
+    transcript words-per-minute against the AUDIO duration — the
+    zero-shuffle, zero-Python curation check that catches
+    clip↔transcript mis-pairings before any decode runs. Integer
+    div rates, per-(codec, flag) rollup. Oracle: per-clip word/char
+    counts twin-pinned; rates, flags, and rollup genuine SQL."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        speaking_rate_gate,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    g = speaking_rate_gate(clips)
+    return (g.groupBy("codec", "rate_flag")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_words").alias("total_words"),
+                 F.sum("wpm_x10").alias("sum_wpm_x10"),
+                 F.sum("cps_x10").alias("sum_cps_x10"))
+            .orderBy("codec", "rate_flag"))
+
+
 def _q_audio_spectral_stats(spark, sf_dir):
     """Decode → FFT → spectral summary (centroid/bandwidth/rolloff/
     flatness) in one Arrow pass per clip, rolled up per codec. Oracle:
@@ -3875,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_stats": _q_audio_resample_stats,
         "speed_perturb": _q_speed_perturb,
         "noise_mix": _q_noise_mix,
+        "speaking_rate": _q_speaking_rate,
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
@@ -6227,6 +6250,32 @@ def oracle_sql() -> dict[str, str]:
                                 ["snr_db", "codec", "n",
                                  "total_samples", "avg_rms_mixed"])}
             ORDER BY snr_db, codec
+        """
+    # Speaking-rate gate: per-clip word/char counts pinned from the
+    # fixture twin; rates (integer //), flags, and the rollup are
+    # genuine SQL — mirrors the audio_health pinning split.
+    if "speaking_rate" in const:
+        sr_t = _values_table(const["speaking_rate"],
+                             ["clip_id", "codec", "dur_ms",
+                              "n_words", "n_chars"])
+        out["speaking_rate"] = f"""
+            WITH g AS (
+              SELECT codec, n_words,
+                     n_words * 600000 // dur_ms AS wpm_x10,
+                     n_chars * 10000 // dur_ms AS cps_x10
+              FROM {sr_t}),
+            f AS (
+              SELECT codec, n_words, wpm_x10, cps_x10,
+                     CASE WHEN wpm_x10 < 1500 THEN 'slow'
+                          WHEN wpm_x10 > 9000 THEN 'fast'
+                          ELSE 'ok' END AS rate_flag
+              FROM g)
+            SELECT codec, rate_flag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words,
+                   CAST(SUM(wpm_x10) AS BIGINT) AS sum_wpm_x10,
+                   CAST(SUM(cps_x10) AS BIGINT) AS sum_cps_x10
+            FROM f GROUP BY codec, rate_flag
+            ORDER BY codec, rate_flag
         """
     # Audio health: per-clip waveform counters pinned (numpy twin);
     # defect flags + per-codec rollup genuine SQL. Thresholds must

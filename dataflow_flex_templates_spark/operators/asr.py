@@ -98,6 +98,49 @@ def wer_stats(df: DataFrame, ref_col: str = "ref", hyp_col: str = "hyp",
     return out.withColumn("wer_permille", permille)
 
 
+def speaking_rate_gate(df: DataFrame, dur_col: str = "dur_ms",
+                       transcript_col: str = "transcript",
+                       min_wpm: int = 150,
+                       max_wpm: int = 900) -> DataFrame:
+    """Cross-modal alignment gate: words-per-minute of the transcript
+    against the AUDIO duration — the cheap curation check that catches
+    clip↔transcript mis-pairings (a 3 s clip carrying a paragraph, an
+    hour of audio with one sentence) before any decode or WER pass
+    runs. Appends per-row integer columns:
+
+    - ``n_words`` / ``n_chars`` — whitespace tokens / trimmed length
+      (empty or all-space transcript → 0 words, not 1 — the
+      split-of-empty-string trap handled explicitly);
+    - ``wpm_x10`` / ``cps_x10`` — rate × 10, true integer ``div`` (so
+      the SQL oracle is bit-exact; NULL when duration is 0);
+    - ``rate_flag`` — 'slow' / 'ok' / 'fast' vs [min_wpm, max_wpm];
+      'undetermined' when the rate is NULL (zero/NULL duration) — a
+      clip whose rate cannot be computed must NOT silently pass the
+      gate (the NULL-falls-through-when()-to-otherwise trap).
+
+    Scale: pure JVM expressions over the existing partitioning — zero
+    shuffle, zero Python; the gate runs BEFORE decode so mis-paired
+    payload bytes are never touched. Reference parity: a §2.11
+    extension over the north-rule clip+transcript table shape."""
+    t = F.trim(F.col(transcript_col))
+    n_words = (F.when(F.length(t) == 0, F.lit(0))
+               .otherwise(F.size(F.split(t, r"\s+"))).cast("long"))
+    out = (df.withColumn("n_words", n_words)
+           .withColumn("n_chars", F.length(t).cast("long"))
+           .withColumn("wpm_x10", F.expr(
+               f"n_words * 600000L div nullif(cast({dur_col} as "
+               f"bigint), 0)"))
+           .withColumn("cps_x10", F.expr(
+               f"n_chars * 10000L div nullif(cast({dur_col} as "
+               f"bigint), 0)")))
+    return out.withColumn(
+        "rate_flag",
+        F.when(F.col("wpm_x10").isNull(), F.lit("undetermined"))
+        .when(F.col("wpm_x10") < min_wpm * 10, F.lit("slow"))
+        .when(F.col("wpm_x10") > max_wpm * 10, F.lit("fast"))
+        .otherwise(F.lit("ok")))
+
+
 def word_timestamps(df: DataFrame, id_col: str = "doc_id",
                     dur_col: str = "dur_ms",
                     text_col: str = "text",

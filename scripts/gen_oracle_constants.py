@@ -174,6 +174,16 @@ def main() -> None:
          _assert_not_knife_edge(sum(x for _, x in v) / len(v))]
         for (snr, codec), v in sorted(nm_by.items())
     ]
+
+    # Speaking-rate twin: per-clip word/char counts from the same
+    # fixture transcripts (python str.split == the operator's
+    # trap-guarded whitespace split); rates + flags + rollup stay
+    # genuine SQL in the oracle.
+    out["speaking_rate"] = [
+        [r["clip_id"], r["codec"], int(r["dur_ms"]),
+         len(r["transcript"].split()), len(r["transcript"].strip())]
+        for _, r in clips.iterrows()
+    ]
     out["audio_resample_stats"] = [
         [sr, len(v), int(sum(n for n, _ in v)),
          _assert_not_knife_edge(sum(r for _, r in v) / len(v))]

@@ -976,3 +976,36 @@ def test_noise_mix_stats_dataframe_poison_and_counts(spark):
         got = [(p["snr_db"], p["n_samples"], p["rms_mixed"])
                for p in rows[r["clip_id"]]]
         assert got == want, r["clip_id"]
+
+
+def test_speaking_rate_gate_edges_and_flags(spark):
+    """Empty transcript → 0 words (split-of-empty trap), zero duration
+    → NULL rates, flag boundaries are inclusive on 'ok'."""
+    from dataflow_flex_templates_spark.operators.asr import (
+        speaking_rate_gate,
+    )
+
+    rows = [
+        ("empty", 60000, "   "),              # 0 words, slow
+        ("slowb", 60000, " ".join(["w"] * 149)),   # 149 wpm → slow
+        ("okmin", 60000, " ".join(["w"] * 150)),   # 150 wpm → ok
+        ("okmax", 60000, " ".join(["w"] * 900)),   # 900 wpm → ok
+        ("fastb", 60000, " ".join(["w"] * 901)),   # 901 wpm → fast
+        ("zdur", 0, "some words here"),       # NULL rates → ok branch?
+    ]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, dur_ms int, "
+                               "transcript string")
+    out = {r["clip_id"]: r for r in speaking_rate_gate(df).collect()}
+    assert out["empty"]["n_words"] == 0
+    assert out["empty"]["rate_flag"] == "slow"
+    assert out["slowb"]["rate_flag"] == "slow"
+    assert out["okmin"]["rate_flag"] == "ok"
+    assert out["okmax"]["rate_flag"] == "ok"
+    assert out["fastb"]["rate_flag"] == "fast"
+    assert out["okmin"]["wpm_x10"] == 1500
+    assert out["fastb"]["wpm_x10"] == 9010
+    # zero duration: rates NULL and the row must NOT silently pass
+    # the gate (the NULL-falls-through-when()-to-otherwise trap)
+    assert out["zdur"]["wpm_x10"] is None
+    assert out["zdur"]["rate_flag"] == "undetermined"
