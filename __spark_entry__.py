@@ -1956,6 +1956,33 @@ def _q_noise_mix(spark, sf_dir):
             .orderBy("snr_db", "codec"))
 
 
+def _q_reverb_aug(spark, sf_dir):
+    """Synthetic-RIR reverberation (functions/audio.reverb_stats):
+    each clip convolved with deterministic 120/300 ms-RT60 room
+    responses — with speed perturbation and noise mixing, the third
+    standard ASR augmentation. Decode ONCE, build + FFT-convolve the
+    RIR per target in the same Arrow pass (the RIR is a pure function
+    of (sr, rt60), never materialized or shuffled), roll up per
+    (rt60, codec). Oracle: numpy twin via the SAME shared kernel,
+    pinned as VALUES; aggregation re-done in DuckDB."""
+    from dataflow_flex_templates_spark.functions.audio import (
+        reverb_stats,
+    )
+    from dataflow_flex_templates_spark.testing.clips import make_clips_df
+
+    clips = make_clips_df(spark, 300, seed=42)
+    rv = reverb_stats()
+    return (clips
+            .withColumn("__rv__", rv(F.col("bytes"), F.col("codec"),
+                                     F.col("sr_hz")))
+            .select("codec", F.explode("__rv__").alias("__p__"))
+            .groupBy(F.col("__p__.rt60_ms").alias("rt60_ms"), "codec")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__p__.n_samples").alias("total_samples"),
+                 F.round(F.avg("__p__.rms_out"), 4).alias("avg_rms_out"))
+            .orderBy("rt60_ms", "codec"))
+
+
 def _q_speaking_rate(spark, sf_dir):
     """Cross-modal alignment gate (operators/asr.speaking_rate_gate):
     transcript words-per-minute against the AUDIO duration — the
@@ -3898,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_perturb": _q_speed_perturb,
         "noise_mix": _q_noise_mix,
         "speaking_rate": _q_speaking_rate,
+        "reverb_aug": _q_reverb_aug,
         "audio_vad_stats": _q_audio_vad_stats,
         "audio_spectral_stats": _q_audio_spectral_stats,
         "audio_fp_neardup": _q_audio_fp_neardup,
@@ -6250,6 +6278,17 @@ def oracle_sql() -> dict[str, str]:
                                 ["snr_db", "codec", "n",
                                  "total_samples", "avg_rms_mixed"])}
             ORDER BY snr_db, codec
+        """
+    if "reverb_aug" in const:
+        out["reverb_aug"] = f"""
+            SELECT CAST(rt60_ms AS BIGINT) AS rt60_ms, codec,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(total_samples AS BIGINT) AS total_samples,
+                   CAST(avg_rms_out AS DOUBLE) AS avg_rms_out
+            FROM {_values_table(const["reverb_aug"],
+                                ["rt60_ms", "codec", "n",
+                                 "total_samples", "avg_rms_out"])}
+            ORDER BY rt60_ms, codec
         """
     # Speaking-rate gate: per-clip word/char counts pinned from the
     # fixture twin; rates (integer //), flags, and the rollup are

@@ -400,6 +400,86 @@ def noise_mix_rows_np(wave: np.ndarray, sr_hz: int,
     return rows
 
 
+def rir_np(sr_hz: int, rt60_ms: int = 120, drr_db: float = 6.0,
+           seed: int = 0) -> np.ndarray:
+    """Synthetic room impulse response: unit direct path + an
+    exponentially decaying splitmix64 noise tail reaching −60 dB at
+    ``rt60_ms`` (the RT60 definition), with the tail's energy set
+    ``drr_db`` below the direct path (direct-to-reverberant ratio).
+    The standard lightweight reverb model when measured RIRs aren't
+    available; deterministic via the counter-based noise."""
+    n = max(int(sr_hz * rt60_ms / 1000), 2)
+    tail = white_noise_np(n, seed)
+    tail *= np.exp(-6.907755278982137 * np.arange(n) / n)
+    tail[0] = 0.0
+    e = float(np.dot(tail, tail))
+    h = tail * (math.sqrt(10.0 ** (-drr_db / 10.0) / e) if e > 0
+                else 0.0)
+    h[0] = 1.0
+    return h
+
+
+def reverb_rows_np(wave: np.ndarray, sr_hz: int,
+                   rt60s=(120, 300), drr_db: float = 6.0
+                   ) -> list[tuple[int, int, float]]:
+    """Reverb-augmentation rows for ONE decoded clip — the shared
+    kernel both the Spark UDF and the oracle twin call. Full FFT
+    convolution with the synthetic RIR (same-container deterministic,
+    like the spectral rows); RIR seed is a pure function of (sr, rt60)
+    so the twin re-derives it. Returns (rt60_ms, n_samples, rms_out);
+    output length is n + len(rir) − 1 (the reverb tail rings past the
+    dry clip)."""
+    out = []
+    for rt in rt60s:
+        rt = int(rt)
+        if len(wave) == 0:
+            out.append((rt, 0, 0.0))
+            continue
+        h = rir_np(int(sr_hz), rt, drr_db,
+                   seed=int(sr_hz) * 1000003 + rt)
+        m = len(wave) + len(h) - 1
+        nfft = 1 << (m - 1).bit_length()
+        spec = (np.fft.rfft(wave.astype(np.float64), nfft)
+                * np.fft.rfft(h, nfft))
+        y = np.fft.irfft(spec, nfft)[:m]
+        out.append((rt, m, math.sqrt(float(np.dot(y, y)) / m)))
+    return out
+
+
+_REVERB_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("rt60_ms", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms_out", T.DoubleType()),
+]))
+
+
+def reverb_stats(rt60s=(120, 300), drr_db: float = 6.0):
+    """Factory: synthetic-RIR reverberation — with speed perturbation
+    and noise mixing, the third standard ASR augmentation (simulating
+    far-field/room acoustics). One Arrow pass per clip: decode ONCE,
+    build + convolve the deterministic RIR per RT60 target in the
+    same pass (the RIR is a pure function of (sr, rt60), never
+    materialized or shuffled). Returns an array of (rt60_ms,
+    n_samples, rms_out) structs; undecodable rows → NULL array."""
+    targets = tuple(int(r) for r in rt60s)
+
+    @pandas_udf(_REVERB_SCHEMA)
+    def _rv(bytes_col: pd.Series, codec: pd.Series, sr: pd.Series
+            ) -> pd.Series:
+        out = []
+        for b, c, s in zip(bytes_col, codec, sr):
+            try:
+                w = (decode_pcm_np(b, c) if b is not None
+                     else np.zeros(0, np.float32))
+            except Exception:
+                out.append(None)                 # poison → NULL array
+                continue
+            out.append(reverb_rows_np(w, int(s), targets, drr_db))
+        return pd.Series(out)
+
+    return _rv
+
+
 _NOISE_MIX_SCHEMA = T.ArrayType(T.StructType([
     T.StructField("snr_db", T.LongType()),
     T.StructField("n_samples", T.LongType()),

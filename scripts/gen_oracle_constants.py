@@ -175,6 +175,22 @@ def main() -> None:
         for (snr, codec), v in sorted(nm_by.items())
     ]
 
+    # Reverb twin: SAME shared kernel (reverb_rows_np) — zero drift.
+    from dataflow_flex_templates_spark.functions.audio import (
+        reverb_rows_np,
+    )
+
+    rv_by: dict[tuple[int, str], list[tuple[int, float]]] = {}
+    for _, r in clips.iterrows():
+        w = decode_pcm_np(r["bytes"], r["codec"])
+        for rt, nn, rms in reverb_rows_np(w, int(r["sr_hz"])):
+            rv_by.setdefault((rt, r["codec"]), []).append((nn, rms))
+    out["reverb_aug"] = [
+        [rt, codec, len(v), int(sum(n for n, _ in v)),
+         _assert_not_knife_edge(sum(x for _, x in v) / len(v))]
+        for (rt, codec), v in sorted(rv_by.items())
+    ]
+
     # Speaking-rate twin: per-clip word/char counts from the same
     # fixture transcripts (python str.split == the operator's
     # trap-guarded whitespace split); rates + flags + rollup stay

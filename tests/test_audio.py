@@ -1009,3 +1009,36 @@ def test_speaking_rate_gate_edges_and_flags(spark):
     # the gate (the NULL-falls-through-when()-to-otherwise trap)
     assert out["zdur"]["wpm_x10"] is None
     assert out["zdur"]["rate_flag"] == "undetermined"
+
+
+def test_reverb_kernel_rir_properties_and_length():
+    """RIR: unit direct path, tail energy drr_db below it, −60 dB
+    decay envelope at rt60; convolution output length n+m−1; silent
+    input stays silent; kernel is deterministic."""
+    import math
+
+    import numpy as np
+
+    from dataflow_flex_templates_spark.functions.audio import (
+        reverb_rows_np,
+        rir_np,
+    )
+
+    h = rir_np(16000, 120, drr_db=6.0, seed=16000 * 1000003 + 120)
+    assert h[0] == 1.0 and len(h) == int(16000 * 0.120)
+    tail_e = float(np.dot(h[1:], h[1:]))
+    assert abs(10 * math.log10(1.0 / tail_e) - 6.0) < 1e-9
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal(8000).astype(np.float32) * 0.1
+    rows = reverb_rows_np(w, 16000)
+    assert [(r[0], r[1]) for r in rows] == [
+        (120, 8000 + len(h) - 1),
+        (300, 8000 + int(16000 * 0.300) - 1)]
+    assert rows == reverb_rows_np(w, 16000)       # deterministic
+    assert all(r[2] > 0 for r in rows)
+    assert reverb_rows_np(np.zeros(0, np.float32), 16000) == [
+        (120, 0, 0.0), (300, 0, 0.0)]
+    # energy sanity: reverb adds the tail's energy; rms within 2x dry
+    w64 = w.astype(np.float64)
+    dry = math.sqrt(float(np.dot(w64, w64)) / len(w64))
+    assert all(0.3 * dry < r[2] < 2.0 * dry for r in rows)
