@@ -637,6 +637,12 @@ def bottomk_quantiles(
     The input is sketch-sized (≤ k rows per group), so the window
     sort and the ×|probs| explode are over k rows, never the corpus.
     """
+    bad = [p for p in probs_permille if not 0 <= int(p) <= 1000]
+    if bad:
+        raise ValueError(
+            f"probs_permille must be in [0, 1000] (permille), got {bad}"
+            " — a larger value maps to a rank past the sample and the"
+            " row would silently vanish")
     clash = {"vr", "n", "p_permille", "q_value"} & set(sample_df.columns)
     if clash:
         raise ValueError(

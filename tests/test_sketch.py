@@ -496,3 +496,18 @@ def test_bottomk_internal_column_clash_raises(spark):
     df2 = spark.createDataFrame([("a", 1, 2)], "g string, id long, vr long")
     with _pytest.raises(ValueError, match="internal"):
         bottomk_quantiles(df2, "vr", "id", group_cols=["g"])
+
+
+def test_bottomk_quantiles_rejects_out_of_range_permille(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    df = spark.createDataFrame([("a", 1, 2)], "g string, id long, v long")
+    samp = bottomk_sample(df, "id", ["v"], group_cols=["g"])
+    with _pytest.raises(ValueError, match="permille"):
+        bottomk_quantiles(samp, "v", "id", group_cols=["g"],
+                          probs_permille=(500, 1500))
