@@ -2756,6 +2756,34 @@ def _q_bfs_levels(spark, sf_dir):
     return bfs_levels(und, sources, max_hops=4)
 
 
+def _q_shortest_paths(spark, sf_dir):
+    """Multi-source bounded-hop WEIGHTED shortest paths over the same
+    undirected supplier↔part graph as bfs_levels, with deterministic
+    integer weights w = (src + dst) % 19 + 1 (symmetric, so both
+    directions of an undirected edge agree). Unlike BFS, a longer-in-
+    hops path can win on weight, so the operator is Bellman-Ford with
+    an improvements-only frontier. Oracle: the identical recurrence
+    unrolled as 4 chained CTEs (generated) — integer MIN/+ are exactly
+    associative, so bit-equal across engines."""
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        shortest_paths,
+    )
+
+    _load(spark, sf_dir)
+    e = (spark.table("lineitem")
+         .select(F.col("l_suppkey").cast("long").alias("src"),
+                 (F.col("l_partkey") + F.lit(1_000_000))
+                 .cast("long").alias("dst"))
+         .distinct()
+         .withColumn("w", (F.col("src") + F.col("dst")) % 19 + 1))
+    und = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"),
+                                 F.col("w")))
+    sources = (e.select(F.col("src").alias("node")).distinct()
+               .filter("node % 97 = 0"))
+    return shortest_paths(und, sources, max_hops=4)
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (backward): each purchase event enriched with the
     user's latest at-or-before view event's value — the align-stream-
@@ -3898,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "profile_events": _q_profile_events,
         "bfs_levels": _q_bfs_levels,
+        "shortest_paths": _q_shortest_paths,
         "vocab_coverage": _q_vocab_coverage,
         "curriculum_bins": _q_curriculum_bins,
         "compression_ratio": _q_compression_ratio,
@@ -6549,6 +6578,24 @@ def oracle_sql() -> dict[str, str]:
         edges_sql="SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, "
                   "CAST(l_partkey + 1000000 AS BIGINT) AS dst "
                   "FROM lineitem")
+    # Weighted shortest paths: the Bellman-Ford recurrence unrolled as
+    # 4 chained CTEs (generated) — integer MIN/+ are exactly
+    # associative, so bit-equal with the frontier-optimized Spark loop.
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        shortest_paths_unrolled_sql,
+    )
+    out["shortest_paths"] = shortest_paths_unrolled_sql(
+        "wund", "srcs", max_hops=4,
+        edges_sql="WITH de AS ("
+                  " SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,"
+                  " CAST(l_partkey + 1000000 AS BIGINT) AS dst"
+                  " FROM lineitem),"
+                  " we AS (SELECT src, dst,"
+                  " (src + dst) % 19 + 1 AS w FROM de)"
+                  " SELECT src, dst, w FROM we"
+                  " UNION ALL SELECT dst, src, w FROM we",
+        sources_sql="SELECT DISTINCT CAST(l_suppkey AS BIGINT)"
+                    " AS node FROM lineitem WHERE l_suppkey % 97 = 0")
     # As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
     # union-tag + window kernel (equal-time matches included by both).
     out["asof_join"] = """

@@ -273,3 +273,119 @@ def bfs_levels(edges: DataFrame, sources: DataFrame,
         levels = levels.unionByName(nxt)
         frontier = nxt
     return levels.withColumn("level", F.col("level").cast("long"))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   src_col: str = "src", dst_col: str = "dst",
+                   weight_col: str = "w",
+                   max_hops: int = 4,
+                   checkpoint_every: int = 1) -> DataFrame:
+    """Multi-source bounded-hop shortest paths (Bellman-Ford with the
+    improvements-only frontier optimization) over directed weighted
+    edges with non-negative integer weights. Returns (node, dist):
+    the minimum total weight over paths of AT MOST ``max_hops`` edges
+    from any source; nodes unreachable within the bound are absent.
+    Unlike :func:`bfs_levels`, a node's distance can IMPROVE in a
+    later hop (a longer-in-edges but lighter-in-weight path), so the
+    visited set can't be frozen — instead each round keeps only the
+    offers that beat the incumbent, and only improved nodes relax
+    their out-edges next round (relaxing a non-improved node re-emits
+    offers already beaten; standard SPFA argument — after round k,
+    dists = exact min over <= k-edge paths, by induction).
+
+    Scale shape: per hop, ONE equi-join frontier x edges (shuffle
+    carries (node, dist) pairs only, never payloads), a map-side-
+    combined min-agg collapsing parallel offers BEFORE the incumbent
+    check, and a left-anti + union to fold improvements in. Integer
+    weights + MIN are exactly associative, so the unrolled DuckDB
+    oracle (:func:`shortest_paths_unrolled_sql`, which relaxes the
+    FULL dist table each round — same fixpoint) replays every round
+    bit-for-bit. Frontiers and the dist table are eagerly
+    localCheckpoint-ed so the O(diameter) driver-side emptiness
+    probes read materialized frames and lineage stays O(1).
+    """
+    dists = (sources.select(F.col("node").cast("long"))
+             .distinct()
+             .withColumn("dist", F.lit(0).cast("long")))
+    frontier = dists
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"),
+                     F.col(weight_col).cast("long").alias("w"))
+    for hop in range(1, max_hops + 1):
+        # dataset aliases, not DataFrame[col] refs: after hop 1 the
+        # frontier's lineage includes `e`, so unqualified columns are
+        # an ambiguous self-join
+        offers = (frontier.alias("f")
+                  .join(e.alias("e"),
+                        F.col("f.node") == F.col("e.src"))
+                  .select(F.col("e.dst").alias("node"),
+                          (F.col("f.dist")
+                           + F.col("e.w")).alias("dist"))
+                  .groupBy("node").agg(F.min("dist").alias("dist")))
+        improved = (offers.join(dists.select(
+                        "node", F.col("dist").alias("cur")),
+                        "node", "left")
+                    .filter(F.col("cur").isNull()
+                            | (F.col("dist") < F.col("cur")))
+                    .select("node", "dist"))
+        if checkpoint_every and hop % checkpoint_every == 0:
+            improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        dists = (dists.join(improved.select("node"), "node",
+                            "left_anti")
+                 .unionByName(improved))
+        if checkpoint_every and hop % checkpoint_every == 0:
+            dists = dists.localCheckpoint(eager=True)
+        frontier = improved
+    return dists.select(F.col("node").cast("long"),
+                        F.col("dist").cast("long"))
+
+
+def shortest_paths_unrolled_sql(edges_cte: str, sources_cte: str,
+                                max_hops: int = 4,
+                                edges_sql: str | None = None,
+                                sources_sql: str | None = None) -> str:
+    """The DuckDB oracle: Bellman-Ford unrolled as ``max_hops``
+    chained CTEs, each relaxing the FULL incumbent table (offers
+    UNION ALL incumbents, then MIN per node) — the textbook recurrence
+    the frontier-optimized Spark operator is provably equal to.
+    ``edges_cte`` must yield (src, dst, w) BIGINT rows and
+    ``sources_cte`` (node) BIGINT rows; pass ``edges_sql`` /
+    ``sources_sql`` to define them inline as leading CTEs."""
+    parts = []
+    if edges_sql is not None:
+        parts.append(f" {edges_cte} AS ({edges_sql})")
+    if sources_sql is not None:
+        parts.append(f" {sources_cte} AS ({sources_sql})")
+    parts.append(f"""
+        d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist
+               FROM {sources_cte})""")
+    prev = "d0"
+    for k in range(1, max_hops + 1):
+        parts.append(f"""
+        d{k} AS (
+          SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + e.w AS dist
+            FROM {prev} p JOIN {edges_cte} e ON e.src = p.node)
+          GROUP BY node)""")
+        prev = f"d{k}"
+    return ("WITH " + ",".join(parts)
+            + f" SELECT node, CAST(dist AS BIGINT) AS dist"
+              f" FROM {prev}")
+
+
+def shortest_paths_py(edges: list[tuple[int, int, int]],
+                      sources: list[int],
+                      max_hops: int = 4) -> dict[int, int]:
+    """Pure-python twin: full Bellman-Ford, ``max_hops`` rounds."""
+    dist: dict[int, int] = {s: 0 for s in sources}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and (d not in nxt or dist[s] + w < nxt[d]):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist

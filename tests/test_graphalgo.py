@@ -103,3 +103,78 @@ def test_bfs_levels_path_and_bound(spark):
     assert out1 == {1: 0, 10: 0, 2: 1, 4: 1}
     # directed: nothing reaches 9, and 1 is never re-entered
     assert 9 not in out
+
+
+def test_shortest_paths_twin_closed_forms():
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        shortest_paths_py,
+    )
+
+    # weighted triangle: the 2-edge path (1→2→3, cost 3) beats the
+    # direct edge (cost 10) — the case BFS levels can't express
+    edges = [(1, 2, 1), (2, 3, 2), (1, 3, 10)]
+    assert shortest_paths_py(edges, [1], max_hops=1) == {
+        1: 0, 2: 1, 3: 10}
+    assert shortest_paths_py(edges, [1], max_hops=2) == {
+        1: 0, 2: 1, 3: 3}
+    # hop bound excludes the far tail entirely
+    chain = [(1, 2, 5), (2, 3, 5), (3, 4, 5)]
+    assert shortest_paths_py(chain, [1], max_hops=2) == {
+        1: 0, 2: 5, 3: 10}
+    # multi-source: nearest source wins
+    assert shortest_paths_py(chain, [1, 4], max_hops=2) == {
+        1: 0, 2: 5, 3: 10, 4: 0}
+
+
+@pytest.mark.parametrize("hops", [1, 3, 6])
+def test_shortest_paths_spark_equals_python_and_sql(spark, hops):
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        shortest_paths,
+        shortest_paths_py,
+        shortest_paths_unrolled_sql,
+    )
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(25), rng.randrange(25))
+                    for _ in range(120)})
+    edges = [(s, d, rng.randrange(1, 20)) for s, d in edges]
+    sources = [0, 7, 13]
+    want = shortest_paths_py(edges, sources, max_hops=hops)
+
+    e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+    s_df = spark.createDataFrame([(s,) for s in sources],
+                                 "node long")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(e_df, s_df, max_hops=hops,
+                                   checkpoint_every=2).collect()}
+    assert got == want
+
+    vals = ", ".join(f"({s}, {d}, {w})" for s, d, w in edges)
+    svals = ", ".join(f"({s})" for s in sources)
+    sql = shortest_paths_unrolled_sql(
+        "edges", "srcs", max_hops=hops,
+        edges_sql=f"SELECT CAST(c0 AS BIGINT) AS src,"
+                  f" CAST(c1 AS BIGINT) AS dst,"
+                  f" CAST(c2 AS BIGINT) AS w"
+                  f" FROM (VALUES {vals}) t(c0, c1, c2)",
+        sources_sql=f"SELECT CAST(c0 AS BIGINT) AS node"
+                    f" FROM (VALUES {svals}) t(c0)")
+    oracle = {int(n): int(d) for n, d in duckdb.sql(sql).fetchall()}
+    assert oracle == want
+
+
+def test_shortest_paths_early_termination_equals_full(spark):
+    from dataflow_flex_templates_spark.operators.graphalgo import (
+        shortest_paths,
+        shortest_paths_py,
+    )
+
+    # diameter-2 graph: rounds 3..8 are no-ops; the operator's empty-
+    # frontier break must not change the result
+    edges = [(1, 2, 3), (1, 3, 1), (3, 2, 1), (2, 4, 1)]
+    e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+    s_df = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(e_df, s_df, max_hops=8).collect()}
+    assert got == shortest_paths_py(edges, [1], max_hops=8)
+    assert got == {1: 0, 2: 2, 3: 1, 4: 3}
