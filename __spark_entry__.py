@@ -1714,6 +1714,70 @@ def _q_dedup_clusters(spark, sf_dir):
     return cluster_duplicates(pairs).select("id", "cluster_rep")
 
 
+def _q_stream_cc(spark, sf_dir):
+    """The dedup_clusters row run CONTINUOUSLY: the same exact-jaccard
+    near-dup pairs replayed as a pair stream, each micro-batch folded
+    by `streaming/cc_stream.py cc_apply_batch` into an APPEND-ONLY
+    node_labels store plus a roots-sized path-compressed rep_root
+    forest — no batch ever re-reads the accumulated pairs or rewrites
+    a node row. Roots are component minima (min is associative), so
+    the fold is exact at ANY batch split and the final
+    resolve_labels read-out lands byte-identical to the batch row's
+    recursive-CTE transitive-closure oracle — which this row shares."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dataflow_flex_templates_spark.streaming.cc_stream import (
+        cc_apply_batch,
+        resolve_labels,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id < 120")
+    pairs = (ngram_jaccard_pairs(docs, threshold=0.18, n=3)
+             .select(F.col("id_a").cast("long"),
+                     F.col("id_b").cast("long"))
+             .orderBy("id_a", "id_b").toPandas())
+    root = tempfile.mkdtemp(prefix="entry_cc_stream_")
+    inp = os.path.join(root, "in")
+    schema = "id_a long, id_b long"
+    chunk = len(pairs) // 5 + 1
+    for i in range(0, len(pairs), chunk):
+        spark.createDataFrame(pairs.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    labels_dir = os.path.join(root, "labels")
+    rep_root_dirs = os.path.join(root, "rep")
+    cur = {"rep": os.path.join(rep_root_dirs, "init")}
+    spark.createDataFrame([], "rep long, root long") \
+        .write.parquet(cur["rep"])
+    spark.createDataFrame([], "id long, first_rep long") \
+        .write.mode("append").parquet(labels_dir)
+
+    def fold(batch_df, batch_id):
+        node_labels = spark.read.parquet(labels_dir)
+        rep_root = spark.read.parquet(cur["rep"])
+        new_rows, new_rep = cc_apply_batch(batch_df, node_labels,
+                                           rep_root)
+        new_rows.write.mode("append").parquet(labels_dir)
+        nxt = os.path.join(rep_root_dirs, f"b{batch_id}")
+        new_rep.write.parquet(nxt)
+        cur["rep"] = nxt
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_cc")
+
+    return resolve_labels(spark.read.parquet(labels_dir),
+                          spark.read.parquet(cur["rep"]))
+
+
 def _q_dedup_keep(spark, sf_dir):
     """End-to-end dedup filter: drop every non-representative member of
     a near-dup component; keep representatives + unpaired docs."""
@@ -3938,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "stream_cc": _q_stream_cc,
         "dedup_keep": _q_dedup_keep,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -6923,6 +6988,10 @@ def oracle_sql() -> dict[str, str]:
           FROM sc)
         SELECT query_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 5
     """
+    # Incremental streaming CC: the fold is exact at any batch split
+    # (roots are component minima; min is associative), so the batch
+    # row's transitive-closure oracle IS the streaming row's oracle.
+    out["stream_cc"] = out["dedup_clusters"]
     return out
 
 

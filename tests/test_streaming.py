@@ -1226,3 +1226,66 @@ def test_scd2_incremental_equals_batch(spark):
             (r["user"], r["version"], r["st"], r["valid_from"],
              None, 1) for r in tails.collect())
         assert sorted(got, key=repr) == want, f"chunk={chunk}"
+
+
+def test_cc_incremental_equals_batch(spark):
+    """The incremental-CC fold's associativity law: folding pair
+    micro-batches through cc_apply_batch (append-only node_labels +
+    path-compressed rep_root) lands on EXACTLY the labels
+    cluster_duplicates rebuilds from the full pair set. The fixture
+    forces every store transition: cross-batch component merges, a
+    NEW node becoming the new component minimum (old roots re-point),
+    redelivered duplicate pairs (contract to loops, cost nothing),
+    same-component pairs, and a final merge-of-merges. Chunk sizes 1
+    (every pair its own batch — worst case), 4, and one-shot."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        cluster_duplicates,
+    )
+    from dataflow_flex_templates_spark.streaming.cc_stream import (
+        cc_apply_batch,
+        resolve_labels,
+    )
+
+    pairs = [
+        (5, 6), (10, 11),      # two fresh components (roots 5, 10)
+        (6, 10),               # cross-batch merge -> root 5
+        (2, 11),               # new node IS the new min -> root 2
+        (5, 6),                # redelivered duplicate: contracts away
+        (20, 21), (22, 23),
+        (21, 22),              # chain merge -> root 20
+        (1, 23),               # late new min -> root 1
+        (30, 31),              # untouched component
+        (2, 30),               # merge comp(2) with comp(30) -> root 2
+        (31, 20),              # merge-of-merges: everything -> root 1
+        (6, 11),               # same-component pair: pure no-op
+    ]
+    schema = "id_a long, id_b long"
+    full = spark.createDataFrame(pairs, schema)
+    want = sorted(
+        (r["id"], r["cluster_rep"])
+        for r in cluster_duplicates(full).collect())
+
+    for chunk in (1, 4, len(pairs)):
+        node_labels = spark.createDataFrame([], "id long, first_rep long")
+        rep_root = spark.createDataFrame([], "rep long, root long")
+        for i in range(0, len(pairs), chunk):
+            b = spark.createDataFrame(pairs[i:i + chunk], schema)
+            new_rows, rep_root = cc_apply_batch(b, node_labels, rep_root)
+            # materialize like a store (the driver row's parquet
+            # round-trip); node_labels is append-only
+            node_labels = spark.createDataFrame(
+                node_labels.collect() + new_rows.collect(),
+                schema=node_labels.schema)
+            rep_root = spark.createDataFrame(
+                rep_root.collect(), schema=rep_root.schema)
+        got = sorted(
+            (r["id"], r["cluster_rep"])
+            for r in resolve_labels(node_labels, rep_root).collect())
+        assert got == want, f"chunk={chunk}"
+        # the forest is roots-sized and fully path-compressed: every
+        # stored root is a FINAL component representative
+        reps = {r["rep"]: r["root"] for r in rep_root.collect()}
+        final = {cr for _, cr in want}
+        assert set(reps.values()) <= final, f"chunk={chunk}"
+        for rep, root in reps.items():
+            assert reps.get(root, root) == root, f"chunk={chunk}"
