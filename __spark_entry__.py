@@ -1833,6 +1833,65 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.18)
 
 
+def _q_stream_minhash_lsh(spark, sf_dir):
+    """The minhash_lsh row run CONTINUOUSLY: the same documents
+    replayed as a chunked file stream, each micro-batch folded by
+    `streaming/lsh_stream.py lsh_apply_batch` into APPEND-ONLY bucket
+    and shingle stores; near-dup pairs are emitted exactly once, the
+    moment the later document of the pair arrives — no batch ever
+    rescans the accumulated corpus. Same signatures, same band hashes
+    (shared band_buckets), same exact-Jaccard verify, so the union of
+    emitted pairs is byte-identical to the batch row's output — and
+    this row shares its oracle."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.lsh_stream import (
+        lsh_apply_batch,
+    )
+
+    _load(spark, sf_dir)
+    docs = (spark.table("documents").filter("doc_id < 120")
+            .select("doc_id", "text").orderBy("doc_id").toPandas())
+    root = tempfile.mkdtemp(prefix="entry_lsh_stream_")
+    inp = os.path.join(root, "in")
+    schema = "doc_id long, text string"
+    chunk = len(docs) // 5 + 1
+    for i in range(0, len(docs), chunk):
+        spark.createDataFrame(docs.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    pairs_dir = os.path.join(root, "pairs")
+    bk_dir = os.path.join(root, "buckets")
+    sh_dir = os.path.join(root, "shingles")
+    spark.createDataFrame([], "id long, band int, bh long") \
+        .write.mode("append").parquet(bk_dir)
+    spark.createDataFrame([], "id long, sh array<string>, sh_size int") \
+        .write.mode("append").parquet(sh_dir)
+    spark.createDataFrame(
+        [], "id_a long, id_b long, jaccard double") \
+        .write.mode("append").parquet(pairs_dir)
+
+    def fold(batch_df, batch_id):
+        buckets = spark.read.parquet(bk_dir)
+        shingles = spark.read.parquet(sh_dir)
+        new_pairs, new_bk, new_sh = lsh_apply_batch(
+            batch_df, buckets, shingles,
+            num_hashes=32, bands=16, threshold=0.18)
+        new_pairs.write.mode("append").parquet(pairs_dir)
+        new_bk.write.mode("append").parquet(bk_dir)
+        new_sh.write.mode("append").parquet(sh_dir)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_minhash_lsh")
+
+    return spark.read.parquet(pairs_dir)
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash fingerprints. Oracle: signatures recomputed by the
     pure-Python XXH64 twin (independent implementation of the public
@@ -4008,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "cosine_topk": _q_cosine_topk,
         "minhash_lsh": _q_minhash_lsh,
+        "stream_minhash_lsh": _q_stream_minhash_lsh,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -4192,7 +4252,7 @@ _CONSTANTS = None
 #: SPARK_GRAFT_ORACLE_CONSTANTS at the result.
 ORACLE_PINNED_SF_DIR = "/root/testdata/sf0.01"
 SF_PINNED_QUERIES = frozenset({
-    "simhash", "simhash_pairs", "minhash_lsh",
+    "simhash", "simhash_pairs", "minhash_lsh", "stream_minhash_lsh",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_neardup_lsh",
     "compression_ratio",
 })
@@ -6992,6 +7052,11 @@ def oracle_sql() -> dict[str, str]:
     # (roots are component minima; min is associative), so the batch
     # row's transitive-closure oracle IS the streaming row's oracle.
     out["stream_cc"] = out["dedup_clusters"]
+    # Incremental streaming LSH: each pair emitted exactly once (when
+    # its later doc arrives), same band hashes + exact-Jaccard verify
+    # as the batch operator, so the union of emissions == the batch
+    # row — whose oracle this row shares.
+    out["stream_minhash_lsh"] = out["minhash_lsh"]
     return out
 
 

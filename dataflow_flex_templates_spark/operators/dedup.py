@@ -143,6 +143,28 @@ def minhash_signatures(
     return inv.groupBy("id").agg(*aggs)
 
 
+def band_buckets(sig: DataFrame, num_hashes: int = 32,
+                 bands: int = 8) -> DataFrame:
+    """(id, band, bh) bucket rows from a minhash-signature frame: each
+    band's rows-per-band signature slice collapses to one xxhash64.
+    Factored out so the batch pair generator and the streaming bucket
+    store (`streaming/lsh_stream.py`) hash bands IDENTICALLY — the
+    streaming fold's exactness depends on it."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    return (sig.select("id", F.explode(band_cols).alias("bk"))
+            .select("id", F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
@@ -160,19 +182,8 @@ def minhash_lsh_pairs(
     shingle Jaccard so output precision is 1.0.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
-    band_cols = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("bh"),
-        )
-        for b in range(bands)
-    ])
-    buckets = (sig.select("id", F.explode(band_cols).alias("bk"))
-                  .select("id", F.col("bk.band").alias("band"),
-                          F.col("bk.bh").alias("bh")))
+    buckets = band_buckets(sig, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -1289,3 +1289,69 @@ def test_cc_incremental_equals_batch(spark):
         assert set(reps.values()) <= final, f"chunk={chunk}"
         for rep, root in reps.items():
             assert reps.get(root, root) == root, f"chunk={chunk}"
+
+
+def test_lsh_incremental_equals_batch(spark):
+    """The streaming LSH fold's law: the union of pairs emitted across
+    micro-batches (each pair exactly once, when its later doc arrives)
+    == minhash_lsh_pairs over the full corpus — same signatures, same
+    band hashes (shared band_buckets), same exact-Jaccard verify. The
+    fixture has near-dup pairs inside one batch, across adjacent
+    batches, and spanning the whole stream, plus a redelivered doc id
+    (dropped: a document is signed exactly once)."""
+    from dataflow_flex_templates_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dataflow_flex_templates_spark.streaming.lsh_stream import (
+        lsh_apply_batch,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "the rain in spain stays mainly on the plain")
+    docs = [
+        (1, base),
+        (2, base + " tonight"),                    # near-dup of 1
+        (3, "completely different text about spark structured "
+            "streaming state stores and watermarks"),
+        (4, base.replace("quick", "swift")),       # near-dup of 1/2
+        (5, "another unrelated document mentioning parquet row "
+            "groups and bucketed joins"),
+        (6, base),                                 # exact dup of 1
+        (7, "completely different text about spark structured "
+            "streaming state stores and watermark eviction"),  # ~3
+        (2, "REDELIVERED id two with other text"),  # dropped
+        (8, base + " tonight again"),              # ~1/2/4/6
+    ]
+    schema = "doc_id long, text string"
+    # batch semantics: first occurrence of an id wins
+    first = {}
+    for i, t in docs:
+        first.setdefault(i, t)
+    full = spark.createDataFrame(sorted(first.items()), schema)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(full, threshold=0.5).collect())
+    assert want, "fixture must produce near-dup pairs"
+    assert any(a != 1 and b == 6 for a, b, _ in want) or any(
+        a == 1 and b == 6 for a, b, _ in want)
+
+    for chunk in (1, 4, len(docs)):
+        buckets = spark.createDataFrame(
+            [], "id long, band int, bh long")
+        shingles = spark.createDataFrame(
+            [], "id long, sh array<string>, sh_size int")
+        got = []
+        for i in range(0, len(docs), chunk):
+            b = spark.createDataFrame(docs[i:i + chunk], schema)
+            pairs, new_bk, new_sh = lsh_apply_batch(
+                b, buckets, shingles, threshold=0.5)
+            got.extend((r["id_a"], r["id_b"], r["jaccard"])
+                       for r in pairs.collect())
+            buckets = spark.createDataFrame(
+                buckets.collect() + new_bk.collect(),
+                schema=buckets.schema)
+            shingles = spark.createDataFrame(
+                shingles.collect() + new_sh.collect(),
+                schema=shingles.schema)
+        assert sorted(got) == want, f"chunk={chunk}"
+        assert len(got) == len(set(got)), f"chunk={chunk}: dup emit"
