@@ -2422,6 +2422,54 @@ def _q_hll_user_registers(spark, sf_dir):
                          ["event_type"], p=6)
 
 
+def _q_stream_hll(spark, sf_dir):
+    """The hll_user_registers row run CONTINUOUSLY: the same events
+    replayed as a stream, each micro-batch sketched ALONE and folded
+    by `streaming/hll_stream.py hll_apply_batch` into a keyed register
+    store through a STRICT-INCREASE upsert changelog — one register
+    emits at most 65-p rows EVER regardless of stream length, and a
+    re-delivered batch emits nothing. MAX is associative, so the
+    compacted log is byte-identical to the batch row's register table
+    at ANY batch split — this row shares that row's
+    register-algebra DuckDB oracle."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.hll_stream import (
+        compact_log,
+        hll_apply_batch,
+    )
+
+    _load(spark, sf_dir)
+    events = spark.table("events").select("event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="entry_hll_stream_")
+    inp = os.path.join(root, "in")
+    # 5 stream files ~= 5 micro-batches under maxFilesPerTrigger=1
+    events.repartition(5).write.parquet(inp)
+
+    log_dir = os.path.join(root, "log")
+    spark.createDataFrame(
+        [], "event_type string, reg_idx long, max_rho long") \
+        .write.mode("append").parquet(log_dir)
+
+    def fold(batch_df, batch_id):
+        store = compact_log(spark.read.parquet(log_dir),
+                            ["event_type"])
+        hll_apply_batch(batch_df, store, "user_id",
+                        ["event_type"], p=6) \
+            .write.mode("append").parquet(log_dir)
+
+    q = (spark.readStream
+         .schema(events.schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_hll")
+
+    return compact_log(spark.read.parquet(log_dir), ["event_type"])
+
+
 def _q_hll_windowed(spark, sf_dir):
     """Windowed HLL registers: distinct-user sketch per 1-hour event
     window — state ≤ 2^p longs per window however many users it saw.
@@ -4095,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_registers": _q_bloom_registers,
         "cms_registers": _q_cms_registers,
         "hll_user_registers": _q_hll_user_registers,
+        "stream_hll": _q_stream_hll,
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
         "value_hist_quantile": _q_value_hist_quantile,
@@ -7057,6 +7106,11 @@ def oracle_sql() -> dict[str, str]:
     # as the batch operator, so the union of emissions == the batch
     # row — whose oracle this row shares.
     out["stream_minhash_lsh"] = out["minhash_lsh"]
+    # Incremental streaming HLL: strict-increase upsert changelog;
+    # MAX is associative, so the compacted log == the batch register
+    # table at any split — the batch row's oracle IS this row's.
+    if "hll_user_registers" in out:
+        out["stream_hll"] = out["hll_user_registers"]
     return out
 
 

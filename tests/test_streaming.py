@@ -1355,3 +1355,65 @@ def test_lsh_incremental_equals_batch(spark):
                 schema=shingles.schema)
         assert sorted(got) == want, f"chunk={chunk}"
         assert len(got) == len(set(got)), f"chunk={chunk}: dup emit"
+
+
+def test_hll_incremental_equals_batch(spark):
+    """The streaming-HLL fold's law: compacting the strict-increase
+    upsert changelog over ANY batch split == hll_registers over the
+    full input (MAX is associative; the per-row register derivation is
+    deterministic). The fixture forces every transition: a register
+    created, later raised by a different value, re-observed at a
+    LOWER rho (no emission), and an identically re-delivered batch
+    (zero upserts — redelivery contracts away)."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        hll_registers,
+    )
+    from dataflow_flex_templates_spark.streaming.hll_stream import (
+        compact_log,
+        hll_apply_batch,
+    )
+
+    rows = [("click", f"u{i}") for i in range(40)] \
+        + [("view", f"u{i}") for i in range(15, 55)] \
+        + [("click", f"u{i}") for i in range(20)]   # re-observations
+    schema = "event_type string, user_id string"
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r["event_type"], r["reg_idx"], r["max_rho"])
+        for r in hll_registers(full, "user_id", ["event_type"],
+                               p=5).collect())
+    assert want, "fixture must populate registers"
+
+    for chunk in (7, 25, len(rows)):
+        log = spark.createDataFrame(
+            [], "event_type string, reg_idx long, max_rho long")
+        emitted = 0
+        for i in range(0, len(rows), chunk):
+            b = spark.createDataFrame(rows[i:i + chunk], schema)
+            store = compact_log(log, ["event_type"])
+            ups = hll_apply_batch(b, store, "user_id",
+                                  ["event_type"], p=5)
+            got_ups = ups.collect()
+            emitted += len(got_ups)
+            log = spark.createDataFrame(
+                log.collect() + got_ups, schema=log.schema)
+        got = sorted(
+            (r["event_type"], r["reg_idx"], r["max_rho"])
+            for r in compact_log(log, ["event_type"]).collect())
+        assert got == want, f"chunk={chunk}"
+        # boundedness: every emission was a strict increase, so the
+        # changelog cannot exceed registers x (65-p) and in practice
+        # stays near the register count
+        assert emitted <= len(want) * (65 - 5), f"chunk={chunk}"
+
+    # redelivery safety: folding the WHOLE input against its own
+    # compacted log emits nothing
+    store = compact_log(log, ["event_type"])
+    assert hll_apply_batch(full, store, "user_id", ["event_type"],
+                           p=5).count() == 0
+
+    # register-schema clash guard
+    import pytest as _pytest
+    bad = full.withColumn("max_rho", full["user_id"])
+    with _pytest.raises(ValueError, match="max_rho"):
+        hll_apply_batch(bad, store, "user_id", ["event_type"], p=5)
