@@ -2470,6 +2470,37 @@ def _q_stream_hll(spark, sf_dir):
     return compact_log(spark.read.parquet(log_dir), ["event_type"])
 
 
+def _q_clip_conformance(spark, sf_dir):
+    """Migration conformance gate — the north-star acceptance check
+    (per-row decoded-PCM SNR ≥ 30 dB + transcript equality) as an
+    operator: full-outer join two keyed clip tables, decode both
+    payloads in one Arrow pass, verdict per clip_id. Fixture: the
+    shared (left, right) builder exercising all seven statuses.
+    Oracle: the twin re-derives every verdict with the same
+    decode/snr kernels (pinned VALUES); comparison genuine SQL."""
+    from dataflow_flex_templates_spark.operators.conformance import (
+        clip_conformance,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        conformance_fixture_pdfs,
+    )
+
+    left_pdf, right_pdf = conformance_fixture_pdfs()
+    schema = clips_spark_schema()
+    left = spark.createDataFrame(left_pdf, schema=schema)
+    right = spark.createDataFrame(right_pdf, schema=schema)
+    out = clip_conformance(left, right)
+    # NULL evidence ints → -1 sentinels for the hash compare (NaN is
+    # unhashable across engines; operator semantics keep the NULLs)
+    return out.select(
+        "clip_id", "status",
+        F.coalesce(F.col("n_left"), F.lit(-1)).alias("n_left"),
+        F.coalesce(F.col("n_right"), F.lit(-1)).alias("n_right"),
+        F.coalesce(F.col("snr_mdb"), F.lit(-1)).alias("snr_mdb"),
+        "transcript_equal")
+
+
 def _q_hll_windowed(spark, sf_dir):
     """Windowed HLL registers: distinct-user sketch per 1-hour event
     window — state ≤ 2^p longs per window however many users it saw.
@@ -4144,6 +4175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_registers": _q_cms_registers,
         "hll_user_registers": _q_hll_user_registers,
         "stream_hll": _q_stream_hll,
+        "clip_conformance": _q_clip_conformance,
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
         "value_hist_quantile": _q_value_hist_quantile,
@@ -6641,6 +6673,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dur_ms AS INTEGER) AS dur_ms,
                    CAST(sum_abs AS BIGINT) AS sum_abs
             FROM {wv} ORDER BY clip_id
+        """
+    # Clip conformance: the twin re-derives every per-clip verdict
+    # (status algebra independently re-implemented; decode/snr kernels
+    # shared) from the SAME fixture builder — pinned VALUES, the
+    # SELECT/ordering genuine SQL.
+    if "clip_conformance" in const:
+        cf = _values_table(const["clip_conformance"],
+                           ["clip_id", "status", "n_left", "n_right",
+                            "snr_mdb", "transcript_equal"])
+        out["clip_conformance"] = f"""
+            SELECT clip_id, status,
+                   COALESCE(CAST(n_left AS BIGINT), -1) AS n_left,
+                   COALESCE(CAST(n_right AS BIGINT), -1) AS n_right,
+                   COALESCE(CAST(snr_mdb AS BIGINT), -1) AS snr_mdb,
+                   CAST(transcript_equal AS BOOLEAN) AS transcript_equal
+            FROM {cf} ORDER BY clip_id
         """
     # Transcode fidelity: per-clip decode-vs-reference integers pinned
     # (lossy alaw/adpcm_ima fixture); rollup + SNR gate genuine SQL.

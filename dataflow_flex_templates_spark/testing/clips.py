@@ -435,3 +435,79 @@ def generate_clips_distributed(
 
     return (spark.range(0, n, numPartitions=num_partitions)
             .mapInPandas(gen, schema=schema))
+
+
+# ------------------------------------------------------------------
+# Migration-conformance fixture: a (left, right) clip-table pair where
+# `right` derives from `left` by clip-indexed mutations covering every
+# operators/conformance.py status. Pure pandas/numpy — the driver row
+# and the oracle twin (scripts/gen_oracle_constants.py) build the
+# IDENTICAL tables from this one function, so the pinned verdicts
+# cannot drift from the fixture.
+# ------------------------------------------------------------------
+
+_CONF_ITEMSIZE = {"pcm_s16le": 2, "pcm_f32le": 4, "ulaw": 1}
+
+
+def conformance_fixture_pdfs(n: int = 240, seed: int = 77):
+    """(left_pdf, right_pdf). Mutation by clip index i % 8:
+
+      0  row dropped from right            -> missing_right
+      1  transcript + " EDITED"            -> transcript_diff
+      2  transcoded to adpcm_ima           -> pass / snr_below_floor
+                                              (codec physics per clip)
+      3  transcoded to alaw                -> pass (typically ≥30 dB)
+      4  payload truncated to half         -> length_mismatch
+      5  codec relabeled "mp3"             -> poison (unknown codec)
+      6  waveform ×0.999, re-encoded       -> pass (high SNR)
+      7  byte-identical                    -> pass (SNR capped 200 dB)
+
+    plus 3 right-only clips                -> missing_left.
+    """
+    from dataflow_flex_templates_spark.functions.audio import (
+        decode_pcm_np,
+    )
+
+    left = make_clips_pdf(n, seed=seed, dup_rate=0.0, late_rate=0.0,
+                          max_dur_ms=800)
+    rows = []
+    for _, r in left.iterrows():
+        i = int(r["clip_id"].rsplit("_", 1)[1])
+        k = i % 8
+        if k == 0:
+            continue
+        row = r.copy()
+        if k == 1:
+            row["transcript"] = r["transcript"] + " EDITED"
+        elif k == 2:
+            w = decode_pcm_np(r["bytes"], r["codec"])
+            row["bytes"] = encode_pcm_np(w, "adpcm_ima")
+            row["codec"] = "adpcm_ima"
+        elif k == 3:
+            w = decode_pcm_np(r["bytes"], r["codec"])
+            row["bytes"] = encode_pcm_np(w, "alaw")
+            row["codec"] = "alaw"
+        elif k == 4:
+            item = _CONF_ITEMSIZE[r["codec"]]
+            half = (len(r["bytes"]) // 2 // item) * item
+            row["bytes"] = r["bytes"][:half]
+        elif k == 5:
+            row["codec"] = "mp3"
+        elif k == 6:
+            w = decode_pcm_np(r["bytes"], r["codec"])
+            row["bytes"] = encode_pcm_np(w * np.float32(0.999),
+                                         r["codec"])
+        rows.append(row)
+    right = pd.DataFrame(rows).reset_index(drop=True)
+
+    extra = []
+    for j in range(3):
+        cid = f"clip_extra_{j:03d}"
+        sr, dur = 16000, 300
+        w = reference_waveform(cid, sr, dur)
+        extra.append((cid, encode_pcm_np(w, "pcm_s16le"), sr, dur,
+                      "pcm_s16le", reference_transcript(cid), EPOCH))
+    right = pd.concat(
+        [right, pd.DataFrame(extra, columns=list(left.columns))],
+        ignore_index=True)
+    return left, right

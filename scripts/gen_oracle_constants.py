@@ -437,6 +437,58 @@ def main() -> None:
                         int(round(snr_db(ref, w) * 1000.0))])
     out["audio_transcode"] = tc_rows
 
+    # ---- Clip-conformance verdicts (clip_conformance driver query) ---
+    # The (left, right) pair comes from the ONE shared fixture builder
+    # (testing/clips.py conformance_fixture_pdfs); the status algebra
+    # below is an independent re-derivation of
+    # operators/conformance.clip_conformance — only the decode/snr
+    # kernels are shared (the accepted shared-kernel twin pattern).
+    from dataflow_flex_templates_spark.testing.clips import (
+        conformance_fixture_pdfs,
+    )
+
+    cf_left, cf_right = conformance_fixture_pdfs()
+    lmap = {r["clip_id"]: r for _, r in cf_left.iterrows()}
+    rmap = {r["clip_id"]: r for _, r in cf_right.iterrows()}
+    cf_rows = []
+    for cid in sorted(set(lmap) | set(rmap)):
+        lrow, rrow = lmap.get(cid), rmap.get(cid)
+
+        def _dec(row):
+            if row is None:
+                return None
+            try:
+                return decode_pcm_np(row["bytes"], row["codec"])
+            except Exception:
+                return None
+
+        w1, w2 = _dec(lrow), _dec(rrow)
+        n1 = len(w1) if w1 is not None else None
+        n2 = len(w2) if w2 is not None else None
+        snr = (int(round(snr_db(w1, w2) * 1000.0))
+               if w1 is not None and w2 is not None else None)
+        t1 = lrow["transcript"] if lrow is not None else None
+        t2 = rrow["transcript"] if rrow is not None else None
+        tx_eq = t1 == t2 if (t1 is not None or t2 is not None) else True
+        if lrow is None:
+            status = "missing_left"
+        elif rrow is None:
+            status = "missing_right"
+        elif n1 is None or n2 is None:
+            status = "poison"
+        elif n1 != n2:
+            status = "length_mismatch"
+        elif snr < 30000:
+            status = "snr_below_floor"
+        elif not tx_eq:
+            status = "transcript_diff"
+        else:
+            status = "pass"
+        cf_rows.append([cid, status, n1, n2, snr, bool(tx_eq)])
+    assert len({r[1] for r in cf_rows}) == 7, \
+        "conformance fixture must exercise all seven statuses"
+    out["clip_conformance"] = cf_rows
+
     # ---- WAV-ingest fixture facts (wav_ingest driver query) ----------
     # Fully derivable without Spark: the wavio writer/parser twin IS
     # the oracle; the poison file (i=13) pins NULL fields.
