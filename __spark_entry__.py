@@ -1295,6 +1295,21 @@ def _q_pack_audio_batches(spark, sf_dir):
     return pack_clip_batches(clips, batch_size=32, n_shards=8)
 
 
+def _q_shard_plan(spark, sf_dir):
+    """Writer-side output-shard sizing plan (the measured durable fix
+    for the hotfile skew regime — BASELINE.md): metadata-only
+    cumulative-byte binning of documents into ~2000-byte output
+    shards per source, one data-sized Exchange. Oracle: the identical
+    running-sum window + integer-div algebra in SQL."""
+    from dataflow_flex_templates_spark.operators.shard import shard_plan
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "source",
+        F.length("text").cast("long").alias("size_bytes"))
+    return shard_plan(docs, target_bytes=2000)
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4112,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_srt_emit": _q_stream_srt_emit,
         "stream_mixture_monitor": _q_stream_mixture_monitor,
         "pack_audio_batches": _q_pack_audio_batches,
+        "shard_plan": _q_shard_plan,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -5496,6 +5512,28 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                    END AS waste_permille
             FROM agg
+        """,
+        # target_bytes=2000 mirrors _q_shard_plan; (source, doc_id)
+        # ordering makes the running sum — hence every shard boundary
+        # — total-order identical across engines.
+        "shard_plan": r"""
+            WITH sized AS (
+              SELECT source, doc_id,
+                     CAST(length(text) AS BIGINT) AS sz
+              FROM documents),
+            assigned AS (
+              SELECT source, doc_id, sz,
+                     (SUM(sz) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - sz) // 2000 AS shard_idx
+              FROM sized)
+            SELECT source, CAST(shard_idx AS BIGINT) AS shard_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(sz) AS BIGINT) AS shard_bytes,
+                   MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+                   CAST(SUM(sz) * 1000 // 2000 AS BIGINT)
+                     AS fill_permille
+            FROM assigned GROUP BY source, shard_idx
         """,
         # window_us=600000000 mirrors _q_rolling_user_stats; floor()
         # (not CAST) for the cents so both engines agree on negatives.

@@ -1,0 +1,145 @@
+"""Writer-side output-shard sizing — the durable fix for hot-file skew.
+
+The skew study (BASELINE.md "Skew") measured that the damaging regime
+for a 100-TB audio corpus is not key skew (the decode path never
+shuffles on codec/sr, so a hot key cannot form a hot reducer) but
+LAYOUT damage: one giant file per codec collapses the scan to a
+handful of splits and starves every core downstream — and salting,
+the read-side remedy, costs a payload shuffle that measured BELOW
+break-even for cheap PCM codecs (salt_recovery 0.675). The durable
+fix named by that analysis is writer-side file sizing: never produce
+the pathological layout in the first place. This module is that fix
+as a first-class operator pair:
+
+- ``assign_shards`` / ``shard_plan`` — a METADATA-ONLY binning of
+  rows into target-byte output shards (cumulative-byte-space binning:
+  a shard boundary falls at every multiple of ``target_bytes`` in the
+  running per-key byte total). Pure integer window algebra — a SQL
+  oracle reproduces every assignment bit-for-bit — and the payload
+  column is never touched, so at 10^12-clip scale the plan runs over
+  the metadata columns alone (size from ``dur_ms``/``sr_hz``/stored
+  byte length, never ``length(bytes)`` on the hot path).
+- ``write_sized`` — applies the assignment and writes ONE file per
+  shard (``partitionBy(key, shard_idx)`` after a repartition on the
+  same columns guarantees each shard directory is written by exactly
+  one task), so every downstream scan of the table gets splits of
+  ~``target_bytes`` regardless of key skew in the source.
+
+Scale: ONE data-sized Exchange (hash on ``key_col`` for the running
+sum — the same single-shuffle shape as ``audio_pack.pack_clip_batches``);
+the per-shard summary aggregation exchanges only pre-aggregated
+|shards|-sized rows. No global order exists anywhere: shards are
+independent per key, and re-planning after new ingest is a per-key
+job.
+
+The reference engine (neo4j-partners/dataflow-flex-templates) has no
+writer-side sizing — its sink batches by ROW COUNT only
+(docs/README.md batching section); this is a §2.11 extension
+motivated by the measured hotfile regime.
+
+Shard-index semantics: ``shard_idx = (cum_bytes - size) div target``
+— the bin is the multiple of ``target_bytes`` the row STARTS in. An
+oversize row (size > target) occupies several bins' worth of
+cumulative space, so indices may skip; non-empty shards carry between
+``target - max_size + 1`` and ``target + max_size - 1`` bytes (the
+last shard per key may carry less). Totals are exactly preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SHARD_COL = "shard_idx"
+
+
+def _check_clash(df: DataFrame, *internal: str) -> None:
+    clash = set(internal) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} clash with internal "
+            f"columns; rename them first")
+
+
+def assign_shards(df: DataFrame, target_bytes: int,
+                  key_col: str = "source", id_col: str = "doc_id",
+                  size: Column | str = "size_bytes") -> DataFrame:
+    """All input columns plus ``shard_idx``: the target-byte output
+    shard this row belongs to within its ``key_col`` group.
+
+    ``size`` is an integer byte count — a column name or a Column
+    expression over METADATA (pass e.g. a duration-derived estimate
+    for audio; never force a payload scan here). Rows bin in
+    ``(key, id)`` order, so the assignment is total-order
+    deterministic and identical across engines, partitionings and
+    retries.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got "
+                         f"{target_bytes}")
+    _check_clash(df, _SHARD_COL, "__cum_bytes", "__sz")
+    sz = F.col(size).cast("long") if isinstance(size, str) \
+        else size.cast("long")
+    w = (Window.partitionBy(key_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("__sz", sz)
+            .withColumn("__cum_bytes", F.sum("__sz").over(w))
+            .withColumn(_SHARD_COL,
+                        F.expr(f"(__cum_bytes - __sz) div "
+                               f"{int(target_bytes)}").cast("long"))
+            .drop("__sz", "__cum_bytes"))
+
+
+def shard_plan(df: DataFrame, target_bytes: int,
+               key_col: str = "source", id_col: str = "doc_id",
+               size: Column | str = "size_bytes") -> DataFrame:
+    """One row per planned output shard:
+    ``(key, shard_idx, n_rows, shard_bytes, first_id, last_id,
+    fill_permille)`` where ``fill_permille = shard_bytes * 1000 div
+    target_bytes`` (can exceed 1000 by up to the largest row — the
+    overflow a next-fit bin accepts rather than splitting a row).
+
+    The summary is the review surface: a pre-write audit of the file
+    sizes a job is about to produce, against the measured rule that
+    splits < cores starves the cluster (BASELINE.md hotfile regime).
+    """
+    assigned = assign_shards(df, target_bytes, key_col=key_col,
+                             id_col=id_col, size=size)
+    sz = F.col(size).cast("long") if isinstance(size, str) \
+        else size.cast("long")
+    return (assigned
+            .groupBy(F.col(key_col), F.col(_SHARD_COL))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(sz).alias("shard_bytes"),
+                 F.min(id_col).alias("first_id"),
+                 F.max(id_col).alias("last_id"))
+            .withColumn("fill_permille",
+                        F.expr(f"shard_bytes * 1000L div "
+                               f"{int(target_bytes)}").cast("long")))
+
+
+def write_sized(df: DataFrame, path: str, target_bytes: int,
+                key_col: str = "source", id_col: str = "doc_id",
+                size: Column | str = "size_bytes") -> int:
+    """Write ``df`` to ``path`` as a parquet table laid out in
+    ~``target_bytes`` shards: one directory (and exactly one data
+    file) per planned shard, partitioned by ``(key_col, shard_idx)``.
+
+    Returns the number of shards written. The repartition on the
+    partitioning columns routes every row of a shard to one task, and
+    ``partitionBy`` then splits each task's output by value — so each
+    shard directory receives exactly one file even when two shards
+    hash to the same task. The shard count (a |shards|-sized agg) is
+    computed first to size the repartition; at 10^12-row scale that
+    is a metadata-weight action.
+    """
+    assigned = assign_shards(df, target_bytes, key_col=key_col,
+                             id_col=id_col, size=size)
+    n_shards = (assigned.select(key_col, _SHARD_COL).distinct()
+                .count())
+    (assigned
+     .repartition(max(1, n_shards), F.col(key_col), F.col(_SHARD_COL))
+     .write.mode("overwrite")
+     .partitionBy(key_col, _SHARD_COL)
+     .parquet(path))
+    return n_shards

@@ -1,0 +1,125 @@
+"""Writer-side output-shard sizing (operators/shard.py): closed-form
+assignment, packing invariants, and the one-file-per-shard write —
+the measured durable fix for the hotfile skew regime (BASELINE.md)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_flex_templates_spark.operators.shard import (
+    assign_shards,
+    shard_plan,
+    write_sized,
+)
+
+
+def test_assign_shards_closed_form(spark):
+    # key k: sizes 600,600,600 at target 1000 -> cum 600/1200/1800,
+    # starts 0/600/1200 -> shards 0,0,1. Oversize row (2500 > target)
+    # occupies bins 0..2 of its own key: next row starts at 2500 ->
+    # shard 2 (indices may skip — cum-space binning, documented).
+    rows = [("k", 1, 600), ("k", 2, 600), ("k", 3, 600),
+            ("big", 1, 2500), ("big", 2, 600)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, size_bytes long")
+    got = {(r["source"], r["doc_id"]): r["shard_idx"]
+           for r in assign_shards(df, 1000).collect()}
+    assert got == {("k", 1): 0, ("k", 2): 0, ("k", 3): 1,
+                   ("big", 1): 0, ("big", 2): 2}
+
+
+def test_shard_plan_invariants(spark):
+    """Totals preserved exactly; every shard except the last per key
+    carries > target - max_size bytes; no shard exceeds
+    target + max_size - 1; id ranges of consecutive shards do not
+    overlap (binning follows the (key, id) total order)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"s{i % 3}", i, rng.randrange(50, 900))
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, size_bytes long")
+    target = 2000
+    plan = shard_plan(df, target).collect()
+
+    by_key_total = {}
+    for r in plan:
+        by_key_total[r["source"]] = (
+            by_key_total.get(r["source"], 0) + r["shard_bytes"])
+        assert r["shard_bytes"] < target + 900
+        assert r["fill_permille"] == r["shard_bytes"] * 1000 // target
+    want = {f"s{k}": sum(s for key, _, s in rows if key == f"s{k}")
+            for k in range(3)}
+    assert by_key_total == want
+    assert sum(r["n_rows"] for r in plan) == len(rows)
+
+    for key in ("s0", "s1", "s2"):
+        shards = sorted((r for r in plan if r["source"] == key),
+                        key=lambda r: r["shard_idx"])
+        for a, b in zip(shards, shards[1:]):
+            assert a["last_id"] < b["first_id"]
+        for r in shards[:-1]:  # all but the last: bin crossed target
+            assert r["shard_bytes"] > target - 900
+
+
+def test_shard_plan_matches_assignment(spark):
+    rows = [("a", i, 100 + (i * 37) % 500) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, size_bytes long")
+    assigned = assign_shards(df, 1500)
+    regroup = (assigned.groupBy("source", "shard_idx")
+               .agg(F.count("*").alias("n_rows"),
+                    F.sum("size_bytes").alias("shard_bytes")))
+    plan = shard_plan(df, 1500).select(
+        "source", "shard_idx", "n_rows", "shard_bytes")
+    assert sorted(map(tuple, regroup.collect())) == \
+        sorted(map(tuple, plan.collect()))
+
+
+def test_assign_shards_guards(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10)], "source string, doc_id long, size_bytes long")
+    with pytest.raises(ValueError, match="target_bytes"):
+        assign_shards(df, 0)
+    clash = df.withColumn("shard_idx", F.lit(1))
+    with pytest.raises(ValueError, match="clash"):
+        assign_shards(clash, 100)
+
+
+def test_write_sized_one_file_per_shard(spark, sf_dir, tmp_path):
+    """The layout contract: exactly ONE parquet data file per planned
+    shard directory, lossless round trip, and per-directory byte
+    totals equal to the plan's shard_bytes."""
+    docs = (spark.read.parquet(os.path.join(sf_dir,
+                                            "documents.parquet"))
+            .select("doc_id", "source", "text",
+                    F.length("text").cast("long")
+                    .alias("size_bytes")))
+    target = 2000
+    out = str(tmp_path / "sized")
+    n = write_sized(docs, out, target)
+    plan = {(r["source"], r["shard_idx"]): r
+            for r in shard_plan(docs, target).collect()}
+    assert n == len(plan)
+
+    dirs = glob.glob(os.path.join(out, "source=*", "shard_idx=*"))
+    assert len(dirs) == n
+    for d in dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    got = {(r["source"], r["shard_idx"]): r for r in
+           (back.groupBy("source", "shard_idx")
+            .agg(F.sum(F.length("text")).alias("b"),
+                 F.count("*").alias("c")).collect())}
+    assert set(got) == set(plan)
+    for k, r in got.items():
+        assert r["b"] == plan[k]["shard_bytes"]
+        assert r["c"] == plan[k]["n_rows"]
