@@ -1310,6 +1310,71 @@ def _q_shard_plan(spark, sf_dir):
     return shard_plan(docs, target_bytes=2000)
 
 
+def _q_stream_shard_plan(spark, sf_dir):
+    """Streaming twin of shard_plan — the north-star writer path run
+    CONTINUOUSLY: documents replayed in doc_id order as a chunked
+    file stream, each micro-batch assigned its final output shards by
+    `streaming/shard_stream.py shard_apply_batch` against a
+    |keys|-sized tails store (one cumulative-byte scalar per source);
+    no batch ever re-reads accumulated rows, and a row's shard never
+    changes after emission (later rows only extend the prefix). The
+    binning window is the SAME algebra object as the batch operator
+    (`shard.with_running_bytes`), so the per-shard summary lands
+    byte-identical to the batch row — and this row shares its
+    oracle."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.shard_stream import (
+        shard_apply_batch,
+    )
+
+    _load(spark, sf_dir)
+    docs = (spark.table("documents")
+            .select("doc_id", "source",
+                    F.length("text").cast("long").alias("size_bytes"))
+            .orderBy("doc_id").toPandas())
+    schema = "doc_id long, source string, size_bytes long"
+    root = tempfile.mkdtemp(prefix="entry_shard_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(docs) // 5 + 1
+    for i in range(0, len(docs), chunk):
+        spark.createDataFrame(docs.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    assigned_dir = os.path.join(root, "assigned")
+    tails_root = os.path.join(root, "tails")
+    cur = {"tails": os.path.join(tails_root, "init")}
+    spark.createDataFrame([], "source string, cum_bytes long") \
+        .write.parquet(cur["tails"])
+
+    def fold(batch_df, batch_id):
+        tails = spark.read.parquet(cur["tails"])
+        assigned, new_tails = shard_apply_batch(
+            batch_df, tails, target_bytes=2000)
+        assigned.write.mode("append").parquet(assigned_dir)
+        nxt = os.path.join(tails_root, f"b{batch_id}")
+        new_tails.write.parquet(nxt)
+        cur["tails"] = nxt
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_shard_plan")
+
+    assigned = spark.read.parquet(assigned_dir)
+    return (assigned.groupBy("source", "shard_idx")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("size_bytes").alias("shard_bytes"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id"))
+            .withColumn("fill_permille",
+                        F.expr("shard_bytes * 1000L div 2000")
+                        .cast("long")))
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4128,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mixture_monitor": _q_stream_mixture_monitor,
         "pack_audio_batches": _q_pack_audio_batches,
         "shard_plan": _q_shard_plan,
+        "stream_shard_plan": _q_stream_shard_plan,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -7197,6 +7263,11 @@ def oracle_sql() -> dict[str, str]:
     # table at any split — the batch row's oracle IS this row's.
     if "hll_user_registers" in out:
         out["stream_hll"] = out["hll_user_registers"]
+    # Incremental streaming shard assignment: binning is a pure
+    # function of the per-key prefix sum, which the tails store
+    # carries exactly, so the fold's summary == the batch row's plan
+    # byte-for-byte — whose oracle this row shares.
+    out["stream_shard_plan"] = out["shard_plan"]
     return out
 
 

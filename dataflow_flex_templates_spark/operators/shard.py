@@ -74,6 +74,21 @@ def assign_shards(df: DataFrame, target_bytes: int,
     deterministic and identical across engines, partitionings and
     retries.
     """
+    return (with_running_bytes(df, target_bytes, key_col, id_col, size)
+            .withColumn(_SHARD_COL,
+                        F.expr(f"(__cum_bytes - __sz) div "
+                               f"{int(target_bytes)}").cast("long"))
+            .drop("__sz", "__cum_bytes"))
+
+
+def with_running_bytes(df: DataFrame, target_bytes: int, key_col: str,
+                       id_col: str, size: Column | str) -> DataFrame:
+    """Shared binning algebra: input columns plus ``__sz`` (the byte
+    size as long) and ``__cum_bytes`` (the per-key running byte total
+    in ``(key, id)`` order, inclusive of the current row). Factored so
+    the streaming fold (`streaming/shard_stream.py`) bins with the
+    IDENTICAL window expression the batch operator uses — the same
+    shared-kernel argument as `dedup.band_buckets` for the LSH pair."""
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got "
                          f"{target_bytes}")
@@ -83,11 +98,7 @@ def assign_shards(df: DataFrame, target_bytes: int,
     w = (Window.partitionBy(key_col).orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (df.withColumn("__sz", sz)
-            .withColumn("__cum_bytes", F.sum("__sz").over(w))
-            .withColumn(_SHARD_COL,
-                        F.expr(f"(__cum_bytes - __sz) div "
-                               f"{int(target_bytes)}").cast("long"))
-            .drop("__sz", "__cum_bytes"))
+            .withColumn("__cum_bytes", F.sum("__sz").over(w)))
 
 
 def shard_plan(df: DataFrame, target_bytes: int,

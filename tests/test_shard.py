@@ -123,3 +123,51 @@ def test_write_sized_one_file_per_shard(spark, sf_dir, tmp_path):
     for k, r in got.items():
         assert r["b"] == plan[k]["shard_bytes"]
         assert r["c"] == plan[k]["n_rows"]
+
+
+@pytest.mark.parametrize("chunk", [1, 4, 10**9])
+def test_shard_incremental_equals_batch(spark, chunk):
+    """Streaming-fold law: under ordered ingestion, the union of
+    per-batch assignments == assign_shards over the whole input,
+    byte-for-byte, at any batch split (prefix sums are associative).
+    Also pins that tails advance to the exact per-key byte totals."""
+    import random
+
+    from dataflow_flex_templates_spark.streaming.shard_stream import (
+        shard_apply_batch,
+    )
+
+    rng = random.Random(11)
+    rows = [(f"s{i % 3}", i, rng.randrange(50, 900))
+            for i in range(120)]
+    schema = "source string, doc_id long, size_bytes long"
+    whole = spark.createDataFrame(rows, schema)
+    target = 1500
+    want = sorted(map(tuple, assign_shards(whole, target).collect()))
+
+    tails = spark.createDataFrame([], "source string, cum_bytes long")
+    got = []
+    for i in range(0, len(rows), min(chunk, len(rows))):
+        batch = spark.createDataFrame(rows[i:i + chunk], schema)
+        assigned, tails = shard_apply_batch(batch, tails, target)
+        got.extend(map(tuple, assigned.collect()))
+        tails = spark.createDataFrame(tails.collect(),
+                                      "source string, cum_bytes long")
+    assert sorted(got) == want
+
+    totals = {k: v for k, v in tails.collect()}
+    for k in ("s0", "s1", "s2"):
+        assert totals[k] == sum(s for key, _, s in rows if key == k)
+
+
+def test_shard_apply_batch_guards(spark):
+    from dataflow_flex_templates_spark.streaming.shard_stream import (
+        shard_apply_batch,
+    )
+
+    tails = spark.createDataFrame([], "source string, cum_bytes long")
+    clash = spark.createDataFrame(
+        [("a", 1, 10, 0)],
+        "source string, doc_id long, size_bytes long, cum_bytes long")
+    with pytest.raises(ValueError, match="clash"):
+        shard_apply_batch(clash, tails, 100)
