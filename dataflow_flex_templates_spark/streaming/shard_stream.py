@@ -82,8 +82,14 @@ def shard_apply_batch(batch_df: DataFrame, tails: DataFrame,
                f"{int(target_bytes)}").cast("long"))
         .drop("__sz", "__cum_bytes", "__base__"))
 
+    # Per-key batch total == MAX(__cum_bytes), but SUM(__sz) is the
+    # same number WITHOUT the window: Catalyst prunes the unused
+    # Window node from this branch (plan-verified), so the store
+    # update is a plain partial+final hash agg — |keys| rows cross
+    # the wire, not the batch — instead of a second full
+    # Exchange+Sort+Window pass over the batch.
     batch_totals = (cum.groupBy(key_col)
-                    .agg(F.max("__cum_bytes").alias("__add__")))
+                    .agg(F.sum("__sz").alias("__add__")))
     new_tails = (tails.join(batch_totals, on=key_col, how="full")
                  .select(
                      F.col(key_col),
