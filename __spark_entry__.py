@@ -2581,6 +2581,66 @@ def _q_clip_conformance(spark, sf_dir):
         "transcript_equal")
 
 
+def _q_stream_conformance(spark, sf_dir):
+    """The migration gate run CONTINUOUSLY — the north-star acceptance
+    check over the new system's output AS IT STREAMS: per micro-batch,
+    the static reference restricted to the batch's ids (left-semi)
+    through the batch operator VERBATIM (same UDF, same status
+    algebra — `streaming/conformance_stream.py`), verdicts appended;
+    at close, ONE reconciliation anti-join emits the missing_right
+    rows via the same operator against an empty right side. No state
+    beyond the verdict sink; no batch re-reads accumulated output.
+    union(folds) ∪ close == the batch full-outer gate byte-for-byte
+    (law-tested at chunks 1/4/all) — so this row shares the batch
+    row's oracle."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.conformance_stream import (
+        conformance_apply_batch,
+        finalize_missing_right,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        conformance_fixture_pdfs,
+    )
+
+    left_pdf, right_pdf = conformance_fixture_pdfs()
+    schema = clips_spark_schema()
+    left = spark.createDataFrame(left_pdf, schema=schema)
+
+    root = tempfile.mkdtemp(prefix="entry_conf_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(right_pdf) // 4 + 1
+    for i in range(0, len(right_pdf), chunk):
+        spark.createDataFrame(right_pdf.iloc[i:i + chunk],
+                              schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    out_dir = os.path.join(root, "verdicts")
+
+    def fold(batch_df, batch_id):
+        conformance_apply_batch(left, batch_df) \
+            .write.mode("append").parquet(out_dir)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_conformance")
+
+    verdicts = spark.read.parquet(out_dir)
+    closed = verdicts.unionByName(
+        finalize_missing_right(left, verdicts))
+    return closed.select(
+        "clip_id", "status",
+        F.coalesce(F.col("n_left"), F.lit(-1)).alias("n_left"),
+        F.coalesce(F.col("n_right"), F.lit(-1)).alias("n_right"),
+        F.coalesce(F.col("snr_mdb"), F.lit(-1)).alias("snr_mdb"),
+        "transcript_equal")
+
+
 def _q_hll_windowed(spark, sf_dir):
     """Windowed HLL registers: distinct-user sketch per 1-hour event
     window — state ≤ 2^p longs per window however many users it saw.
@@ -4258,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_registers": _q_hll_user_registers,
         "stream_hll": _q_stream_hll,
         "clip_conformance": _q_clip_conformance,
+        "stream_conformance": _q_stream_conformance,
         "hll_windowed": _q_hll_windowed,
         "value_hist_windowed": _q_value_hist_windowed,
         "value_hist_quantile": _q_value_hist_quantile,
@@ -7268,6 +7329,12 @@ def oracle_sql() -> dict[str, str]:
     # carries exactly, so the fold's summary == the batch row's plan
     # byte-for-byte — whose oracle this row shares.
     out["stream_shard_plan"] = out["shard_plan"]
+    # Streaming migration gate: every verdict except missing_right is
+    # row-local (one (left, right) pair), and the close reconciliation
+    # recovers missing_right exactly, so union(folds) ∪ close == the
+    # batch full-outer gate byte-for-byte — whose oracle this shares.
+    if "clip_conformance" in out:
+        out["stream_conformance"] = out["clip_conformance"]
     return out
 
 

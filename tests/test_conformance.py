@@ -93,3 +93,52 @@ def test_clip_conformance_floor_is_parametric(spark):
     assert lo["status"] == "pass"
     assert hi["status"] == "snr_below_floor"
     assert lo["snr_mdb"] == hi["snr_mdb"]
+
+
+def _conf_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()), key=lambda t: t[0])
+
+
+@pytest.mark.parametrize("chunk", [1, 4, 0])
+def test_stream_conformance_fold_equals_batch(spark, chunk):
+    """streaming/conformance_stream.py: union(per-batch verdicts) ∪
+    close-reconciliation == the batch full-outer gate, byte-for-byte,
+    at ANY batch split (chunk = rows per micro-batch; 0 = one batch).
+    Uses the driver fixture so every one of the seven statuses crosses
+    a batch boundary at chunk=1."""
+    from dataflow_flex_templates_spark.streaming.conformance_stream import (
+        conformance_apply_batch,
+        finalize_missing_right,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        conformance_fixture_pdfs,
+    )
+
+    left_pdf, right_pdf = conformance_fixture_pdfs(n=48, seed=77)
+    schema = clips_spark_schema()
+    left = spark.createDataFrame(left_pdf, schema=schema)
+    right = spark.createDataFrame(right_pdf, schema=schema)
+
+    want = _conf_rows(clip_conformance(left, right))
+
+    n = len(right_pdf)
+    step = n if chunk == 0 else chunk
+    folds = []
+    for i in range(0, n, step):
+        batch = spark.createDataFrame(
+            right_pdf.iloc[i:i + step], schema=schema)
+        folds.append(conformance_apply_batch(left, batch))
+    union = folds[0]
+    for f in folds[1:]:
+        union = union.unionByName(f)
+    closed = union.unionByName(finalize_missing_right(left, union))
+
+    assert _conf_rows(closed) == want
+    # per-batch emissions never claim missing_right (end-of-stream
+    # knowledge); the reconciliation emits exactly those
+    assert all(r[1] != "missing_right" for r in _conf_rows(union))
+    n_missing = sum(1 for r in want if r[1] == "missing_right")
+    assert (len(_conf_rows(closed)) - len(_conf_rows(union))
+            == n_missing)
