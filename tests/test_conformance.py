@@ -142,3 +142,39 @@ def test_stream_conformance_fold_equals_batch(spark, chunk):
     n_missing = sum(1 for r in want if r[1] == "missing_right")
     assert (len(_conf_rows(closed)) - len(_conf_rows(union))
             == n_missing)
+
+
+def test_stream_conformance_redelivery_idempotent(spark):
+    """A redelivered micro-batch re-emits IDENTICAL rows (verdicts are
+    a deterministic pure function of (reference row, streamed row)),
+    so keyed dedup on clip_id — what the exactly-once sink's MERGE
+    does — restores the batch gate exactly. This is the redelivery
+    contract the module docstring defers to the sink, pinned."""
+    from dataflow_flex_templates_spark.streaming.conformance_stream import (
+        conformance_apply_batch,
+        finalize_missing_right,
+    )
+    from dataflow_flex_templates_spark.testing.clips import (
+        clips_spark_schema,
+        conformance_fixture_pdfs,
+    )
+
+    left_pdf, right_pdf = conformance_fixture_pdfs(n=24, seed=77)
+    schema = clips_spark_schema()
+    left = spark.createDataFrame(left_pdf, schema=schema)
+    right = spark.createDataFrame(right_pdf, schema=schema)
+    want = _conf_rows(clip_conformance(left, right))
+
+    half = len(right_pdf) // 2
+    b1 = spark.createDataFrame(right_pdf.iloc[:half], schema=schema)
+    b2 = spark.createDataFrame(right_pdf.iloc[half:], schema=schema)
+    # batch 1 delivered twice (the crash-between-data-and-commit case)
+    union = (conformance_apply_batch(left, b1)
+             .unionByName(conformance_apply_batch(left, b1))
+             .unionByName(conformance_apply_batch(left, b2)))
+    deduped = union.dropDuplicates(["clip_id"])
+    closed = deduped.unionByName(finalize_missing_right(left, deduped))
+    assert _conf_rows(closed) == want
+    # and the duplicate really was byte-identical: dedup removed
+    # exactly the redelivered batch's row count
+    assert union.count() - deduped.count() == b1.count()
