@@ -1375,6 +1375,99 @@ def _q_stream_shard_plan(spark, sf_dir):
                         .cast("long")))
 
 
+def _q_zone_map_index(spark, sf_dir):
+    """Zone-map (data-skipping) index over the documents table: one
+    stats row per (source, 100-doc file) shard — MIN/MAX/nulls for
+    n_chars and lang plus row counts; the Iceberg-manifest column
+    metrics an engine needs to prune a 10^12-row scan, as a
+    first-class operator (operators/zonemap.py). ONE partial+final
+    hash agg (plan-asserted); exact integer/order algebra, so the
+    SQL oracle matches bit-for-bit."""
+    from dataflow_flex_templates_spark.operators.zonemap import zone_map
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents") \
+        .withColumn("file_id", F.expr("doc_id div 100"))
+    return zone_map(docs, ["source", "file_id"], ["n_chars", "lang"])
+
+
+def _q_zone_prune(spark, sf_dir):
+    """Metadata-only predicate pruning over the zone-map index: which
+    (source, file) shards MIGHT hold documents with 200 <= n_chars
+    <= 800. Sound by construction (a shard with a match is never
+    skipped — swept in tests/test_zonemap.py); pure projection over
+    the |shards|-sized index, zero data reads. Oracle: the same
+    bounds-overlap rule in SQL."""
+    from dataflow_flex_templates_spark.operators.zonemap import (
+        prune_shards,
+        zone_map,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents") \
+        .withColumn("file_id", F.expr("doc_id div 100"))
+    zm = zone_map(docs, ["source", "file_id"], ["n_chars"])
+    return prune_shards(zm, "n_chars", 200, 800).select(
+        "source", "file_id", "n_rows", "n_chars_min", "n_chars_max",
+        "might_match")
+
+
+def _q_stream_zone_map(spark, sf_dir):
+    """The zone-map index maintained INCREMENTALLY over the document
+    stream (streaming/zonemap_stream.py): each micro-batch is
+    sketched ALONE through the identical zone_map and ⊕-merged into
+    a |shards|-sized store via one keyed join — the write set of an
+    Iceberg MERGE on the shard key; accumulated data is never
+    re-read. MIN/MAX/SUM associativity makes the fold == the batch
+    index at ANY split (law-tested at chunks 1/4/all), so this row
+    shares the batch row's oracle algebra."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.zonemap_stream import (
+        zone_map_apply_batch,
+    )
+
+    _load(spark, sf_dir)
+    docs = (spark.table("documents")
+            .withColumn("file_id", F.expr("doc_id div 100"))
+            .select("doc_id", "source", "file_id", "n_chars", "lang")
+            .orderBy("doc_id").toPandas())
+    schema = ("doc_id long, source string, file_id long, "
+              "n_chars long, lang string")
+    root = tempfile.mkdtemp(prefix="entry_zonemap_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(docs) // 5 + 1
+    for i in range(0, len(docs), chunk):
+        spark.createDataFrame(docs.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    store_schema = ("source string, file_id long, n_rows long, "
+                    "n_chars_min long, n_chars_max long, "
+                    "n_chars_nulls long, lang_min string, "
+                    "lang_max string, lang_nulls long")
+    store_root = os.path.join(root, "store")
+    cur = {"store": os.path.join(store_root, "init")}
+    spark.createDataFrame([], store_schema).write.parquet(cur["store"])
+
+    def fold(batch_df, batch_id):
+        store = spark.read.parquet(cur["store"])
+        _, new_store = zone_map_apply_batch(
+            batch_df, store, ["source", "file_id"],
+            ["n_chars", "lang"])
+        nxt = os.path.join(store_root, f"b{batch_id}")
+        new_store.write.parquet(nxt)
+        cur["store"] = nxt
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_zone_map")
+    return spark.read.parquet(cur["store"])
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4254,6 +4347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_audio_batches": _q_pack_audio_batches,
         "shard_plan": _q_shard_plan,
         "stream_shard_plan": _q_stream_shard_plan,
+        "zone_map_index": _q_zone_map_index,
+        "zone_prune": _q_zone_prune,
+        "stream_zone_map": _q_stream_zone_map,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -5661,6 +5757,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(sz) * 1000 // 2000 AS BIGINT)
                      AS fill_permille
             FROM assigned GROUP BY source, shard_idx
+        """,
+        # file_id = doc_id div 100 mirrors _q_zone_map_index; zone-map
+        # stats are exact MIN/MAX/COUNT, so the match is bit-for-bit.
+        "zone_map_index": r"""
+            SELECT source, doc_id // 100 AS file_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(n_chars) AS n_chars_min,
+                   MAX(n_chars) AS n_chars_max,
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT)
+                     AS n_chars_nulls,
+                   MIN(lang) AS lang_min, MAX(lang) AS lang_max,
+                   CAST(COUNT(*) - COUNT(lang) AS BIGINT)
+                     AS lang_nulls
+            FROM documents GROUP BY source, doc_id // 100
+        """,
+        # [200, 800] mirrors _q_zone_prune; the overlap rule is the
+        # operator's documented soundness contract (skip only when the
+        # bounds PROVE emptiness; all-null shards have NULL bounds).
+        "zone_prune": r"""
+            WITH zm AS (
+              SELECT source, doc_id // 100 AS file_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     MIN(n_chars) AS n_chars_min,
+                     MAX(n_chars) AS n_chars_max
+              FROM documents GROUP BY source, doc_id // 100)
+            SELECT source, file_id, n_rows, n_chars_min, n_chars_max,
+                   (n_chars_min IS NOT NULL
+                    AND n_chars_max >= 200
+                    AND n_chars_min <= 800) AS might_match
+            FROM zm
+        """,
+        # stream_zone_map folds the same index incrementally;
+        # MIN/MAX/SUM associativity == batch at any split (law-tested),
+        # so the oracle is the batch index with the stream row's
+        # column set.
+        "stream_zone_map": r"""
+            SELECT source, doc_id // 100 AS file_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(n_chars) AS n_chars_min,
+                   MAX(n_chars) AS n_chars_max,
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT)
+                     AS n_chars_nulls,
+                   MIN(lang) AS lang_min, MAX(lang) AS lang_max,
+                   CAST(COUNT(*) - COUNT(lang) AS BIGINT)
+                     AS lang_nulls
+            FROM documents GROUP BY source, doc_id // 100
         """,
         # window_us=600000000 mirrors _q_rolling_user_stats; floor()
         # (not CAST) for the cents so both engines agree on negatives.
