@@ -1468,6 +1468,32 @@ def _q_stream_zone_map(spark, sf_dir):
     return spark.read.parquet(cur["store"])
 
 
+def _q_token_heavy_hitters(spark, sf_dir):
+    """EXACT corpus heavy hitters over the word-bigram stream without
+    shuffling the vocabulary: per-partition Misra-Gries summaries
+    (bounded k rows each — Agarwal et al. mergeable summaries) give a
+    PROVEN candidate superset, then a broadcast exact-count pass
+    keeps bigrams above 1 permille of all bigram occurrences. The
+    1-permille threshold is deliberately marginal for this corpus
+    (uniform share ≈ 1.09 permille), so the exactness contract is
+    doing real work. Oracle: plain GROUP BY / HAVING — the operator's
+    output is exact and partitioning-invariant by construction."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        heavy_hitters,
+    )
+    from dataflow_flex_templates_spark.operators.text import norm_text
+
+    _load(spark, sf_dir)
+    toks = F.filter(F.split(norm_text(F.col("text")), " "),
+                    lambda x: F.length(x) > 0)
+    words = spark.table("documents").select(toks.alias("w"))
+    bg = F.explode(F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+    bigrams = words.select(bg.alias("bigram"))
+    return heavy_hitters(bigrams, "bigram", threshold_permille=1)
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4350,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_map_index": _q_zone_map_index,
         "zone_prune": _q_zone_prune,
         "stream_zone_map": _q_stream_zone_map,
+        "token_heavy_hitters": _q_token_heavy_hitters,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -5803,6 +5830,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(lang) AS BIGINT)
                      AS lang_nulls
             FROM documents GROUP BY source, doc_id // 100
+        """,
+        # threshold 1 permille mirrors _q_token_heavy_hitters; the
+        # operator is exact by construction (MG candidates + exact
+        # verify), so the oracle is the plain GROUP BY / HAVING it
+        # replaces at scale. Bigram CTEs mirror bigram_novelty's.
+        "token_heavy_hitters": r"""
+            WITH t AS (
+              SELECT lower(regexp_replace(trim(text, ' '),
+                                          '\s+', ' ', 'g')) AS nt
+              FROM documents),
+            ws AS (
+              SELECT list_filter(string_split(nt, ' '),
+                                 x -> length(x) > 0) AS w
+              FROM t),
+            b AS (
+              SELECT w[i] || ' ' || w[i+1] AS bigram
+              FROM ws, UNNEST(range(1, greatest(len(w), 1))) AS r(i)),
+            tot AS (SELECT COUNT(*) AS total FROM b)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) * 1000 // (SELECT total FROM tot)
+                        AS BIGINT) AS share_permille
+            FROM b GROUP BY bigram
+            HAVING COUNT(*) * 1000 > (SELECT total FROM tot) * 1
         """,
         # window_us=600000000 mirrors _q_rolling_user_stats; floor()
         # (not CAST) for the cents so both engines agree on negatives.

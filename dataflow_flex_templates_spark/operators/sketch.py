@@ -663,3 +663,103 @@ def bottomk_quantiles(
                           F.col(value_col).alias("q_value"), probs)
             .filter(F.expr("vr = 1 + (p_permille * (n - 1)) div 1000"))
             .select(*group_cols, "p_permille", "q_value"))
+
+
+def mg_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries: ≤ ``k`` rows
+    ``(key_col, __lb)`` per input partition, where ``__lb`` is a
+    LOWER BOUND on the key's count in that partition understating it
+    by at most ``partition_rows / (k + 1)`` (Misra & Gries 1982;
+    merged per Arrow batch with the MERGE-REDUCE rule of Agarwal et
+    al., "Mergeable Summaries": add counts, subtract the (k+1)-th
+    largest, keep positives — each subtraction of ``d`` retires ≥
+    ``(k+1)·d`` stored mass, which is what bounds the total
+    understatement).
+
+    Python boundary: this is the one sketch whose fold is inherently
+    sequential, so it runs via ``mapInPandas`` — per Arrow batch one
+    vectorized ``value_counts`` + one vectorized Series add/filter
+    over a ≤ ``k + batch_distinct`` accumulator; no per-row Python.
+    NULL keys are excluded (documented; a frequency of NULLs is a
+    null-count, not a heavy hitter).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if "__lb" in df.columns:
+        raise ValueError("input may not contain internal column __lb")
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    keyed = df.select(key_col).where(F.col(key_col).isNotNull())
+    out_schema = StructType([keyed.schema.fields[0],
+                             StructField("__lb", LongType())])
+
+    def fold(batches):
+        acc = None
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                dec = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - dec
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame({key_col: acc.index,
+                                "__lb": acc.values.astype("int64")})
+
+    return keyed.mapInPandas(fold, out_schema)
+
+
+def heavy_hitters(df: DataFrame, key_col: str,
+                  threshold_permille: int, slack: int = 2) -> DataFrame:
+    """EXACT heavy hitters — every key whose frequency strictly
+    exceeds ``threshold_permille``/1000 of the non-null rows, with its
+    exact count and ``share_permille`` (integer div) — computed
+    WITHOUT ever shuffling the full key space.
+
+    Two passes:
+
+    1. candidates: per-partition Misra-Gries summaries of size
+       ``k = slack · ceil(1000 / threshold_permille)``. Union of
+       summaries understates a key's global count by at most
+       ``total / (k+1) < total · threshold/1000``, so every true
+       heavy hitter survives with ``__lb > 0`` — the candidate set
+       is a PROVEN superset (swept in tests), sized ≤ partitions × k
+       regardless of cardinality.
+    2. verify: broadcast the candidate keys, exact-count only them
+       (map-side combine → ≤ |candidates| rows per partition cross
+       the wire), keep those above threshold.
+
+    The output is therefore exact and split/partitioning-invariant —
+    a plain GROUP-BY/HAVING oracle matches bit-for-bit — while the
+    shuffle volume is bounded by ``partitions × k + |candidates|``
+    rows: at 10^12 tokens an exact token-frequency HAVING would
+    shuffle the whole vocabulary; this shuffles a few thousand rows.
+    ``slack ≥ 1`` only tightens summaries (smaller decrements, fewer
+    false candidates); correctness needs just ``k ≥ 1000/threshold``.
+    """
+    thr = int(threshold_permille)
+    if not 1 <= thr <= 1000:
+        raise ValueError(
+            f"threshold_permille must be in [1, 1000], got {thr}")
+    if slack < 1:
+        raise ValueError(f"slack must be >= 1, got {slack}")
+    k = slack * math.ceil(1000 / thr)
+    # only key_col is selected, so the clash that matters is the key
+    # itself colliding with an output/internal name
+    if key_col in {"n", "share_permille", "__total", "__lb"}:
+        raise ValueError(
+            f"key_col may not be named one of the internal/output "
+            f"columns ('n', 'share_permille', '__total', '__lb'); "
+            f"got {key_col!r} — alias it first")
+    keyed = df.select(key_col).where(F.col(key_col).isNotNull())
+    candidates = mg_summaries(keyed, key_col, k) \
+        .select(key_col).distinct()
+    total = keyed.agg(F.count(F.lit(1)).alias("__total"))
+    counted = (keyed.join(F.broadcast(candidates), key_col)
+               .groupBy(key_col).agg(F.count(F.lit(1)).alias("n")))
+    return (counted.crossJoin(F.broadcast(total))
+            .where(F.expr(f"n * 1000 > __total * {thr}"))
+            .withColumn("share_permille",
+                        F.expr("n * 1000 div __total").cast("long"))
+            .drop("__total"))

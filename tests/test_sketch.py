@@ -511,3 +511,145 @@ def test_bottomk_quantiles_rejects_out_of_range_permille(spark):
     with _pytest.raises(ValueError, match="permille"):
         bottomk_quantiles(samp, "v", "id", group_cols=["g"],
                           probs_permille=(500, 1500))
+
+
+# ---- Misra-Gries exact heavy hitters -------------------------------
+
+
+def _exact_hh(spark, df, key, thr):
+    from pyspark.sql import functions as F
+
+    keyed = df.select(key).where(F.col(key).isNotNull())
+    total = keyed.count()
+    return sorted(
+        (r[key], r["n"], r["n"] * 1000 // total)
+        for r in keyed.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        .collect() if r["n"] * 1000 > total * thr)
+
+
+def test_heavy_hitters_skewed_exact(spark):
+    """Zipf-ish skew across 8 partitions at a marginal threshold:
+    output == plain GROUP-BY/HAVING exactly (counts AND permilles)."""
+    import random
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    # 20k rows: 3 hot keys ~10% each, 2 marginal ~1%, tail of 5000
+    rows = []
+    for _ in range(20_000):
+        u = rng.random()
+        if u < 0.30:
+            rows.append(f"hot{int(u * 10)}",)
+        elif u < 0.32:
+            rows.append(f"marginal{int((u - 0.30) * 100)}",)
+        else:
+            rows.append(f"tail{rng.randrange(5000)}",)
+    df = spark.createDataFrame([(w,) for w in rows], "word string") \
+        .repartition(8)
+    got = sorted(map(tuple, heavy_hitters(df, "word", 10).collect()))
+    assert got == _exact_hh(spark, df, "word", 10)
+    assert any(k.startswith("hot") for k, _, _ in got)
+
+
+def test_heavy_hitters_truncation_pressure(spark):
+    """k far below the distinct-key count (threshold 100 permille →
+    k=20 vs 5000 tail keys): summaries truncate constantly and the
+    hot key must still surface with its exact count."""
+    import random
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        heavy_hitters,
+        mg_summaries,
+    )
+
+    rng = random.Random(13)
+    rows = [("HOT",) if rng.random() < 0.3
+            else (f"t{rng.randrange(5000)}",) for _ in range(10_000)]
+    df = spark.createDataFrame(rows, "word string").repartition(4)
+    got = sorted(map(tuple, heavy_hitters(df, "word", 100).collect()))
+    assert got == _exact_hh(spark, df, "word", 100)
+    assert [k for k, _, _ in got] == ["HOT"]
+    # candidate machinery stayed bounded: ≤ partitions × k rows
+    summ = mg_summaries(df, "word", 20)
+    assert summ.count() <= 4 * 20
+
+
+def test_heavy_hitters_uniform_empty(spark):
+    """Uniform 100-key input at threshold 20 permille (uniform share
+    is 10): no key qualifies, and no false positive appears."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    rows = [(f"k{i % 100}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "word string").repartition(6)
+    assert heavy_hitters(df, "word", 20).count() == 0
+
+
+def test_heavy_hitters_nulls_and_types(spark):
+    """NULL keys are excluded from both counting and the total; long
+    keys keep their type through the Arrow summary path."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    rows = [(7,)] * 60 + [(None,)] * 40 + [(1,), (2,), (3,), (4,)]
+    df = spark.createDataFrame(rows, "uid long")
+    got = {r["uid"]: (r["n"], r["share_permille"])
+           for r in heavy_hitters(df, "uid", 500).collect()}
+    # total is 64 non-null rows; 7 has 60/64 = 937 permille
+    assert got == {7: (60, 937)}
+    assert isinstance(next(iter(got)), int)
+
+
+def test_heavy_hitters_guards(spark):
+    import pytest
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        heavy_hitters,
+        mg_summaries,
+    )
+
+    df = spark.createDataFrame([("a",)], "word string")
+    with pytest.raises(ValueError, match="threshold_permille"):
+        heavy_hitters(df, "word", 0)
+    with pytest.raises(ValueError, match="slack"):
+        heavy_hitters(df, "word", 10, slack=0)
+    with pytest.raises(ValueError, match="alias it first"):
+        heavy_hitters(df.withColumnRenamed("word", "n"), "n", 10)
+    with pytest.raises(ValueError, match="k must be"):
+        mg_summaries(df, "word", 0)
+    with pytest.raises(ValueError, match="__lb"):
+        mg_summaries(df.withColumn("__lb", df.word), "word", 5)
+
+
+def test_mg_summary_lower_bound_guarantee(spark):
+    """The MG contract the exactness proof rests on: for EVERY key,
+    summary lb ≤ true count, and understatement ≤ total/(k+1) summed
+    across partitions — checked on a single partition where the bound
+    is per-run exact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.sketch import (
+        mg_summaries,
+    )
+
+    rng = random.Random(99)
+    rows = [(f"w{rng.randrange(300)}",) for _ in range(6000)]
+    df = spark.createDataFrame(rows, "word string").coalesce(1)
+    k = 50
+    lb = {r["word"]: r["__lb"]
+          for r in mg_summaries(df, "word", k).collect()}
+    true = {r["word"]: r["n"]
+            for r in df.groupBy("word").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    assert len(lb) <= k
+    for w, n in true.items():
+        got = lb.get(w, 0)
+        assert got <= n
+        assert n - got <= len(rows) // (k + 1) + 1
