@@ -1494,6 +1494,23 @@ def _q_token_heavy_hitters(spark, sf_dir):
     return heavy_hitters(bigrams, "bigram", threshold_permille=1)
 
 
+def _q_exact_quantiles(spark, sf_dir):
+    """EXACT corpus quantiles without a sort: value-space bisection —
+    log2(range) shuffle-free scan passes, each one conditional-sum
+    aggregate advancing every probe's binary search at once
+    (operators/selection.py; the exact path beside the bottom-k
+    sample and histogram estimates). Oracle: nearest-rank read-off
+    1 + (p·(n-1)) div 1000 over the sorted column — the formula both
+    repo quantile paths share."""
+    from dataflow_flex_templates_spark.operators.selection import (
+        exact_quantiles,
+    )
+
+    _load(spark, sf_dir)
+    return exact_quantiles(spark.table("documents"), "n_chars",
+                           [0, 100, 250, 500, 750, 900, 1000])
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4377,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_prune": _q_zone_prune,
         "stream_zone_map": _q_stream_zone_map,
         "token_heavy_hitters": _q_token_heavy_hitters,
+        "exact_quantiles": _q_exact_quantiles,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -5853,6 +5871,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS share_permille
             FROM b GROUP BY bigram
             HAVING COUNT(*) * 1000 > (SELECT total FROM tot) * 1
+        """,
+        # probes mirror _q_exact_quantiles; nearest rank is the shared
+        # 1 + (p*(n-1)) div 1000 read-off, 1-based over ORDER BY value.
+        "exact_quantiles": r"""
+            WITH v AS (SELECT n_chars AS x FROM documents
+                       WHERE n_chars IS NOT NULL),
+            o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn
+                  FROM v),
+            t AS (SELECT COUNT(*) AS n FROM v),
+            p AS (SELECT unnest([0, 100, 250, 500, 750, 900, 1000])
+                         AS p_permille)
+            SELECT CAST(p.p_permille AS BIGINT) AS p_permille,
+                   CAST(o.x AS BIGINT) AS q_value
+            FROM p, t, o
+            WHERE o.rn = 1 + (p.p_permille * (t.n - 1)) // 1000
         """,
         # window_us=600000000 mirrors _q_rolling_user_stats; floor()
         # (not CAST) for the cents so both engines agree on negatives.

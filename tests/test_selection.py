@@ -1,0 +1,78 @@
+"""Exact distributed order statistics (operators/selection.py):
+bit-exact nearest-rank agreement with a sorted reference on adversarial
+integer data, endpoint probes, NULL exclusion, the bottomk_quantiles
+read-off agreement, and input guards."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from dataflow_flex_templates_spark.operators.selection import (
+    exact_quantiles,
+)
+
+
+def _ref(vals: list[int], p: int) -> int:
+    s = sorted(vals)
+    return s[(p * (len(s) - 1)) // 1000]  # 0-indexed nearest rank
+
+
+PROBES = [0, 100, 250, 500, 750, 900, 999, 1000]
+
+
+def test_exact_quantiles_adversarial(spark):
+    """Negatives, heavy duplicates, huge gaps, and a singleton value
+    band — every probe matches the sorted-list nearest rank."""
+    rng = random.Random(3)
+    vals = ([-(10**12)] * 7 + [0] * 500
+            + [rng.randrange(-50, 50) for _ in range(3000)]
+            + [10**14] * 3)
+    df = spark.createDataFrame([(v,) for v in vals], "x long") \
+        .repartition(8)
+    got = {r["p_permille"]: r["q_value"]
+           for r in exact_quantiles(df, "x", PROBES).collect()}
+    for p in PROBES:
+        assert got[p] == _ref(vals, p), p
+    assert got[0] == min(vals) and got[1000] == max(vals)
+
+
+def test_exact_quantiles_nulls_and_empty(spark):
+    df = spark.createDataFrame(
+        [(None,), (5,), (None,), (9,)], "x long")
+    got = {r["p_permille"]: r["q_value"]
+           for r in exact_quantiles(df, "x", [0, 500, 1000]).collect()}
+    assert got == {0: 5, 500: 5, 1000: 9}
+    empty = spark.createDataFrame([(None,)], "x long")
+    assert exact_quantiles(empty, "x", [500]).count() == 0
+
+
+def test_exact_quantiles_matches_bottomk_readoff(spark):
+    """The two exact-rank formulas are the same object: on a full
+    (k >= n) bottom-k sample, bottomk_quantiles' read-off equals
+    exact_quantiles for every shared probe."""
+    from dataflow_flex_templates_spark.operators.sketch import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    rng = random.Random(21)
+    rows = [(i, rng.randrange(0, 10_000)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    sample = bottomk_sample(df, "id", ["x"], k=400)
+    via_sample = {r["p_permille"]: r["q_value"]
+                  for r in bottomk_quantiles(
+                      sample, "x", "id",
+                      probs_permille=PROBES).collect()}
+    via_bisect = {r["p_permille"]: r["q_value"]
+                  for r in exact_quantiles(df, "x", PROBES).collect()}
+    assert via_sample == via_bisect
+
+
+def test_exact_quantiles_guards(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="probs_permille"):
+        exact_quantiles(df, "x", [1001])
+    with pytest.raises(ValueError, match="duplicate"):
+        exact_quantiles(df, "x", [500, 500])
