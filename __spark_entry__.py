@@ -1511,6 +1511,34 @@ def _q_exact_quantiles(spark, sf_dir):
                            [0, 100, 250, 500, 750, 900, 1000])
 
 
+def _q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning over a file-metadata table (the
+    read-side heal for historical layout damage; `write_sized`
+    prevents new damage): healthy files keep, small files bin into
+    ~target rewrite groups via the SAME running-sum algebra as
+    shard_plan, and a small file alone in its bin demotes to keep.
+    Metadata-only — |files| rows, ONE Exchange (the demotion window
+    reuses the binning partitioning, plan-asserted in tests). Oracle:
+    the identical window algebra in SQL."""
+    from dataflow_flex_templates_spark.operators.shard import (
+        compaction_plan,
+    )
+
+    _load(spark, sf_dir)
+    files = (spark.table("documents")
+             .groupBy("source", F.expr("doc_id div 50").alias("file_id"))
+             .agg(F.sum(F.length("text")).cast("long")
+                  .alias("size_bytes")))
+    plan = compaction_plan(files, target_bytes=3000,
+                           min_file_bytes=1000)
+    # keep rows have NULL group_idx; the cross-engine hash compares
+    # NULL numerics as NaN != NaN, so surface the driver row with the
+    # repo's -1 sentinel (same convention as other nullable integers)
+    return plan.withColumn("group_idx",
+                           F.coalesce("group_idx", F.lit(-1))
+                           .cast("long"))
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4395,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_zone_map": _q_stream_zone_map,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "exact_quantiles": _q_exact_quantiles,
+        "compaction_plan": _q_compaction_plan,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -5886,6 +5915,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.x AS BIGINT) AS q_value
             FROM p, t, o
             WHERE o.rn = 1 + (p.p_permille * (t.n - 1)) // 1000
+        """,
+        # target 3000 / min 1000 / file = doc_id div 50 mirror
+        # _q_compaction_plan; binning is the shard_plan running-sum
+        # algebra over the small-file subset; singleton bins keep.
+        "compaction_plan": r"""
+            WITH f AS (
+              SELECT source, doc_id // 50 AS file_id,
+                     CAST(SUM(length(text)) AS BIGINT) AS size_bytes
+              FROM documents GROUP BY source, doc_id // 50),
+            small AS (
+              SELECT *,
+                     (SUM(size_bytes) OVER (PARTITION BY source
+                        ORDER BY file_id ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW)
+                      - size_bytes) // 3000 AS g
+              FROM f WHERE size_bytes < 1000),
+            grp AS (
+              SELECT *, COUNT(*) OVER (PARTITION BY source, g) AS gn
+              FROM small)
+            SELECT source, file_id, size_bytes,
+                   CASE WHEN gn > 1 THEN CAST(g AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS group_idx,
+                   CASE WHEN gn > 1 THEN 'rewrite' ELSE 'keep' END
+                     AS action
+            FROM grp
+            UNION ALL
+            SELECT source, file_id, size_bytes,
+                   CAST(-1 AS BIGINT) AS group_idx,
+                   'keep' AS action
+            FROM f WHERE size_bytes >= 1000
         """,
         # window_us=600000000 mirrors _q_rolling_user_stats; floor()
         # (not CAST) for the cents so both engines agree on negatives.

@@ -154,3 +154,62 @@ def write_sized(df: DataFrame, path: str, target_bytes: int,
      .partitionBy(key_col, _SHARD_COL)
      .parquet(path))
     return n_shards
+
+
+def compaction_plan(files: DataFrame, target_bytes: int,
+                    min_file_bytes: int, key_col: str = "source",
+                    id_col: str = "file_id",
+                    size_col: str = "size_bytes") -> DataFrame:
+    """Small-file compaction planning — the read-side heal for layout
+    damage that already happened (`write_sized` prevents it at write
+    time; historical partitions predate that writer). Input is a FILE
+    METADATA table ``(key_col, id_col, size_col)`` — parquet footers,
+    an Iceberg manifest, or this repo's own `zonemap.zone_map` output
+    — so the plan costs |files| rows, never a data scan.
+
+    Per file, one of two actions:
+
+    - ``keep``: ``size >= min_file_bytes`` — already healthy, never
+      rewritten (compaction must not churn good files); also any
+      small file that would sit ALONE in its rewrite group (merging
+      one file with itself buys nothing — the group-size rule below).
+    - ``rewrite`` + ``group_idx``: small files are binned into
+      ~``target_bytes`` rewrite groups by the SAME running-sum
+      binning algebra as `assign_shards` (`with_running_bytes` over
+      the small-file subset, in ``(key, id)`` order) — one rewrite
+      task per group lands one healthy file.
+
+    Deterministic, metadata-only, ONE data-sized Exchange on
+    ``key_col`` (the second window — the singleton-group demotion —
+    reuses the same partitioning; plan-audited in the test). A SQL
+    oracle reproduces every action/group bit-for-bit.
+    """
+    if min_file_bytes > target_bytes:
+        raise ValueError(
+            f"min_file_bytes ({min_file_bytes}) must be <= "
+            f"target_bytes ({target_bytes}) — otherwise freshly "
+            f"compacted ~target files are immediately 'small' again")
+    _check_clash(files, "action", "group_idx", "__grp_n")
+    small = files.where(F.col(size_col).cast("long")
+                        < F.lit(int(min_file_bytes)))
+    binned = (with_running_bytes(small, target_bytes, key_col, id_col,
+                                 F.col(size_col))
+              .withColumn("group_idx",
+                          F.expr(f"(__cum_bytes - __sz) div "
+                                 f"{int(target_bytes)}").cast("long"))
+              .drop("__sz", "__cum_bytes"))
+    wg = Window.partitionBy(key_col, "group_idx")
+    binned = (binned
+              .withColumn("__grp_n", F.count(F.lit(1)).over(wg))
+              .withColumn("group_idx",
+                          F.when(F.col("__grp_n") > 1,
+                                 F.col("group_idx")))
+              .withColumn("action",
+                          F.when(F.col("__grp_n") > 1, F.lit("rewrite"))
+                          .otherwise(F.lit("keep")))
+              .drop("__grp_n"))
+    kept = files.where(F.col(size_col).cast("long")
+                       >= F.lit(int(min_file_bytes))) \
+        .withColumn("group_idx", F.lit(None).cast("long")) \
+        .withColumn("action", F.lit("keep"))
+    return binned.unionByName(kept)

@@ -171,3 +171,84 @@ def test_shard_apply_batch_guards(spark):
         "source string, doc_id long, size_bytes long, cum_bytes long")
     with pytest.raises(ValueError, match="clash"):
         shard_apply_batch(clash, tails, 100)
+
+
+# ---- compaction planning -------------------------------------------
+
+
+def test_compaction_plan_closed_form(spark):
+    """Hand-checked: smalls bin by the shared running-sum algebra,
+    a small file alone in its bin is demoted to keep (merging one
+    file buys nothing), healthy files always keep with NULL group."""
+    from dataflow_flex_templates_spark.operators.shard import (
+        compaction_plan,
+    )
+
+    rows = [("A", 1, 100), ("A", 2, 200), ("A", 3, 300),
+            ("A", 4, 350),            # cum 950, starts at 600 -> bin 1, alone
+            ("A", 5, 450),            # >= min: keep
+            ("B", 1, 50)]             # only small in B: singleton keep
+    df = spark.createDataFrame(
+        rows, "source string, file_id long, size_bytes long")
+    got = {(r["source"], r["file_id"]): (r["action"], r["group_idx"])
+           for r in compaction_plan(df, target_bytes=500,
+                                    min_file_bytes=400).collect()}
+    assert got == {
+        ("A", 1): ("rewrite", 0), ("A", 2): ("rewrite", 0),
+        ("A", 3): ("rewrite", 0), ("A", 4): ("keep", None),
+        ("A", 5): ("keep", None), ("B", 1): ("keep", None)}
+
+
+def test_compaction_plan_invariants(spark):
+    """Random metadata: output is a permutation of the input files;
+    every rewrite group has >= 2 files and carries <= target +
+    max_small - 1 bytes; every kept file is healthy or a singleton."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_templates_spark.operators.shard import (
+        compaction_plan,
+    )
+
+    rng = random.Random(5)
+    rows = [(f"s{i % 4}", i, rng.randrange(10, 2000))
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "source string, file_id long, size_bytes long")
+    target, mn = 1500, 900
+    plan = compaction_plan(df, target, mn).collect()
+    assert sorted((r["source"], r["file_id"], r["size_bytes"])
+                  for r in plan) == sorted(rows)
+    groups = {}
+    for r in plan:
+        if r["action"] == "rewrite":
+            assert r["size_bytes"] < mn and r["group_idx"] is not None
+            groups.setdefault((r["source"], r["group_idx"]), []) \
+                .append(r["size_bytes"])
+        else:
+            assert r["group_idx"] is None
+    for sizes in groups.values():
+        assert len(sizes) >= 2
+        assert sum(sizes) < target + mn  # max small size < mn
+    # the plan reused the binning Exchange for the demotion window
+    out = compaction_plan(df, target, mn)
+    out.collect()
+    plan_str = (out._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+    assert plan_str.count("Exchange hashpartitioning") == 1
+
+
+def test_compaction_plan_guards(spark):
+    import pytest
+
+    from dataflow_flex_templates_spark.operators.shard import (
+        compaction_plan,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1, 10)], "source string, file_id long, size_bytes long")
+    with pytest.raises(ValueError, match="min_file_bytes"):
+        compaction_plan(df, 100, 200)
+    with pytest.raises(ValueError, match="clash"):
+        compaction_plan(df.withColumn("action", df.source), 100, 50)
