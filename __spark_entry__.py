@@ -1539,6 +1539,69 @@ def _q_compaction_plan(spark, sf_dir):
                            .cast("long"))
 
 
+def _q_exact_quantiles_by_lang(spark, sf_dir):
+    """Per-group exact quantiles (curriculum cut points per language)
+    via simultaneous per-group value-space bisection: every group and
+    probe advances in the same pass — broadcast midpoint join + one
+    map-side-combined hash agg per iteration, |groups×probes| scalar
+    rows shuffled, never data. Group cardinality is driver-bounded by
+    contract (langs/codecs — guarded). Oracle: per-group nearest-rank
+    read-off."""
+    from dataflow_flex_templates_spark.operators.selection import (
+        exact_quantiles_grouped,
+    )
+
+    _load(spark, sf_dir)
+    return exact_quantiles_grouped(spark.table("documents"), "n_chars",
+                                   "lang", [250, 500, 750])
+
+
+def _q_stream_decontaminate(spark, sf_dir):
+    """The contamination firewall run IN the ingest pipeline instead
+    of as an offline pass: per micro-batch, the batch's documents go
+    through the batch `decontaminate` operator VERBATIM against the
+    static broadcast benchmark n-gram set. A document's verdict
+    depends only on its own text and the benchmark (row-local), so
+    batch boundaries cannot change any flag — union(per-batch
+    verdicts) == the batch operator over the union, which is why this
+    row shares `decontaminate`'s oracle byte-for-byte (the same
+    stateless-fold argument as stream_srt_emit/stream_conformance)."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.operators.text import (
+        decontaminate,
+    )
+
+    _load(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter((F.col("doc_id") % 17) == 3) \
+        .select("doc_id", "text").toPandas()
+    pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+    schema = "doc_id long, text string"
+    root = tempfile.mkdtemp(prefix="entry_decon_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(pdf) // 6 + 1
+    for i in range(0, len(pdf), chunk):
+        spark.createDataFrame(pdf.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    bench_df = spark.createDataFrame(bench, schema=schema)
+    out_dir = os.path.join(root, "out")
+
+    def gate(batch_df, batch_id):
+        decontaminate(batch_df, bench_df, n=8) \
+            .write.mode("append").parquet(out_dir)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(gate)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_decontaminate")
+    return spark.read.parquet(out_dir)
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4423,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_zone_map": _q_stream_zone_map,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "exact_quantiles": _q_exact_quantiles,
+        "exact_quantiles_by_lang": _q_exact_quantiles_by_lang,
         "compaction_plan": _q_compaction_plan,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
@@ -4448,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _q_pack_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "decontaminate": _q_decontaminate,
+        "stream_decontaminate": _q_stream_decontaminate,
         "gopher_quality": _q_gopher_quality,
         "ngram_jaccard": _q_ngram_jaccard,
         "edit_distance_pairs": _q_edit_distance_pairs,
@@ -5916,6 +5981,24 @@ def oracle_sql() -> dict[str, str]:
             FROM p, t, o
             WHERE o.rn = 1 + (p.p_permille * (t.n - 1)) // 1000
         """,
+        # probes mirror _q_exact_quantiles_by_lang; per-group
+        # nearest-rank over PARTITION BY lang.
+        "exact_quantiles_by_lang": r"""
+            WITH v AS (SELECT lang, n_chars AS x FROM documents
+                       WHERE lang IS NOT NULL
+                         AND n_chars IS NOT NULL),
+            o AS (SELECT lang, x,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY x) AS rn,
+                         COUNT(*) OVER (PARTITION BY lang) AS n
+                  FROM v),
+            p AS (SELECT unnest([250, 500, 750]) AS p_permille)
+            SELECT o.lang,
+                   CAST(p.p_permille AS BIGINT) AS p_permille,
+                   CAST(o.x AS BIGINT) AS q_value
+            FROM p, o
+            WHERE o.rn = 1 + (p.p_permille * (o.n - 1)) // 1000
+        """,
         # target 3000 / min 1000 / file = doc_id div 50 mirror
         # _q_compaction_plan; binning is the shard_plan running-sum
         # algebra over the small-file subset; singleton bins keep.
@@ -6102,6 +6185,32 @@ def oracle_sql() -> dict[str, str]:
         # n-gram width must mirror _q_decontaminate (n=8 → slice i:i+7,
         # last start = len-7); benchmark slice doc_id % 17 == 3.
         "decontaminate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents),
+            s AS (
+              SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split(nt, ' ') END AS toks
+              FROM t),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i : i+7], ' ') AS ngram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1,
+                               greatest(len(toks) - 7, 0))) AS i
+                    FROM s)),
+            b AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 17 = 3),
+            h AS (SELECT g.doc_id, COUNT(DISTINCT g.ngram) AS hit_ngrams
+                  FROM g JOIN b USING (ngram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.hit_ngrams, 0) AS BIGINT) AS hit_ngrams,
+                   COALESCE(h.hit_ngrams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN h USING (doc_id)
+        """,
+        # stream_decontaminate folds the SAME operator per batch with
+        # zero state (row-local verdicts) - identical contract, same SQL.
+        "stream_decontaminate": r"""
             WITH t AS (
               SELECT doc_id,
                      lower(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'))

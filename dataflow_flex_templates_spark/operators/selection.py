@@ -81,3 +81,88 @@ def exact_quantiles(df: DataFrame, value_col: str,
                 bounds[p][0] = m + 1  # CDF too small: answer > mid
     return spark.createDataFrame(
         [(p, bounds[p][0]) for p in probs], out_schema)
+
+
+def exact_quantiles_grouped(df: DataFrame, value_col: str,
+                            group_col: str,
+                            probs_permille: list[int],
+                            max_groups: int = 10_000) -> DataFrame:
+    """Per-group exact nearest-rank quantiles — e.g. duration cut
+    points per codec for curriculum binning — by running EVERY
+    group's and probe's binary search simultaneously:
+    ``(group_col, p_permille, q_value)``.
+
+    Each iteration: broadcast-join the |unresolved (group, probe)|
+    midpoint table (map-side, no payload shuffle), then one hash agg
+    whose partials combine map-side — shuffle volume is
+    |groups × probes| scalar rows per pass, never data. Pass count is
+    the MAX over groups of ``log2(group range)``. The scan cost per
+    pass is |rows × unresolved probes per group| conditional sums —
+    bounded by the probe count, the price of exactness without a
+    per-group sort (which would range-Exchange the full payload).
+
+    ``group_col`` cardinality must be driver-bounded (codecs,
+    languages, shards — not user ids): bounds live driver-side like
+    pagerank's convergence state; ``max_groups`` guards the contract.
+    NULL groups and NULL values are excluded.
+    """
+    probs = [int(p) for p in probs_permille]
+    bad = [p for p in probs if not 0 <= p <= 1000]
+    if bad:
+        raise ValueError(
+            f"probs_permille must be in [0, 1000], got {bad}")
+    if len(set(probs)) != len(probs):
+        raise ValueError(f"duplicate probes: {sorted(probs)}")
+    spark = df.sparkSession
+    vals = (df.select(F.col(group_col).alias("g"),
+                      F.col(value_col).cast("long").alias("v"))
+            .where(F.col(group_col).isNotNull()
+                   & F.col(value_col).isNotNull()))
+    g_field = vals.schema.fields[0]
+    heads = vals.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"),
+        F.max("v").alias("hi")).collect()
+    if len(heads) > max_groups:
+        raise ValueError(
+            f"{len(heads)} groups exceeds max_groups={max_groups} — "
+            f"grouped bisection keeps per-group bounds driver-side; "
+            f"use bottomk_quantiles for high-cardinality groups")
+    # bounds[(g, p)] = [lo, hi]; rank r = 1 + (p*(n-1)) div 1000
+    ranks, bounds = {}, {}
+    for h in heads:
+        for p in probs:
+            ranks[(h["g"], p)] = 1 + (p * (h["n"] - 1)) // 1000
+            bounds[(h["g"], p)] = [h["lo"], h["hi"]]
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mid_schema = StructType([
+        g_field, StructField("p", LongType()),
+        StructField("mid", LongType())])
+    while True:
+        mids = [(g, p, (lo + hi) // 2)
+                for (g, p), (lo, hi) in bounds.items() if lo < hi]
+        if not mids:
+            break
+        mdf = spark.createDataFrame(mids, mid_schema)
+        counted = (vals.join(F.broadcast(mdf), on="g")
+                   .groupBy("g", "p")
+                   .agg(F.sum(F.when(F.col("v") <= F.col("mid"), 1)
+                              .otherwise(0)).alias("c"),
+                        F.first("mid").alias("mid")).collect())
+        for r in counted:
+            key = (r["g"], r["p"])
+            if r["c"] >= ranks[key]:
+                bounds[key][1] = r["mid"]
+            else:
+                bounds[key][0] = r["mid"] + 1
+    out_schema = StructType([
+        g_field, StructField("p_permille", LongType()),
+        StructField("q_value", LongType())])
+    return spark.createDataFrame(
+        [(g, p, bounds[(g, p)][0]) for (g, p) in sorted(
+            bounds, key=repr)], out_schema) \
+        .withColumnRenamed("g", group_col)

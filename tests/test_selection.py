@@ -11,6 +11,7 @@ import pytest
 
 from dataflow_flex_templates_spark.operators.selection import (
     exact_quantiles,
+    exact_quantiles_grouped,
 )
 
 
@@ -76,3 +77,35 @@ def test_exact_quantiles_guards(spark):
         exact_quantiles(df, "x", [1001])
     with pytest.raises(ValueError, match="duplicate"):
         exact_quantiles(df, "x", [500, 500])
+
+
+def test_exact_quantiles_grouped(spark):
+    """Per-group bisection matches the per-group sorted reference —
+    groups with wildly different ranges, sizes (incl. singleton), and
+    duplicates; NULL groups/values excluded."""
+    rng = random.Random(17)
+    data = {
+        "pcm": [rng.randrange(0, 100) for _ in range(997)],
+        "adpcm": [rng.randrange(-10**9, 10**9) for _ in range(50)],
+        "alaw": [42],
+        "dup": [7] * 200,
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    rows += [(None, 5), ("pcm", None)]
+    df = spark.createDataFrame(rows, "codec string, x long") \
+        .repartition(8)
+    got = {(r["codec"], r["p_permille"]): r["q_value"]
+           for r in exact_quantiles_grouped(
+               df, "x", "codec", PROBES).collect()}
+    assert len(got) == len(data) * len(PROBES)
+    for g, vs in data.items():
+        for p in PROBES:
+            assert got[(g, p)] == _ref(vs, p), (g, p)
+
+
+def test_exact_quantiles_grouped_guards(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, x long")
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_quantiles_grouped(df, "x", "g", [500], max_groups=1)
+    with pytest.raises(ValueError, match="duplicate"):
+        exact_quantiles_grouped(df, "x", "g", [1, 1])
