@@ -252,3 +252,71 @@ def test_compaction_plan_guards(spark):
         compaction_plan(df, 100, 200)
     with pytest.raises(ValueError, match="clash"):
         compaction_plan(df.withColumn("action", df.source), 100, 50)
+
+
+@pytest.mark.parametrize("chunk", [1, 4, 300])
+def test_compaction_incremental_equals_batch(spark, chunk):
+    """Streaming-fold law: under ordered ingestion, emissions(folds)
+    ∪ close == compaction_plan over the whole metadata table,
+    byte-for-byte at any batch split — a bin is immutable once a
+    later small file starts a higher bin, so groups trigger the
+    moment they close."""
+    import random
+
+    from dataflow_flex_templates_spark.operators.shard import (
+        compaction_plan,
+    )
+    from dataflow_flex_templates_spark.streaming.compaction_stream import (
+        compaction_apply_batch,
+        compaction_finalize,
+    )
+
+    rng = random.Random(31)
+    rows = [(f"s{i % 3}", i, rng.randrange(10, 2000))
+            for i in range(300)]
+    schema = "source string, file_id long, size_bytes long"
+    target, mn = 1500, 900
+    whole = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, compaction_plan(whole, target, mn)
+                      .select("source", "file_id", "size_bytes",
+                              "group_idx", "action").collect()))
+
+    tails = spark.createDataFrame([], "source string, cum_bytes long")
+    open_schema = ("source string, file_id long, size_bytes long, "
+                   "group_idx long")
+    open_bin = spark.createDataFrame([], open_schema)
+    got = []
+    for i in range(0, len(rows), chunk):
+        batch = spark.createDataFrame(rows[i:i + chunk], schema)
+        emitted, tails, open_bin = compaction_apply_batch(
+            batch, tails, open_bin, target, mn)
+        got.extend(map(tuple, emitted.select(
+            "source", "file_id", "size_bytes", "group_idx",
+            "action").collect()))
+        tails = spark.createDataFrame(
+            tails.collect(), "source string, cum_bytes long")
+        open_bin = spark.createDataFrame(open_bin.collect(),
+                                         open_schema)
+    got.extend(map(tuple, compaction_finalize(open_bin).select(
+        "source", "file_id", "size_bytes", "group_idx",
+        "action").collect()))
+    assert sorted(got) == want
+
+
+def test_compaction_stream_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.streaming.compaction_stream import (
+        compaction_apply_batch,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1, 10)], "source string, file_id long, size_bytes long")
+    tails = spark.createDataFrame([], "source string, cum_bytes long")
+    ob = spark.createDataFrame(
+        [], "source string, file_id long, size_bytes long, group_idx long")
+    with _pytest.raises(ValueError, match="min_file_bytes"):
+        compaction_apply_batch(df, tails, ob, 100, 200)
+    with _pytest.raises(ValueError, match="clash"):
+        compaction_apply_batch(df.withColumn("action", df.source),
+                               tails, ob, 100, 50)
