@@ -1602,6 +1602,82 @@ def _q_stream_decontaminate(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def _q_stream_compaction(spark, sf_dir):
+    """Compaction run CONTINUOUSLY (streaming/compaction_stream.py):
+    rewrite groups trigger the micro-batch their byte-bin closes — a
+    bin is immutable once a later small file starts a higher bin —
+    against a tails store (small-file byte prefix sums) plus the open
+    bin's buffered rows; healthy files emit keep immediately and
+    never enter state. One close reconciliation flushes each key's
+    last open bin (the only end-of-stream decision). Binning is the
+    SAME shared `with_running_bytes` algebra as the batch planner, so
+    emissions ∪ close == compaction_plan at any split (law-tested
+    1/4/all) — this row shares the batch row's oracle."""
+    import os
+    import tempfile
+
+    from dataflow_flex_templates_spark.streaming.compaction_stream import (
+        compaction_apply_batch,
+        compaction_finalize,
+    )
+
+    _load(spark, sf_dir)
+    files = (spark.table("documents")
+             .groupBy("source", F.expr("doc_id div 50").alias("file_id"))
+             .agg(F.sum(F.length("text")).cast("long")
+                  .alias("size_bytes"))
+             .orderBy("file_id", "source").toPandas())
+    schema = "source string, file_id long, size_bytes long"
+    root = tempfile.mkdtemp(prefix="entry_compaction_stream_")
+    inp = os.path.join(root, "in")
+    chunk = len(files) // 5 + 1
+    for i in range(0, len(files), chunk):
+        spark.createDataFrame(files.iloc[i:i + chunk], schema=schema) \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    out_dir = os.path.join(root, "out")
+    state_root = os.path.join(root, "state")
+    open_schema = ("source string, file_id long, size_bytes long, "
+                   "group_idx long")
+    cur = {"tails": os.path.join(state_root, "t_init"),
+           "open": os.path.join(state_root, "o_init")}
+    spark.createDataFrame([], "source string, cum_bytes long") \
+        .write.parquet(cur["tails"])
+    spark.createDataFrame([], open_schema).write.parquet(cur["open"])
+
+    def fold(batch_df, batch_id):
+        tails = spark.read.parquet(cur["tails"])
+        open_bin = spark.read.parquet(cur["open"])
+        emitted, new_tails, new_open = compaction_apply_batch(
+            batch_df, tails, open_bin, target_bytes=3000,
+            min_file_bytes=1000)
+        emitted.select("source", "file_id", "size_bytes", "group_idx",
+                       "action") \
+            .write.mode("append").parquet(out_dir)
+        nt = os.path.join(state_root, f"t{batch_id}")
+        no = os.path.join(state_root, f"o{batch_id}")
+        new_tails.write.parquet(nt)
+        new_open.select("source", "file_id", "size_bytes",
+                        "group_idx").write.parquet(no)
+        cur["tails"], cur["open"] = nt, no
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(inp)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    _await_or_raise(q, "stream_compaction")
+
+    flushed = compaction_finalize(spark.read.parquet(cur["open"])) \
+        .select("source", "file_id", "size_bytes", "group_idx",
+                "action")
+    flushed.write.mode("append").parquet(out_dir)
+    return (spark.read.parquet(out_dir)
+            .withColumn("group_idx",
+                        F.coalesce("group_idx", F.lit(-1))
+                        .cast("long")))
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4488,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": _q_exact_quantiles,
         "exact_quantiles_by_lang": _q_exact_quantiles_by_lang,
         "compaction_plan": _q_compaction_plan,
+        "stream_compaction": _q_stream_compaction,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -5998,6 +6075,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.x AS BIGINT) AS q_value
             FROM p, o
             WHERE o.rn = 1 + (p.p_permille * (o.n - 1)) // 1000
+        """,
+        # stream_compaction emits each group when its bin closes +
+        # one close flush; emissions == the batch planner at any split
+        # (law-tested), so the oracle is compaction_plan's SQL.
+        "stream_compaction": r"""
+            WITH f AS (
+              SELECT source, doc_id // 50 AS file_id,
+                     CAST(SUM(length(text)) AS BIGINT) AS size_bytes
+              FROM documents GROUP BY source, doc_id // 50),
+            small AS (
+              SELECT *,
+                     (SUM(size_bytes) OVER (PARTITION BY source
+                        ORDER BY file_id ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW)
+                      - size_bytes) // 3000 AS g
+              FROM f WHERE size_bytes < 1000),
+            grp AS (
+              SELECT *, COUNT(*) OVER (PARTITION BY source, g) AS gn
+              FROM small)
+            SELECT source, file_id, size_bytes,
+                   CASE WHEN gn > 1 THEN CAST(g AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS group_idx,
+                   CASE WHEN gn > 1 THEN 'rewrite' ELSE 'keep' END
+                     AS action
+            FROM grp
+            UNION ALL
+            SELECT source, file_id, size_bytes,
+                   CAST(-1 AS BIGINT) AS group_idx,
+                   'keep' AS action
+            FROM f WHERE size_bytes >= 1000
         """,
         # target 3000 / min 1000 / file = doc_id div 50 mirror
         # _q_compaction_plan; binning is the shard_plan running-sum

@@ -254,7 +254,7 @@ def test_compaction_plan_guards(spark):
         compaction_plan(df.withColumn("action", df.source), 100, 50)
 
 
-@pytest.mark.parametrize("chunk", [1, 4, 300])
+@pytest.mark.parametrize("chunk", [1, 4, 60])
 def test_compaction_incremental_equals_batch(spark, chunk):
     """Streaming-fold law: under ordered ingestion, emissions(folds)
     ∪ close == compaction_plan over the whole metadata table,
@@ -273,7 +273,7 @@ def test_compaction_incremental_equals_batch(spark, chunk):
 
     rng = random.Random(31)
     rows = [(f"s{i % 3}", i, rng.randrange(10, 2000))
-            for i in range(300)]
+            for i in range(60)]
     schema = "source string, file_id long, size_bytes long"
     target, mn = 1500, 900
     whole = spark.createDataFrame(rows, schema)
