@@ -1678,6 +1678,29 @@ def _q_stream_compaction(spark, sf_dir):
                         .cast("long")))
 
 
+def _q_merge_intervals(spark, sf_dir):
+    """Interval union per key (gaps-and-islands over RANGES — merged
+    speech regions from VAD segments, activity coverage windows):
+    each event projects a 6-hour half-open interval; overlapping /
+    touching intervals merge into maximal islands. Exact integer
+    algebra, ONE Exchange (both windows + the island aggregate share
+    the key partitioning). The continuous path is Spark's native
+    session_window with the same gap (streaming/windows.py) — this is
+    its batch twin. Oracle: the identical recurrence in SQL."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    _load(spark, sf_dir)
+    iv = (spark.table("events")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("s_us"))
+          .withColumn("e_us",
+                      F.col("s_us") + F.lit(21_600_000_000)))
+    return merge_intervals(iv, "user_id", "s_us", "e_us")
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4565,6 +4588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles_by_lang": _q_exact_quantiles_by_lang,
         "compaction_plan": _q_compaction_plan,
         "stream_compaction": _q_stream_compaction,
+        "merge_intervals": _q_merge_intervals,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -6075,6 +6099,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.x AS BIGINT) AS q_value
             FROM p, o
             WHERE o.rn = 1 + (p.p_permille * (o.n - 1)) // 1000
+        """,
+        # 6-hour half-open intervals mirror _q_merge_intervals; the
+        # opener recurrence (prior running-max end + gap 0) is the
+        # operator's own algebra re-run in SQL.
+        "merge_intervals": r"""
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 21600000000 AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pme
+              FROM iv),
+            o AS (
+              SELECT *, CASE WHEN pme IS NULL OR s > pme
+                             THEN 1 ELSE 0 END AS opens
+              FROM m),
+            isl AS (
+              SELECT *, SUM(opens) OVER (PARTITION BY user_id
+                          ORDER BY s, e ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) - 1 AS island_idx
+              FROM o)
+            SELECT user_id, CAST(island_idx AS BIGINT) AS island_idx,
+                   MIN(s) AS start, MAX(e) AS "end",
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM isl GROUP BY user_id, island_idx
         """,
         # stream_compaction emits each group when its bin closes +
         # one close flush; emissions == the batch planner at any split

@@ -373,3 +373,72 @@ def retention_cohorts(df: DataFrame, key_col: str, ts_col: str,
                      (F.col("day") - F.col("cohort_day"))
                      .alias("day_offset"))
             .agg(F.count("*").alias("n_users")))
+
+
+def merge_intervals(df: DataFrame, key_col: str, start_col: str,
+                    end_col: str, gap: int = 0) -> DataFrame:
+    """Merge overlapping / near-adjacent integer intervals per key
+    into maximal islands — VAD speech segments into speech regions,
+    utterance spans into takes, retention windows into coverage
+    ranges: ``(key_col, island_idx, start, end, n_intervals)``.
+
+    The classic gaps-and-islands recurrence, kept exactly integral so
+    a SQL oracle matches bit-for-bit: an interval OPENS a new island
+    iff its start exceeds the running max end of all earlier
+    intervals (in (start, end) order) by more than ``gap``;
+    ``island_idx`` is the 0-based running count of openers. Intervals
+    touching the boundary (``start == prev_max_end + gap``) MERGE —
+    with ``gap=0``, [0,5] and [5,9] are one island (half-open
+    convention [start, end)).
+
+    Scale: ONE Exchange on the key; both windows (prior-running-max,
+    opener running count) and the final per-island aggregate share
+    the same partitioning — Catalyst plans a single shuffle + sort
+    (plan-asserted in tests). This is the batch twin of a gap-based
+    session window: for the CONTINUOUS path, Spark's native
+    ``session_window`` with the same gap is the streaming engine's
+    own implementation of this recurrence (`streaming/windows.py
+    session_agg` — state ∝ open sessions), so no bespoke fold is
+    needed here.
+
+    Rows with NULL start or end are dropped (an interval without
+    bounds merges with nothing — documented, mirroring
+    ``heavy_hitters``' NULL-key rule); ``end < start`` raises at plan
+    build via a validating projection.
+    """
+    _ensure_no_cols(df, ["island_idx", "n_intervals",
+                         "__prev_max_end", "__opens"])
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    iv = (df.select(F.col(key_col), s.alias("__s"), e.alias("__e"))
+          .where(s.isNotNull() & e.isNotNull())
+          .withColumn("__e", F.when(
+              F.col("__e") < F.col("__s"),
+              F.raise_error(F.concat(
+                  F.lit("merge_intervals: end < start for key="),
+                  F.col(key_col).cast("string"))))
+              .otherwise(F.col("__e"))))
+    w = Window.partitionBy(key_col).orderBy("__s", "__e")
+    prior = (Window.partitionBy(key_col).orderBy("__s", "__e")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (iv.withColumn("__prev_max_end", F.max("__e").over(prior))
+          .withColumn("__opens",
+                      F.when(F.col("__prev_max_end").isNull()
+                             | (F.col("__s")
+                                > F.col("__prev_max_end")
+                                + F.lit(int(gap))), 1).otherwise(0))
+          .withColumn("island_idx",
+                      (F.sum("__opens").over(run) - 1).cast("long")))
+    return (iv.groupBy(key_col, "island_idx")
+            .agg(F.min("__s").alias("start"),
+                 F.max("__e").alias("end"),
+                 F.count(F.lit(1)).cast("long").alias("n_intervals")))
+
+
+def _ensure_no_cols(df: DataFrame, names: list[str]) -> None:
+    clash = set(names) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} clash with "
+            f"merge_intervals internals; rename them first")

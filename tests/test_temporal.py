@@ -277,3 +277,100 @@ def test_retention_cohorts_triangle(spark):
     assert out[(base, 2)] == 1        # user 1
     assert out[(base + 1, 0)] == 1    # user 3's own cohort
     assert (base + 1, 1) not in out
+
+
+# ---- interval merging (gaps-and-islands) ---------------------------
+
+
+def test_merge_intervals_closed_form(spark):
+    """Hand-checked islands: overlap, containment, boundary-touch
+    merge (half-open), gap split, per-key independence."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    rows = [("a", 0, 5), ("a", 3, 4), ("a", 5, 9),   # one island 0-9
+            ("a", 12, 15),                           # gap of 3 > 0
+            ("b", 0, 100), ("b", 10, 20),            # containment
+            ("b", 150, 160)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {(r["k"], r["island_idx"]): (r["start"], r["end"],
+                                       r["n_intervals"])
+           for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert got == {("a", 0): (0, 9, 3), ("a", 1): (12, 15, 1),
+                   ("b", 0): (0, 100, 2), ("b", 1): (150, 160, 1)}
+    # gap tolerance bridges the 3-unit hole
+    got2 = {(r["k"], r["island_idx"])
+            for r in merge_intervals(df, "k", "s", "e", gap=3)
+            .collect()}
+    assert got2 == {("a", 0), ("b", 0), ("b", 1)}
+
+
+def test_merge_intervals_reference(spark):
+    """Random fuzz vs an independent interval-union reference."""
+    import random
+
+    from dataflow_flex_templates_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(600):
+        s = rng.randrange(0, 5000)
+        rows.append((f"k{i % 5}", s, s + rng.randrange(0, 80)))
+    df = spark.createDataFrame(rows, "k string, s long, e long") \
+        .repartition(8)
+    gap = 7
+    got = sorted((r["k"], r["start"], r["end"], r["n_intervals"])
+                 for r in merge_intervals(df, "k", "s", "e", gap=gap)
+                 .collect())
+    ref = []
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        cur = None
+        for s, e in sorted(ivs):
+            if cur and s <= cur[1] + gap:
+                cur = (cur[0], max(cur[1], e), cur[2] + 1)
+            else:
+                if cur:
+                    ref.append((k, *cur))
+                cur = (s, e, 1)
+        ref.append((k, *cur))
+    assert got == sorted(ref)
+
+
+def test_merge_intervals_single_exchange(spark):
+    from dataflow_flex_templates_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    df = spark.createDataFrame([("a", 1, 2)], "k string, s long, e long")
+    out = merge_intervals(df, "k", "s", "e")
+    out.collect()
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_intervals_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    bad = spark.createDataFrame([("a", 9, 3)], "k string, s long, e long")
+    with _pytest.raises(Exception, match="end < start"):
+        merge_intervals(bad, "k", "s", "e").collect()
+    clash = spark.createDataFrame([("a", 1, 2, 0)],
+                                  "k string, s long, e long, island_idx long")
+    with _pytest.raises(ValueError, match="clash"):
+        merge_intervals(clash, "k", "s", "e")
+    # NULL-bounded intervals drop
+    nulls = spark.createDataFrame(
+        [("a", None, 5), ("a", 1, 4)], "k string, s long, e long")
+    rows = merge_intervals(nulls, "k", "s", "e").collect()
+    assert [(r["start"], r["end"]) for r in rows] == [(1, 4)]
