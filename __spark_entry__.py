@@ -1701,6 +1701,26 @@ def _q_merge_intervals(spark, sf_dir):
     return merge_intervals(iv, "user_id", "s_us", "e_us")
 
 
+def _q_interval_gaps(spark, sf_dir):
+    """The dual of merge_intervals: the maximal EMPTY ranges between
+    a key's activity islands (silence between speech regions,
+    coverage holes). Derived by ONE lead window over the merged
+    |islands| result - same key partitioning, no second Exchange
+    (plan-asserted). Oracle: the merge recurrence + lead in SQL."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        interval_gaps,
+    )
+
+    _load(spark, sf_dir)
+    iv = (spark.table("events")
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("s_us"))
+          .withColumn("e_us",
+                      F.col("s_us") + F.lit(21_600_000_000)))
+    return interval_gaps(iv, "user_id", "s_us", "e_us")
+
+
 def _q_funnel_view_click_purchase(spark, sf_dir):
     """Ordered view→click→purchase funnel per user over events —
     chained same-partition window aggregates, ONE shuffle (PLANS.md).
@@ -4589,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "stream_compaction": _q_stream_compaction,
         "merge_intervals": _q_merge_intervals,
+        "interval_gaps": _q_interval_gaps,
         "rolling_user_stats": _q_rolling_user_stats,
         "stream_wer": _q_stream_wer,
         "asr_session_assembly": _q_asr_session_assembly,
@@ -6099,6 +6120,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.x AS BIGINT) AS q_value
             FROM p, o
             WHERE o.rn = 1 + (p.p_permille * (o.n - 1)) // 1000
+        """,
+        # the dual: lead(start) over the merged islands; same 6-hour
+        # intervals as merge_intervals.
+        "interval_gaps": r"""
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 21600000000 AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pme
+              FROM iv),
+            o AS (
+              SELECT *, CASE WHEN pme IS NULL OR s > pme
+                             THEN 1 ELSE 0 END AS opens
+              FROM m),
+            isl0 AS (
+              SELECT *, SUM(opens) OVER (PARTITION BY user_id
+                          ORDER BY s, e ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) - 1 AS island_idx
+              FROM o),
+            isl AS (
+              SELECT user_id, island_idx, MIN(s) AS start, MAX(e) AS e
+              FROM isl0 GROUP BY user_id, island_idx),
+            g AS (
+              SELECT user_id, island_idx AS gap_idx, e AS gap_start,
+                     lead(start) OVER (PARTITION BY user_id
+                                       ORDER BY island_idx) AS gap_end
+              FROM isl)
+            SELECT user_id, CAST(gap_idx AS BIGINT) AS gap_idx,
+                   gap_start, gap_end,
+                   CAST(gap_end - gap_start AS BIGINT) AS gap_len
+            FROM g WHERE gap_end IS NOT NULL
         """,
         # 6-hour half-open intervals mirror _q_merge_intervals; the
         # opener recurrence (prior running-max end + gap 0) is the

@@ -442,3 +442,34 @@ def _ensure_no_cols(df: DataFrame, names: list[str]) -> None:
         raise ValueError(
             f"input columns {sorted(clash)} clash with "
             f"merge_intervals internals; rename them first")
+
+
+def interval_gaps(df: DataFrame, key_col: str, start_col: str,
+                  end_col: str, gap: int = 0) -> DataFrame:
+    """The complement of :func:`merge_intervals`: the maximal EMPTY
+    ranges between a key's islands — silence between speech regions,
+    coverage holes between retention windows:
+    ``(key_col, gap_idx, gap_start, gap_end, gap_len)``, where
+    ``gap_idx`` counts holes in order and the hole spans
+    ``[prev island end, next island start)`` (half-open, so
+    ``gap_len = gap_start-to-end`` difference exactly; a key with one
+    island emits nothing — holes are INTERIOR by definition, since
+    exterior silence has no data-defined boundary).
+
+    Derivation: merge first (one Exchange), then one ``lead`` window
+    over the |islands|-sized result — same key partitioning, so
+    Catalyst inserts no second shuffle (plan-asserted). Exact integer
+    algebra end-to-end; ``gap`` has the same bridging meaning as in
+    the merge (bridged holes ≤ gap simply don't exist)."""
+    islands = merge_intervals(df, key_col, start_col, end_col, gap)
+    w = Window.partitionBy(key_col).orderBy("island_idx")
+    nxt = F.lead("start").over(w)
+    return (islands
+            .withColumn("__next_start", nxt)
+            .where(F.col("__next_start").isNotNull())
+            .select(F.col(key_col),
+                    F.col("island_idx").alias("gap_idx"),
+                    F.col("end").alias("gap_start"),
+                    F.col("__next_start").alias("gap_end"),
+                    (F.col("__next_start") - F.col("end"))
+                    .cast("long").alias("gap_len")))

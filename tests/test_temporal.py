@@ -374,3 +374,37 @@ def test_merge_intervals_guards(spark):
         [("a", None, 5), ("a", 1, 4)], "k string, s long, e long")
     rows = merge_intervals(nulls, "k", "s", "e").collect()
     assert [(r["start"], r["end"]) for r in rows] == [(1, 4)]
+
+
+def test_interval_gaps(spark):
+    """Gaps are the exact complement of the islands: hand-checked
+    holes, single-island keys emit nothing, derivation adds no second
+    Exchange, and islands ∪ gaps tile each key's span."""
+    from dataflow_flex_templates_spark.operators.temporal import (
+        interval_gaps,
+        merge_intervals,
+    )
+
+    rows = [("a", 0, 5), ("a", 8, 12), ("a", 20, 21),
+            ("b", 0, 9), ("b", 3, 7)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {(r["k"], r["gap_idx"]): (r["gap_start"], r["gap_end"],
+                                    r["gap_len"])
+           for r in interval_gaps(df, "k", "s", "e").collect()}
+    assert got == {("a", 0): (5, 8, 3), ("a", 1): (12, 20, 8)}
+
+    out = interval_gaps(df, "k", "s", "e")
+    out.collect()
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    # tiling: islands + gaps reconstruct the contiguous span per key
+    isl = merge_intervals(df, "k", "s", "e").collect()
+    for k in ("a",):
+        spans = sorted([(r["start"], r["end"]) for r in isl
+                        if r["k"] == k]
+                       + [(g[0], g[1]) for (kk, _), g in got.items()
+                          if kk == k])
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 == s2
