@@ -190,26 +190,49 @@ def compaction_plan(files: DataFrame, target_bytes: int,
             f"target_bytes ({target_bytes}) — otherwise freshly "
             f"compacted ~target files are immediately 'small' again")
     _check_clash(files, "action", "group_idx", "__grp_n")
-    small = files.where(F.col(size_col).cast("long")
-                        < F.lit(int(min_file_bytes)))
+    files = files.withColumn(size_col, checked_size(files, size_col))
+    small = files.where(F.col(size_col) < F.lit(int(min_file_bytes)))
     binned = (with_running_bytes(small, target_bytes, key_col, id_col,
                                  F.col(size_col))
               .withColumn("group_idx",
                           F.expr(f"(__cum_bytes - __sz) div "
                                  f"{int(target_bytes)}").cast("long"))
               .drop("__sz", "__cum_bytes"))
-    wg = Window.partitionBy(key_col, "group_idx")
-    binned = (binned
-              .withColumn("__grp_n", F.count(F.lit(1)).over(wg))
-              .withColumn("group_idx",
-                          F.when(F.col("__grp_n") > 1,
-                                 F.col("group_idx")))
-              .withColumn("action",
-                          F.when(F.col("__grp_n") > 1, F.lit("rewrite"))
-                          .otherwise(F.lit("keep")))
-              .drop("__grp_n"))
-    kept = files.where(F.col(size_col).cast("long")
+    kept = files.where(F.col(size_col)
                        >= F.lit(int(min_file_bytes))) \
         .withColumn("group_idx", F.lit(None).cast("long")) \
         .withColumn("action", F.lit("keep"))
-    return binned.unionByName(kept)
+    return demote_singleton_groups(binned, key_col).unionByName(kept)
+
+
+def checked_size(df: DataFrame, size_col: str) -> Column:
+    """``size_col`` as long, raising IN-PLAN on NULL: a file-metadata
+    row without a size is a broken manifest, and silently dropping it
+    (NULL fails both the small and the healthy predicate) would lose
+    track of a real file — the permutation invariant the planner's
+    tests pin. Same fail-fast device as ``merge_intervals``'
+    end < start guard."""
+    sz = F.col(size_col).cast("long")
+    return F.when(sz.isNull(), F.raise_error(F.lit(
+        f"compaction: NULL {size_col} — file metadata is incomplete; "
+        f"repair or filter the manifest explicitly"))).otherwise(sz)
+
+
+def demote_singleton_groups(binned: DataFrame,
+                            key_col: str) -> DataFrame:
+    """Shared demotion algebra (the ONE definition both the batch
+    planner and `streaming/compaction_stream.py` fold through, so the
+    fold law cannot drift): a file alone in its rewrite bin keeps —
+    merging one file with itself buys nothing; larger bins rewrite.
+    Input carries ``group_idx``; the window's (key, group) partition
+    is a superset of the binning partitioning, so no new Exchange."""
+    wg = Window.partitionBy(key_col, "group_idx")
+    return (binned
+            .withColumn("__grp_n", F.count(F.lit(1)).over(wg))
+            .withColumn("group_idx",
+                        F.when(F.col("__grp_n") > 1,
+                               F.col("group_idx")))
+            .withColumn("action",
+                        F.when(F.col("__grp_n") > 1, F.lit("rewrite"))
+                        .otherwise(F.lit("keep")))
+            .drop("__grp_n"))

@@ -406,8 +406,12 @@ def merge_intervals(df: DataFrame, key_col: str, start_col: str,
     ``heavy_hitters``' NULL-key rule); ``end < start`` raises at plan
     build via a validating projection.
     """
-    _ensure_no_cols(df, ["island_idx", "n_intervals",
-                         "__prev_max_end", "__opens"])
+    from dataflow_flex_templates_spark.operators.shard import (
+        _check_clash,
+    )
+
+    _check_clash(df, "island_idx", "n_intervals",
+                 "__prev_max_end", "__opens")
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
     iv = (df.select(F.col(key_col), s.alias("__s"), e.alias("__e"))
@@ -418,9 +422,10 @@ def merge_intervals(df: DataFrame, key_col: str, start_col: str,
                   F.lit("merge_intervals: end < start for key="),
                   F.col(key_col).cast("string"))))
               .otherwise(F.col("__e"))))
+    # prev-max and opener-count MUST share one sort spec — both frames
+    # derive from the same window object so the ordering cannot drift
     w = Window.partitionBy(key_col).orderBy("__s", "__e")
-    prior = (Window.partitionBy(key_col).orderBy("__s", "__e")
-             .rowsBetween(Window.unboundedPreceding, -1))
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     iv = (iv.withColumn("__prev_max_end", F.max("__e").over(prior))
           .withColumn("__opens",
@@ -434,14 +439,6 @@ def merge_intervals(df: DataFrame, key_col: str, start_col: str,
             .agg(F.min("__s").alias("start"),
                  F.max("__e").alias("end"),
                  F.count(F.lit(1)).cast("long").alias("n_intervals")))
-
-
-def _ensure_no_cols(df: DataFrame, names: list[str]) -> None:
-    clash = set(names) & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"input columns {sorted(clash)} clash with "
-            f"merge_intervals internals; rename them first")
 
 
 def interval_gaps(df: DataFrame, key_col: str, start_col: str,

@@ -37,13 +37,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _check_clash(df: DataFrame, *internal: str) -> None:
-    clash = set(internal) & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"input columns {sorted(clash)} clash with zone-map "
-            f"output columns; rename them first")
+# one clash-guard definition repo-wide (also used by the shard and
+# compaction modules) so the error contract cannot drift
+from dataflow_flex_templates_spark.operators.shard import _check_clash
 
 
 def _stat_names(stat_cols: list[str]) -> list[str]:

@@ -48,25 +48,15 @@ from pyspark.sql import functions as F
 
 from dataflow_flex_templates_spark.operators.shard import (
     _check_clash,
+    checked_size,
+    demote_singleton_groups,
     with_running_bytes,
 )
 
-
-def _finish(df: DataFrame, key_col: str) -> DataFrame:
-    """Apply the batch planner's singleton demotion to CLOSED bins:
-    groups of one file keep (rewriting a file into itself is churn),
-    larger groups rewrite. Input must carry ``group_idx``."""
-    from pyspark.sql.window import Window
-
-    wg = Window.partitionBy(key_col, "group_idx")
-    return (df.withColumn("__grp_n", F.count(F.lit(1)).over(wg))
-            .withColumn("group_idx",
-                        F.when(F.col("__grp_n") > 1,
-                               F.col("group_idx")))
-            .withColumn("action",
-                        F.when(F.col("__grp_n") > 1, F.lit("rewrite"))
-                        .otherwise(F.lit("keep")))
-            .drop("__grp_n"))
+# the demotion algebra is the batch planner's own helper — ONE
+# definition, so the fold law cannot drift (shared-kernel pattern,
+# like with_running_bytes for the binning itself)
+_finish = demote_singleton_groups
 
 
 def compaction_apply_batch(batch_df: DataFrame, tails: DataFrame,
@@ -92,12 +82,27 @@ def compaction_apply_batch(batch_df: DataFrame, tails: DataFrame,
             f"target_bytes ({target_bytes})")
     _check_clash(batch_df, "action", "group_idx", "__base__",
                  "__grp_n", "cum_bytes")
-    sz = F.col(size_col).cast("long")
-    healthy = (batch_df.where(sz >= F.lit(int(min_file_bytes)))
+    batch_df = batch_df.withColumn(size_col,
+                                   checked_size(batch_df, size_col))
+    sz = F.col(size_col)
+    # emitted/stored columns are exactly open_bin's schema (+ action):
+    # callers carrying extra manifest metadata (path, etag, ...)
+    # declare it in the open_bin store schema and it flows through
+    # both the buffer and the emissions — mirroring the batch
+    # planner, which passes every input column through.
+    carry = [c for c in open_bin.columns if c != "group_idx"]
+    missing = [c for c in carry if c not in batch_df.columns]
+    if missing:
+        raise ValueError(
+            f"open_bin columns {missing} absent from the batch — the "
+            f"store schema must be batch columns + group_idx")
+    healthy = (batch_df.select(*carry)
+               .where(sz >= F.lit(int(min_file_bytes)))
                .withColumn("group_idx", F.lit(None).cast("long"))
                .withColumn("action", F.lit("keep")))
 
-    small = batch_df.where(sz < F.lit(int(min_file_bytes)))
+    small = batch_df.select(*carry) \
+        .where(sz < F.lit(int(min_file_bytes)))
     cum = with_running_bytes(small, target_bytes, key_col, id_col,
                              F.col(size_col))
     t = tails.select(F.col(key_col),

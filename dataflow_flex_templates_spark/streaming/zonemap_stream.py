@@ -66,11 +66,13 @@ def zone_map_apply_batch(batch_df: DataFrame, store: DataFrame,
     bz = zone_map(batch_df, shard_cols, stat_cols)
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        ren = df
-        for c in df.columns:
-            if c not in shard_cols:
-                ren = ren.withColumnRenamed(c, f"__{tag}_{c}")
-        return ren
+        # one projection, not a withColumnRenamed chain — a
+        # continuously running stream re-analyzes this plan every
+        # trigger, so keep the unresolved tree flat
+        return df.select(*[
+            F.col(c) if c in shard_cols
+            else F.col(c).alias(f"__{tag}_{c}")
+            for c in df.columns])
 
     j = side(store, "s").join(side(bz, "b"), on=shard_cols,
                               how="full")

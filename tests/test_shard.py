@@ -320,3 +320,60 @@ def test_compaction_stream_guards(spark):
     with _pytest.raises(ValueError, match="clash"):
         compaction_apply_batch(df.withColumn("action", df.source),
                                tails, ob, 100, 50)
+
+
+def test_compaction_null_size_raises(spark):
+    """A NULL size is a broken manifest: both the batch planner and
+    the streaming fold fail fast instead of silently losing the file
+    (NULL fails both the small and the healthy predicate)."""
+    import pytest as _pytest
+
+    from dataflow_flex_templates_spark.operators.shard import (
+        compaction_plan,
+    )
+    from dataflow_flex_templates_spark.streaming.compaction_stream import (
+        compaction_apply_batch,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1, 100), ("A", 2, None)],
+        "source string, file_id long, size_bytes long")
+    with _pytest.raises(Exception, match="NULL size_bytes"):
+        compaction_plan(df, 500, 400).collect()
+    tails = spark.createDataFrame([], "source string, cum_bytes long")
+    ob = spark.createDataFrame(
+        [], "source string, file_id long, size_bytes long, group_idx long")
+    emitted, _, _ = compaction_apply_batch(df, tails, ob, 500, 400)
+    with _pytest.raises(Exception, match="NULL size_bytes"):
+        emitted.collect()
+
+
+def test_compaction_stream_carries_extra_columns(spark):
+    """Extra manifest metadata (path, etag, ...) declared in the
+    open_bin store schema flows through the buffer and emissions —
+    parity with the batch planner, which passes all input columns."""
+    from dataflow_flex_templates_spark.streaming.compaction_stream import (
+        compaction_apply_batch,
+        compaction_finalize,
+    )
+
+    rows = [("A", 1, 100, "p1"), ("A", 2, 200, "p2"),
+            ("A", 3, 900, "p3")]
+    df = spark.createDataFrame(
+        rows, "source string, file_id long, size_bytes long, path string")
+    tails = spark.createDataFrame([], "source string, cum_bytes long")
+    ob = spark.createDataFrame(
+        [], "source string, file_id long, size_bytes long, "
+            "path string, group_idx long")
+    emitted, tails, ob = compaction_apply_batch(df, tails, ob, 500, 400)
+    final = emitted.unionByName(compaction_finalize(ob))
+    got = {r["file_id"]: r["path"] for r in final.collect()}
+    assert got == {1: "p1", 2: "p2", 3: "p3"}
+    # a store schema demanding a column the batch lacks raises
+    import pytest as _pytest
+
+    bad_ob = spark.createDataFrame(
+        [], "source string, file_id long, size_bytes long, "
+            "etag string, group_idx long")
+    with _pytest.raises(ValueError, match="absent from the batch"):
+        compaction_apply_batch(df.drop("path"), tails, bad_ob, 500, 400)
